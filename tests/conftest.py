@@ -1,0 +1,28 @@
+"""Test environment: CPU-backend JAX with 8 virtual devices.
+
+Mirrors the reference's conftest pattern of pinning env before app import
+(reference: tests/conftest.py:1-9). Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The axon sitecustomize registers a TPU plugin and pins jax_platforms to
+# "axon,cpu" in every interpreter; override it back to CPU for tests.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Server-side defaults for tests: no SSL, writable data dirs.
+os.environ.setdefault("OS_SSL_ENABLED", "false")
+os.environ.setdefault("OS_VOICE_LIBRARY_PATH", "/tmp/os_tpu_test/voices")
+os.environ.setdefault("OS_STUDIO_DB_PATH", "/tmp/os_tpu_test/studio.db")
+os.environ.setdefault("OS_CONVERSATIONS_DIR", "/tmp/os_tpu_test/conversations")
+os.environ.setdefault("OS_COMPOSER_DIR", "/tmp/os_tpu_test/composer")
+os.environ.setdefault("TTS_CACHE_DIR", "/tmp/os_tpu_test/cache")
