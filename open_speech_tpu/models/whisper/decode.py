@@ -1,0 +1,553 @@
+"""On-device Whisper decoding: greedy + beam, timestamp rules, LID.
+
+Re-implements the decoding semantics the reference gets from CTranslate2
+(beam_size=5 default at src/backends/faster_whisper.py:235-245, plus
+openai-whisper's logit rules that CT2 mirrors): token suppression, blank
+suppression at sample begin, paired-timestamp constraints, monotonic
+timestamps, the timestamp-vs-text probability rule, <|nospeech|> probability
+capture, and average-logprob / compression-ratio statistics for temperature
+fallback.
+
+Everything is a jitted ``lax.while_loop`` over ``decode_step`` — one compiled
+program per (batch, prompt-length-bucket, beam) shape; the KV cache is donated
+through the loop so decode is pure HBM-bandwidth on the cache.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_speech_tpu.models.whisper.model import (
+    WhisperConfig,
+    decode_step,
+    init_self_kv,
+    precompute_cross_kv,
+)
+from open_speech_tpu.models.whisper.tokenizer import SpecialTokens
+
+NEG_INF = -1e30
+
+
+@dataclass(frozen=True)
+class DecodeOptions:
+    task: str = "transcribe"
+    language: str | None = None
+    temperature: float = 0.0
+    beam_size: int = 5
+    max_new_tokens: int = 224
+    timestamps: bool = True
+    max_initial_timestamp: float = 1.0
+    suppress_blank: bool = True
+    suppress_tokens: tuple[int, ...] = ()
+    length_penalty: float = 1.0
+
+
+@dataclass
+class DecodeResult:
+    tokens: np.ndarray  # [B, T] int32, right-padded with eot
+    lengths: np.ndarray  # [B] sampled token count (pre-eot)
+    avg_logprob: np.ndarray  # [B]
+    no_speech_prob: np.ndarray  # [B]
+    temperature: float = 0.0
+
+
+def compression_ratio(text: str) -> float:
+    """zlib ratio used by whisper's fallback heuristic (higher = loopier)."""
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def _suppress_mask(
+    n_vocab: int, special: SpecialTokens, opts: DecodeOptions
+) -> np.ndarray:
+    """Static additive mask [V]: -inf on always-suppressed tokens."""
+    mask = np.zeros((n_vocab,), np.float32)
+    always = [
+        special.sot,
+        special.startofprev,
+        special.startoflm,
+        special.no_speech,
+        special.translate,
+        special.transcribe,
+    ]
+    always += [special.lang_begin + i for i in range(special.n_langs)]
+    if opts.timestamps:
+        always.append(special.no_timestamps)
+    else:
+        mask[special.timestamp_begin :] = NEG_INF
+    for t in list(opts.suppress_tokens) + always:
+        if 0 <= t < n_vocab:
+            mask[t] = NEG_INF
+    return mask
+
+
+def _apply_rules(
+    logits,  # [B, V] f32
+    *,
+    step_idx,  # scalar int32 (0 = first sampled token)
+    last,  # [B] previous sampled token (or sot-seq tail at step 0)
+    penult,  # [B]
+    max_ts,  # [B] highest timestamp token sampled so far (or ts_begin-1)
+    suppress,  # [V] additive mask
+    special: SpecialTokens,
+    timestamps: bool,
+    max_initial_ts_tok: int,
+    blank_tokens: tuple[int, ...],
+):
+    v = logits.shape[-1]
+    cols = jnp.arange(v)[None, :]
+    logits = logits + suppress[None, :]
+    if not timestamps:
+        return logits
+    ts_begin = special.timestamp_begin
+    is_ts_col = cols >= ts_begin
+    is_text_col = cols < special.eot
+
+    last_ts = last >= ts_begin
+    penult_ts = penult >= ts_begin
+    # paired timestamps: after a closing ts, no ts; after an opening ts, no text
+    mask_ts = (last_ts & penult_ts)[:, None] & is_ts_col
+    mask_text = (last_ts & ~penult_ts)[:, None] & is_text_col
+    # monotonicity: forbid timestamps below the running max
+    ts_floor = jnp.where(last_ts & ~penult_ts, max_ts, max_ts + 1)
+    mask_mono = is_ts_col & (cols < ts_floor[:, None])
+    logits = jnp.where(mask_ts | mask_text | mask_mono, NEG_INF, logits)
+
+    # sample begin: optionally suppress blank/eot; cap the initial timestamp
+    def at_begin(lg):
+        if blank_tokens:
+            blank = jnp.zeros((v,), bool).at[jnp.array(blank_tokens)].set(True)
+            lg = jnp.where(blank[None, :], NEG_INF, lg)
+        lg = jnp.where(is_ts_col & (cols > max_initial_ts_tok), NEG_INF, lg)
+        return lg
+
+    logits = jax.lax.cond(step_idx == 0, at_begin, lambda lg: lg, logits)
+
+    # prob rule: if total timestamp mass exceeds the best text token, sample a
+    # timestamp
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ts_mass = jax.nn.logsumexp(
+        jnp.where(is_ts_col, logp, NEG_INF), axis=-1
+    )  # [B]
+    max_text = jnp.max(jnp.where(is_text_col, logp, NEG_INF), axis=-1)
+    force_ts = (ts_mass > max_text)[:, None]
+    logits = jnp.where(force_ts & is_text_col, NEG_INF, logits)
+    return logits
+
+
+# ──────────────────────────────────────────────────────────────────────
+# Prefill: run the prompt through the cache
+# ──────────────────────────────────────────────────────────────────────
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def _prefill(params, prompt, cross_kv, self_kv, cfg: WhisperConfig):
+    """Feed prompt tokens [B, P] sequentially; return (last logits, kv)."""
+
+    def step(carry, tok):
+        kv, pos = carry
+        logits, kv = decode_step(params, tok[:, None], pos, kv, cross_kv, cfg)
+        return (kv, pos + 1), logits
+
+    (self_kv, _), all_logits = jax.lax.scan(
+        step, (self_kv, jnp.int32(0)), prompt.T
+    )
+    return all_logits, self_kv  # [P, B, V], kv
+
+
+# ──────────────────────────────────────────────────────────────────────
+# Greedy / sampling decode
+# ──────────────────────────────────────────────────────────────────────
+
+
+def greedy_decode(
+    params,
+    cfg: WhisperConfig,
+    special: SpecialTokens,
+    enc_out,
+    prompt: np.ndarray,  # [B, P] int32 (sot sequence, maybe with prefix)
+    opts: DecodeOptions = DecodeOptions(),
+    rng: jax.Array | None = None,
+) -> DecodeResult:
+    """Greedy (temperature=0) or sampled decode with whisper logit rules."""
+    b, p_len = prompt.shape
+    max_new = min(opts.max_new_tokens, cfg.n_text_ctx - p_len - 1)
+    suppress = jnp.asarray(_suppress_mask(cfg.n_vocab, special, opts))
+    blank = _blank_tokens(special, opts)
+    max_init_tok = special.timestamp_begin + int(
+        round(opts.max_initial_timestamp / 0.02)
+    )
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    tokens, lengths, sum_lp, nsp = _greedy_impl(
+        params,
+        jnp.asarray(prompt, jnp.int32),
+        enc_out,
+        suppress,
+        rng,
+        cfg=cfg,
+        special=special,
+        max_new=max_new,
+        temperature=float(opts.temperature),
+        timestamps=opts.timestamps,
+        max_init_tok=max_init_tok,
+        blank=blank,
+    )
+    lengths = np.asarray(lengths)
+    avg_lp = np.asarray(sum_lp) / np.maximum(lengths + 1, 1)  # +1 counts eot
+    return DecodeResult(
+        tokens=np.asarray(tokens),
+        lengths=lengths,
+        avg_logprob=avg_lp,
+        no_speech_prob=np.asarray(nsp),
+        temperature=opts.temperature,
+    )
+
+
+def _blank_tokens(special: SpecialTokens, opts: DecodeOptions) -> tuple[int, ...]:
+    if not opts.suppress_blank:
+        return ()
+    # " " encodes as a single token in both real BPE (220) and byte fallback
+    return (32 if special.eot <= 50000 else 220, special.eot)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "special",
+        "max_new",
+        "temperature",
+        "timestamps",
+        "max_init_tok",
+        "blank",
+    ),
+)
+def _greedy_impl(
+    params,
+    prompt,
+    enc_out,
+    suppress,
+    rng,
+    *,
+    cfg: WhisperConfig,
+    special: SpecialTokens,
+    max_new: int,
+    temperature: float,
+    timestamps: bool,
+    max_init_tok: int,
+    blank: tuple[int, ...],
+):
+    b, p_len = prompt.shape
+    cross_kv = precompute_cross_kv(params, enc_out, cfg)
+    self_kv = init_self_kv(cfg, b, dtype=enc_out.dtype)
+    prefill_logits, self_kv = _prefill(params, prompt, cross_kv, self_kv, cfg)
+    # no_speech prob: measured at the logits following the <|sot|> input
+    sot_pos = jnp.argmax((prompt == special.sot).astype(jnp.int32), axis=1)  # [B]
+    sot_logits = jnp.take_along_axis(
+        prefill_logits.transpose(1, 0, 2), sot_pos[:, None, None], axis=1
+    )[:, 0]
+    no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, special.no_speech]
+
+    out_buf = jnp.full((b, max_new), special.eot, jnp.int32)
+
+    def cond(state):
+        return (state[0] < max_new) & ~jnp.all(state[-1])
+
+    def body(state):
+        (step_idx, cur_logits, kv, buf, last, penult, max_ts, sum_lp, lengths,
+         key, finished) = state
+        logits = _apply_rules(
+            cur_logits,
+            step_idx=step_idx,
+            last=last,
+            penult=penult,
+            max_ts=max_ts,
+            suppress=suppress,
+            special=special,
+            timestamps=timestamps,
+            max_initial_ts_tok=max_init_tok,
+            blank_tokens=blank,
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        if temperature == 0.0:
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            key_next = key
+        else:
+            key_next, sub = jax.random.split(key)
+            tok = jax.random.categorical(sub, logits / temperature, axis=-1)
+            tok = tok.astype(jnp.int32)
+        tok = jnp.where(finished, special.eot, tok)
+        tok_lp = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]
+        sum_lp = sum_lp + jnp.where(finished, 0.0, tok_lp)
+        now_eot = tok == special.eot
+        lengths = lengths + jnp.where(finished | now_eot, 0, 1)
+        buf = jax.lax.dynamic_update_slice(buf, tok[:, None], (0, step_idx))
+        is_ts = tok >= special.timestamp_begin
+        max_ts = jnp.where(is_ts & ~finished, jnp.maximum(max_ts, tok), max_ts)
+        new_finished = finished | now_eot
+        next_logits, kv = decode_step(
+            params, tok[:, None], p_len + step_idx, kv, cross_kv, cfg
+        )
+        return (
+            step_idx + 1,
+            next_logits,
+            kv,
+            buf,
+            tok,
+            last,
+            max_ts,
+            sum_lp,
+            lengths,
+            key_next,
+            new_finished,
+        )
+
+    init = (
+        jnp.int32(0),
+        prefill_logits[-1],
+        self_kv,
+        out_buf,
+        prompt[:, -1],
+        prompt[:, -2] if p_len > 1 else prompt[:, -1],
+        jnp.full((b,), special.timestamp_begin - 1, jnp.int32),
+        jnp.zeros((b,), jnp.float32),
+        jnp.zeros((b,), jnp.int32),
+        rng,
+        jnp.zeros((b,), bool),
+    )
+    state = jax.lax.while_loop(cond, body, init)
+    (_, _, _, buf, _, _, _, sum_lp, lengths, _, _finished) = state
+    return buf, lengths, sum_lp, no_speech_prob
+
+
+# ──────────────────────────────────────────────────────────────────────
+# Beam search
+# ──────────────────────────────────────────────────────────────────────
+
+
+def beam_decode(
+    params,
+    cfg: WhisperConfig,
+    special: SpecialTokens,
+    enc_out,
+    prompt: np.ndarray,  # [B, P]
+    opts: DecodeOptions = DecodeOptions(),
+) -> DecodeResult:
+    """Beam search (default beam 5, matching the reference backend's CT2 call).
+
+    Beams ride the batch axis: decode_step sees [B*K] rows; per-step the
+    [B, K*V] score table is top-k'd and the KV cache rows are gathered to the
+    surviving beams (one take per step — HBM shuffle of the cache, overlapped
+    by XLA with the next step's matmuls).
+    """
+    b, p_len = prompt.shape
+    k = opts.beam_size
+    max_new = min(opts.max_new_tokens, cfg.n_text_ctx - p_len - 1)
+    suppress = jnp.asarray(_suppress_mask(cfg.n_vocab, special, opts))
+    blank = _blank_tokens(special, opts)
+    max_init_tok = special.timestamp_begin + int(
+        round(opts.max_initial_timestamp / 0.02)
+    )
+    tokens, lengths, scores, nsp = _beam_impl(
+        params,
+        jnp.asarray(prompt, jnp.int32),
+        enc_out,
+        suppress,
+        cfg=cfg,
+        special=special,
+        beam=k,
+        max_new=max_new,
+        timestamps=opts.timestamps,
+        max_init_tok=max_init_tok,
+        blank=blank,
+        length_penalty=float(opts.length_penalty),
+    )
+    lengths = np.asarray(lengths)
+    return DecodeResult(
+        tokens=np.asarray(tokens),
+        lengths=lengths,
+        avg_logprob=np.asarray(scores) / np.maximum(lengths + 1, 1),
+        no_speech_prob=np.asarray(nsp),
+        temperature=0.0,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "special",
+        "beam",
+        "max_new",
+        "timestamps",
+        "max_init_tok",
+        "blank",
+        "length_penalty",
+    ),
+)
+def _beam_impl(
+    params,
+    prompt,
+    enc_out,
+    suppress,
+    *,
+    cfg: WhisperConfig,
+    special: SpecialTokens,
+    beam: int,
+    max_new: int,
+    timestamps: bool,
+    max_init_tok: int,
+    blank: tuple[int, ...],
+    length_penalty: float,
+):
+    b, p_len = prompt.shape
+    k = beam
+    v = cfg.n_vocab
+    # expand to beams along batch
+    enc_rep = jnp.repeat(enc_out, k, axis=0)  # [B*K, T, D]
+    prompt_rep = jnp.repeat(prompt, k, axis=0)
+    cross_kv = precompute_cross_kv(params, enc_rep, cfg)
+    self_kv = init_self_kv(cfg, b * k, dtype=enc_out.dtype)
+    prefill_logits, self_kv = _prefill(params, prompt_rep, cross_kv, self_kv, cfg)
+    sot_pos = jnp.argmax((prompt == special.sot).astype(jnp.int32), axis=1)
+    sot_logits = jnp.take_along_axis(
+        prefill_logits.transpose(1, 0, 2)[::k], sot_pos[:, None, None], axis=1
+    )[:, 0]
+    no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, special.no_speech]
+
+    out_buf = jnp.full((b * k, max_new), special.eot, jnp.int32)
+    # first beam active, others start at -inf so step 0 fans out from beam 0
+    beam_lp = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((k - 1,), NEG_INF)]), (b,)
+    ).astype(jnp.float32)
+
+    def cond(state):
+        return (state[0] < max_new) & ~jnp.all(state[-1])
+
+    def body(state):
+        (step_idx, cur_logits, kv, buf, last, penult, max_ts, beam_lp, lengths,
+         finished) = state
+        logits = _apply_rules(
+            cur_logits,
+            step_idx=step_idx,
+            last=last,
+            penult=penult,
+            max_ts=max_ts,
+            suppress=suppress,
+            special=special,
+            timestamps=timestamps,
+            max_initial_ts_tok=max_init_tok,
+            blank_tokens=blank,
+        )  # [B*K, V]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        # finished beams may only emit eot at no cost
+        eot_only = jnp.full((v,), NEG_INF).at[special.eot].set(0.0)
+        logp = jnp.where(finished[:, None], eot_only[None, :], logp)
+        total = beam_lp[:, None] + logp  # [B*K, V]
+        total = total.reshape(b, k * v)
+        top_lp, top_idx = jax.lax.top_k(total, k)  # [B, K]
+        src_beam = top_idx // v  # [B, K] index into beams
+        tok = (top_idx % v).astype(jnp.int32)
+        flat_src = (jnp.arange(b)[:, None] * k + src_beam).reshape(-1)  # [B*K]
+        tok = tok.reshape(-1)
+        # gather per-beam state
+        gather = lambda x: jnp.take(x, flat_src, axis=0)
+        buf = gather(buf)
+        last_g = gather(last)
+        max_ts = gather(max_ts)
+        lengths = gather(lengths)
+        finished = gather(finished)
+        kv = jnp.take(kv, flat_src, axis=2)  # [L, 2, B*K, H, T, Dh]
+        buf = jax.lax.dynamic_update_slice(buf, tok[:, None], (0, step_idx))
+        now_eot = (tok == special.eot) & ~finished
+        lengths = lengths + jnp.where(finished | (tok == special.eot), 0, 1)
+        is_ts = tok >= special.timestamp_begin
+        max_ts = jnp.where(is_ts & ~finished, jnp.maximum(max_ts, tok), max_ts)
+        new_finished = finished | (tok == special.eot)
+        next_logits, kv = decode_step(
+            params, tok[:, None], p_len + step_idx, kv, cross_kv, cfg
+        )
+        return (
+            step_idx + 1,
+            next_logits,
+            kv,
+            buf,
+            tok,
+            last_g,
+            max_ts,
+            top_lp.reshape(-1),
+            lengths,
+            new_finished,
+        )
+
+    init = (
+        jnp.int32(0),
+        prefill_logits[-1],
+        self_kv,
+        out_buf,
+        prompt_rep[:, -1],
+        prompt_rep[:, -2] if p_len > 1 else prompt_rep[:, -1],
+        jnp.full((b * k,), special.timestamp_begin - 1, jnp.int32),
+        beam_lp,
+        jnp.zeros((b * k,), jnp.int32),
+        jnp.zeros((b * k,), bool),
+    )
+    state = jax.lax.while_loop(cond, body, init)
+    (_, _, _, buf, _, _, _, beam_lp, lengths, _finished) = state
+    # pick best beam per batch row by length-normalized score
+    norm = beam_lp.reshape(b, k) / jnp.maximum(
+        lengths.reshape(b, k).astype(jnp.float32) + 1, 1.0
+    ) ** length_penalty
+    best = jnp.argmax(norm, axis=1)  # [B]
+    sel = jnp.arange(b) * k + best
+    return (
+        jnp.take(buf, sel, axis=0),
+        jnp.take(lengths, sel, axis=0),
+        jnp.take(beam_lp, sel, axis=0),
+        no_speech_prob,
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────
+# Language identification
+# ──────────────────────────────────────────────────────────────────────
+
+
+def detect_language(
+    params, cfg: WhisperConfig, special: SpecialTokens, enc_out
+) -> tuple[list[str], np.ndarray]:
+    """One decode step from <|sot|>; softmax over the language tokens.
+
+    Returns (codes [B], probs [B]) — the reference surfaces these as
+    ``language``/``language_probability`` in verbose_json
+    (src/backends/faster_whisper.py:251-272).
+    """
+    probs = _detect_impl(params, enc_out, cfg=cfg, special=special)
+    probs = np.asarray(probs)
+    idx = probs.argmax(axis=-1)
+    codes = [special.lang_code(special.lang_begin + int(i)) for i in idx]
+    return codes, probs.max(axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "special"))
+def _detect_impl(params, enc_out, *, cfg: WhisperConfig, special: SpecialTokens):
+    b = enc_out.shape[0]
+    cross_kv = precompute_cross_kv(params, enc_out, cfg)
+    self_kv = init_self_kv(cfg, b, dtype=enc_out.dtype)
+    prompt = jnp.full((b, 1), special.sot, jnp.int32)
+    logits, _ = _prefill(params, prompt, cross_kv, self_kv, cfg)
+    logits = logits[-1]  # [B, V]
+    lang_slice = jax.lax.dynamic_slice_in_dim(
+        logits, special.lang_begin, special.n_langs, axis=1
+    )
+    return jax.nn.softmax(lang_slice, axis=-1)
