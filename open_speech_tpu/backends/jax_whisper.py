@@ -1,0 +1,334 @@
+"""JAX Whisper STT backend — the TPU replacement for faster-whisper/CT2.
+
+Drop-in for the reference backend (src/backends/faster_whisper.py): same
+protocol methods, same response formats, same TTL bookkeeping attribute names
+(``_models`` / ``_last_used``, which the lifecycle daemon reaches into,
+src/lifecycle.py:45-73), same HF-cache scan/delete surface (:93-208).
+
+Model ids: native ids (``whisper-large-v3-turbo``) plus the reference's CT2
+repo ids as aliases (``deepdml/faster-whisper-large-v3-turbo-ct2``,
+``Systran/faster-whisper-*``) so existing configs keep working. Weights load
+from disk when a checkpoint directory exists (HF cache layout or
+STT_MODEL_DIR); otherwise the model initializes randomly with a warning —
+architecture, shapes, and serving behavior are identical either way (this
+deployment has no network egress).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+import shutil
+import time
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from open_speech_tpu.config import settings
+from open_speech_tpu.models.whisper import PRESETS, get_tokenizer, init_params
+from open_speech_tpu.models.whisper.convert import load_params
+from open_speech_tpu.models.whisper.model import WhisperConfig, encode
+from open_speech_tpu.models.whisper.transcribe import (
+    TranscribeOptions,
+    build_response,
+    transcribe,
+)
+from open_speech_tpu.ops import audio as codec
+from open_speech_tpu.ops.mel import log_mel_spectrogram, pad_or_trim
+from open_speech_tpu.schemas import LoadedModelInfo
+
+logger = logging.getLogger(__name__)
+
+# reference CT2 repo id -> native preset name
+ALIASES: dict[str, str] = {
+    "Systran/faster-whisper-tiny": "tiny",
+    "Systran/faster-whisper-tiny.en": "tiny.en",
+    "Systran/faster-whisper-base": "base",
+    "Systran/faster-whisper-base.en": "base.en",
+    "Systran/faster-whisper-small": "small",
+    "Systran/faster-whisper-small.en": "small.en",
+    "Systran/faster-whisper-medium": "medium",
+    "Systran/faster-whisper-medium.en": "medium.en",
+    "Systran/faster-whisper-large-v2": "large-v2",
+    "Systran/faster-whisper-large-v3": "large-v3",
+    "deepdml/faster-whisper-large-v3-turbo-ct2": "large-v3-turbo",
+    "Systran/faster-distil-whisper-large-v3": "distil-large-v3",
+    "openai/whisper-large-v3-turbo": "large-v3-turbo",
+    "openai/whisper-large-v3": "large-v3",
+}
+
+
+def resolve_preset(model_id: str) -> str | None:
+    """Map any accepted model id onto a preset name."""
+    if model_id in ALIASES:
+        return ALIASES[model_id]
+    name = model_id.removeprefix("whisper-")
+    if name in PRESETS:
+        return name
+    # fuzzy: strip org prefix / ct2 suffixes from arbitrary repo ids
+    tail = model_id.split("/")[-1].lower()
+    tail = re.sub(r"^(faster-|distil-)?whisper-", "", tail)
+    tail = re.sub(r"(-ct2.*|-turbo-ct2.*)$", "", tail)
+    for candidate in (tail, tail.replace("_", "-")):
+        if candidate in PRESETS:
+            return candidate
+    return None
+
+
+class JaxWhisperBackend:
+    """STTBackend implementation on JAX/XLA/Pallas."""
+
+    name = "jax-whisper"
+
+    def __init__(self) -> None:
+        self._models: dict[str, dict[str, Any]] = {}  # id -> {params, cfg, tok}
+        self._last_used: dict[str, float] = {}
+        self._loaded_at: dict[str, float] = {}
+        self._device = jax.default_backend()
+        self._compute_type = settings.stt_compute_type
+
+    # ── weights ───────────────────────────────────────────────────────
+
+    def _dtype(self):
+        return {
+            "bfloat16": jnp.bfloat16,
+            "float16": jnp.bfloat16,  # TPU has no fp16; bf16 is the analog
+            "float32": jnp.float32,
+            "int8": jnp.bfloat16,  # int8 quantized matmuls arrive later
+        }.get(self._compute_type, jnp.bfloat16)
+
+    def _weight_dirs(self, model_id: str) -> list[Path]:
+        roots: list[Path] = []
+        if settings.stt_model_dir:
+            roots.append(Path(settings.stt_model_dir).expanduser())
+        for env in ("HF_HUB_CACHE", "HUGGINGFACE_HUB_CACHE"):
+            if os.environ.get(env):
+                roots.append(Path(os.environ[env]).expanduser())
+        roots.append(Path.home() / ".cache" / "huggingface" / "hub")
+        dirs = []
+        for root in roots:
+            dirs.append(root / model_id)
+            safe = f"models--{model_id.replace('/', '--')}"
+            snap_root = root / safe / "snapshots"
+            if snap_root.is_dir():
+                dirs.extend(sorted(snap_root.iterdir(), reverse=True))
+        return dirs
+
+    def _find_checkpoint(self, model_id: str) -> Path | None:
+        for d in self._weight_dirs(model_id):
+            if d.is_dir() and any(
+                (d / f).exists()
+                for f in ("model.safetensors", "model.safetensors.index.json")
+            ):
+                return d
+            if d.is_dir() and any(p.suffix in (".pt", ".bin") for p in d.iterdir()):
+                return d
+        return None
+
+    # ── protocol: lifecycle ───────────────────────────────────────────
+
+    def load_model(self, model_id: str) -> None:
+        if model_id in self._models:
+            self._last_used[model_id] = time.time()
+            return
+        preset = resolve_preset(model_id)
+        if preset is None:
+            raise ValueError(f"Unknown whisper model id: {model_id}")
+        cfg: WhisperConfig = PRESETS[preset]
+        ckpt = self._find_checkpoint(model_id)
+        t0 = time.time()
+        if ckpt is not None:
+            logger.info("Loading %s weights from %s", model_id, ckpt)
+            params, cfg = load_params(str(ckpt), cfg, dtype=self._dtype())
+            tok = get_tokenizer(str(ckpt), n_vocab=cfg.n_vocab, n_langs=cfg.n_langs)
+        else:
+            logger.warning(
+                "No checkpoint on disk for %s — initializing random weights "
+                "(architecture/serving identical; WER meaningless)",
+                model_id,
+            )
+            params = init_params(jax.random.PRNGKey(0), cfg, dtype=self._dtype())
+            tok = get_tokenizer(n_vocab=cfg.n_vocab, n_langs=cfg.n_langs)
+        self._models[model_id] = {"params": params, "cfg": cfg, "tok": tok}
+        now = time.time()
+        self._loaded_at[model_id] = now
+        self._last_used[model_id] = now
+        logger.info("Loaded %s (%s) in %.1fs", model_id, preset, now - t0)
+        if settings.os_precompile_on_load:
+            self._warmup(model_id)
+
+    def _warmup(self, model_id: str) -> None:
+        """Precompile the encoder for the hot window shape."""
+        entry = self._models[model_id]
+        cfg = entry["cfg"]
+        window_samples = cfg.n_audio_ctx * 2 * 160  # hop=160
+        mel = log_mel_spectrogram(
+            pad_or_trim(jnp.zeros(window_samples), window_samples),
+            n_mels=cfg.n_mels,
+        )
+        encode(entry["params"], mel[None], cfg).block_until_ready()
+
+    def unload_model(self, model_id: str) -> None:
+        entry = self._models.pop(model_id, None)
+        self._last_used.pop(model_id, None)
+        self._loaded_at.pop(model_id, None)
+        if entry is not None:
+            del entry  # drop device buffers; XLA frees HBM on GC
+            logger.info("Unloaded %s", model_id)
+
+    def loaded_models(self) -> list[LoadedModelInfo]:
+        ttl = settings.os_model_ttl
+        now = time.time()
+        out = []
+        for mid in self._models:
+            last = self._last_used.get(mid)
+            out.append(
+                LoadedModelInfo(
+                    model=mid,
+                    backend=self.name,
+                    device=self._device,
+                    compute_type=self._compute_type,
+                    loaded_at=self._loaded_at.get(mid, 0.0),
+                    last_used_at=last,
+                    is_default=(mid == settings.stt_model),
+                    ttl_remaining=(
+                        max(0.0, ttl - (now - (last or now))) if ttl > 0 else None
+                    ),
+                )
+            )
+        return out
+
+    def is_model_loaded(self, model_id: str) -> bool:
+        return model_id in self._models
+
+    # ── cache management (reference :93-208) ─────────────────────────
+
+    def _cache_roots(self) -> list[Path]:
+        roots = []
+        if settings.stt_model_dir:
+            roots.append(Path(settings.stt_model_dir).expanduser())
+        for env in ("HF_HUB_CACHE", "HUGGINGFACE_HUB_CACHE"):
+            if os.environ.get(env):
+                roots.append(Path(os.environ[env]).expanduser())
+        roots.append(Path.home() / ".cache" / "huggingface" / "hub")
+        return roots
+
+    def list_cached_models(self) -> list[dict[str, Any]]:
+        result = []
+        seen = set()
+        for root in self._cache_roots():
+            if not root.is_dir():
+                continue
+            for entry in root.iterdir():
+                name = entry.name
+                if not name.startswith("models--"):
+                    continue
+                mid = name.removeprefix("models--").replace("--", "/")
+                if mid in seen or resolve_preset(mid) is None:
+                    continue
+                seen.add(mid)
+                size = sum(
+                    f.stat().st_size for f in entry.rglob("*") if f.is_file()
+                )
+                result.append(
+                    {
+                        "model": mid,
+                        "backend": self.name,
+                        "size_mb": round(size / 1e6),
+                        "path": str(entry),
+                    }
+                )
+        return result
+
+    def is_model_cached(self, model_id: str) -> bool:
+        return self._find_checkpoint(model_id) is not None
+
+    def delete_cached_model(self, model_id: str) -> bool:
+        deleted = False
+        safe = f"models--{model_id.replace('/', '--')}"
+        for root in self._cache_roots():
+            for cand in (root / safe, root / model_id):
+                if cand.is_dir() and root.resolve() in cand.resolve().parents:
+                    shutil.rmtree(cand)
+                    deleted = True
+        return deleted
+
+    # ── protocol: inference ───────────────────────────────────────────
+
+    def _ensure_model(self, model_id: str) -> dict[str, Any]:
+        if model_id not in self._models:
+            self.load_model(model_id)
+        self._last_used[model_id] = time.time()
+        return self._models[model_id]
+
+    def _run_inference(
+        self,
+        audio: bytes,
+        model_id: str,
+        task: str = "transcribe",
+        language: str | None = None,
+        response_format: str = "json",
+        temperature: float = 0.0,
+        prompt: str | None = None,
+    ) -> dict[str, Any]:
+        entry = self._ensure_model(model_id)
+        pcm, rate = codec.read_wav(audio) if codec.is_wav(audio) else (
+            codec.pcm16_to_float(audio),
+            16000,
+        )
+        if rate != 16000:
+            from open_speech_tpu.ops.resample import resample_poly
+
+            pcm = np.asarray(resample_poly(jnp.asarray(pcm), 16000, rate))
+        temps: tuple[float, ...] = (
+            (temperature,)
+            if temperature > 0
+            else (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+        )
+        opts = TranscribeOptions(
+            task=task,
+            language=language if task == "transcribe" else None,
+            beam_size=5,
+            temperature=temps,
+            initial_prompt=prompt,
+        )
+        segments, info = transcribe(
+            entry["params"], entry["cfg"], entry["tok"], pcm, opts
+        )
+        resp = build_response(segments, info, task, response_format)
+        if response_format == "verbose_json":
+            resp["language"] = info.language
+        return resp
+
+    def transcribe(
+        self,
+        audio: bytes,
+        model: str,
+        language: str | None = None,
+        response_format: str = "json",
+        temperature: float = 0.0,
+        prompt: str | None = None,
+    ) -> dict[str, Any]:
+        return self._run_inference(
+            audio, model, task="transcribe", language=language,
+            response_format=response_format, temperature=temperature,
+            prompt=prompt,
+        )
+
+    def translate(
+        self,
+        audio: bytes,
+        model: str,
+        response_format: str = "json",
+        temperature: float = 0.0,
+        prompt: str | None = None,
+    ) -> dict[str, Any]:
+        return self._run_inference(
+            audio, model, task="translate", response_format=response_format,
+            temperature=temperature, prompt=prompt,
+        )

@@ -194,10 +194,11 @@ def greedy_decode(
         enc_out,
         suppress,
         rng,
+        jnp.float32(opts.temperature),
         cfg=cfg,
         special=special,
         max_new=max_new,
-        temperature=float(opts.temperature),
+        sampled=opts.temperature > 0,
         timestamps=opts.timestamps,
         max_init_tok=max_init_tok,
         blank=blank,
@@ -226,7 +227,7 @@ def _blank_tokens(special: SpecialTokens, opts: DecodeOptions) -> tuple[int, ...
         "cfg",
         "special",
         "max_new",
-        "temperature",
+        "sampled",
         "timestamps",
         "max_init_tok",
         "blank",
@@ -238,11 +239,12 @@ def _greedy_impl(
     enc_out,
     suppress,
     rng,
+    temperature,
     *,
     cfg: WhisperConfig,
     special: SpecialTokens,
     max_new: int,
-    temperature: float,
+    sampled: bool,
     timestamps: bool,
     max_init_tok: int,
     blank: tuple[int, ...],
@@ -279,12 +281,16 @@ def _greedy_impl(
             blank_tokens=blank,
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
-        if temperature == 0.0:
+        if not sampled:
             tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             key_next = key
         else:
+            # temperature is a traced value: one compiled program serves every
+            # fallback temperature (0.2..1.0) instead of one compile each
             key_next, sub = jax.random.split(key)
-            tok = jax.random.categorical(sub, logits / temperature, axis=-1)
+            tok = jax.random.categorical(
+                sub, logits / jnp.maximum(temperature, 1e-3), axis=-1
+            )
             tok = tok.astype(jnp.int32)
         tok = jnp.where(finished, special.eot, tok)
         tok_lp = jnp.take_along_axis(logp, tok[:, None], axis=1)[:, 0]

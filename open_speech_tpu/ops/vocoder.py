@@ -1,0 +1,137 @@
+"""Vocoder building blocks: ISTFT synthesis, AdaIN, HiFiGAN-style resblocks.
+
+These are the device-side primitives under the JAX Kokoro (ISTFTNet) and
+Piper (VITS/HiFiGAN) decoders — the compute the reference delegates to
+PyTorch (src/tts/backends/kokoro.py:207) and onnxruntime (piper). Everything
+is expressed as convolutions/matmuls so XLA tiles it onto the MXU:
+
+  - ``istft``: magnitude+phase frames -> waveform. The overlap-add is a
+    single transposed convolution whose kernel is the synthesis window times
+    an identity across frequency taps — no scatter, fully fused.
+  - ``adain1d``: instance-norm + style-conditioned affine (StyleTTS2 core).
+  - ``resblock1``: HiFiGAN multi-dilation residual stack.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@lru_cache(maxsize=8)
+def _synthesis_basis(n_fft: int, hop: int) -> tuple[np.ndarray, np.ndarray]:
+    """(idft bases [n_bins*2, n_fft], ola window kernel [n_fft, n_fft, 1])."""
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    # irfft synthesis: x[n] = (1/n_fft) * sum_k w_k * (re_k cos - im_k sin)
+    scale = np.full((n_bins, 1), 2.0 / n_fft)
+    scale[0] = 1.0 / n_fft
+    if n_fft % 2 == 0:
+        scale[-1] = 1.0 / n_fft
+    cos_b = np.cos(ang) * scale
+    sin_b = -np.sin(ang) * scale
+    window = np.hanning(n_fft + 1)[:-1].astype(np.float64)
+    return (
+        np.concatenate([cos_b, sin_b], axis=0).astype(np.float32),
+        window.astype(np.float32),
+    )
+
+
+def istft(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int) -> jax.Array:
+    """Inverse STFT: mag/phase [B, T, n_bins] -> waveform [B, T*hop].
+
+    Windowed frames are synthesized by one matmul against the inverse-DFT
+    basis; overlap-add + window-square normalization run as transposed convs.
+    """
+    basis, window = _synthesis_basis(n_fft, hop)
+    re = mag * jnp.cos(phase)
+    im = mag * jnp.sin(phase)
+    spec = jnp.concatenate([re, im], axis=-1)  # [B, T, 2*n_bins]
+    frames = spec @ jnp.asarray(basis)  # [B, T, n_fft]
+    frames = frames * jnp.asarray(window)[None, None, :]
+
+    b, t, _ = frames.shape
+    # OLA as conv_transpose: treat n_fft as input channels, kernel places each
+    # channel at its tap offset.
+    kernel = jnp.asarray(np.eye(n_fft, dtype=np.float32)[:, :, None])  # [W, I, O]
+    out = jax.lax.conv_transpose(
+        frames, kernel, strides=(hop,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )[..., 0]  # [B, (T-1)*hop + n_fft]
+    # window-square normalization (constant per output position)
+    wsq = jnp.asarray(window**2)[None, :, None]
+    ones = jnp.ones((1, t, 1), frames.dtype) * wsq.transpose(0, 2, 1)
+    norm = jax.lax.conv_transpose(
+        ones, kernel, strides=(hop,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )[..., 0]
+    out = out / jnp.maximum(norm, 1e-6)
+    pad = (n_fft - hop) // 2
+    return out[:, pad : pad + t * hop]
+
+
+def adain1d(x: jax.Array, style: jax.Array, p) -> jax.Array:
+    """Adaptive instance norm: x [B, T, C], style [B, S] -> [B, T, C].
+
+    p: {"w": [S, 2C], "b": [2C]} producing per-channel gain/bias from style.
+    """
+    mean = x.mean(axis=1, keepdims=True)
+    var = x.var(axis=1, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+    gb = style @ p["w"] + p["b"]  # [B, 2C]
+    c = x.shape[-1]
+    gamma, beta = gb[:, :c], gb[:, c:]
+    return xn * (1.0 + gamma[:, None, :]) + beta[:, None, :]
+
+
+def conv1d(x: jax.Array, p, stride: int = 1, dilation: int = 1) -> jax.Array:
+    """x [B, T, C_in], p["w"] [K, C_in, C_out] — 'same' padding."""
+    k = p["w"].shape[0]
+    pad = (k - 1) * dilation // 2
+    out = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(stride,),
+        padding=[(pad, (k - 1) * dilation - pad)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out + p["b"] if "b" in p else out
+
+
+def conv_transpose1d(x: jax.Array, p, stride: int) -> jax.Array:
+    """Upsampling transposed conv, HiFiGAN-style (kernel = 2*stride)."""
+    k = p["w"].shape[0]
+    out = jax.lax.conv_transpose(
+        x, p["w"], strides=(stride,), padding=[((k - stride) // 2, (k - stride + 1) // 2)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out + p["b"] if "b" in p else out
+
+
+def resblock1(x: jax.Array, p, dilations=(1, 3, 5)) -> jax.Array:
+    """HiFiGAN ResBlock1: pairs of dilated convs with leaky-relu."""
+    for i, d in enumerate(dilations):
+        h = jax.nn.leaky_relu(x, 0.1)
+        h = conv1d(h, p[f"c1_{i}"], dilation=d)
+        h = jax.nn.leaky_relu(h, 0.1)
+        h = conv1d(h, p[f"c2_{i}"], dilation=1)
+        x = x + h
+    return x
+
+
+def init_resblock1(key, channels: int, kernel: int = 3, dilations=(1, 3, 5), dtype=jnp.float32):
+    ks = jax.random.split(key, 2 * len(dilations))
+    p = {}
+    for i, _d in enumerate(dilations):
+        for j, name in enumerate((f"c1_{i}", f"c2_{i}")):
+            p[name] = {
+                "w": jax.random.normal(ks[2 * i + j], (kernel, channels, channels), dtype)
+                * (kernel * channels) ** -0.5,
+                "b": jnp.zeros((channels,), dtype),
+            }
+    return p

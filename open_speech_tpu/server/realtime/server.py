@@ -1,0 +1,377 @@
+"""OpenAI Realtime API WebSocket session (reference: src/realtime/server.py).
+
+STT + TTS only, no LLM. Event dispatch table, session.update rebuilding the
+VAD/buffer, base64 append -> VAD events -> auto-commit on speech_stopped,
+commit -> WAV wrap -> STT, response.create -> TTS -> 3 KB base64 delta
+chunks, response.cancel, idle timeout, "realtime" subprotocol.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import concurrent.futures
+import json
+import logging
+import time
+from typing import Any
+
+import numpy as np
+
+from aiohttp import WSMsgType
+
+from open_speech_tpu.config import settings
+from open_speech_tpu.models.vad.silero import SileroVAD, get_vad_model
+from open_speech_tpu.ops.audio import float_to_pcm16, pcm16_to_wav
+from open_speech_tpu.server.realtime import events
+from open_speech_tpu.server.realtime.audio_buffer import (
+    InputAudioBuffer,
+    decode_audio_to_pcm16,
+    encode_pcm16_to_format,
+)
+from open_speech_tpu.server.realtime.session import SessionConfig
+from open_speech_tpu.runtime.router import router as stt_router
+
+logger = logging.getLogger(__name__)
+
+_executor = concurrent.futures.ThreadPoolExecutor(
+    max_workers=4, thread_name_prefix="realtime"
+)
+
+
+class RealtimeSession:
+    def __init__(self, websocket, tts_router, model: str = ""):
+        self.ws = websocket
+        self.tts_router = tts_router
+        self.config = SessionConfig(model=model or settings.stt_model)
+        self.audio_buffer: InputAudioBuffer | None = None
+        self._last_item_id: str | None = None
+        self._cancelled_responses: set[str] = set()
+        self._current_response_id: str | None = None
+        self._last_commit_at = time.monotonic()
+
+    async def initialize(self) -> None:
+        await self._rebuild_buffer()
+        await self._send(events.session_created(self.config.to_dict()))
+
+    async def _rebuild_buffer(self) -> None:
+        vad = None
+        if self.config.vad_enabled:
+            try:
+                vad_model = await get_vad_model()
+                vad = SileroVAD(
+                    vad_model.session,
+                    threshold=self.config.turn_detection.threshold,
+                )
+            except Exception:  # noqa: BLE001
+                logger.warning("Failed to load VAD model, disabling server VAD")
+        td = self.config.turn_detection
+        self.audio_buffer = InputAudioBuffer(
+            vad=vad,
+            threshold=td.threshold if td else 0.5,
+            silence_duration_ms=td.silence_duration_ms if td else 500,
+            max_buffer_bytes=settings.os_realtime_max_buffer_mb * 1024 * 1024,
+        )
+
+    async def _send(self, event: dict[str, Any]) -> None:
+        try:
+            await self.ws.send_str(json.dumps(event))
+        except Exception:  # noqa: BLE001
+            pass  # connection may be closed
+
+    async def handle_event(self, data: dict[str, Any]) -> None:
+        event_type = data.get("type", "")
+        handler = _CLIENT_HANDLERS.get(event_type)
+        if handler is None:
+            await self._send(
+                events.error(
+                    f"Unknown event type: {event_type}",
+                    code="unknown_event",
+                    event_id=data.get("event_id"),
+                )
+            )
+            return
+        try:
+            await handler(self, data)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("Error handling event %s", event_type)
+            await self._send(
+                events.error(
+                    str(e), code="internal_error", event_id=data.get("event_id")
+                )
+            )
+
+    # ── client event handlers ─────────────────────────────────────────
+
+    async def _handle_session_update(self, data: dict[str, Any]) -> None:
+        self.config.update_from(data)
+        await self._rebuild_buffer()
+        await self._send(events.session_updated(self.config.to_dict()))
+
+    async def _handle_input_audio_buffer_append(self, data: dict[str, Any]) -> None:
+        if (
+            time.monotonic() - self._last_commit_at
+        ) > settings.os_realtime_idle_timeout_s:
+            await self._send(
+                events.error(
+                    "Session idle timeout waiting for commit", code="idle_timeout"
+                )
+            )
+            await self.ws.close(code=4008, message=b"Session idle timeout")
+            return
+
+        audio_b64 = data.get("audio", "")
+        if not audio_b64:
+            return
+        try:
+            raw = base64.b64decode(audio_b64)
+        except Exception:  # noqa: BLE001
+            await self._send(
+                events.error("Invalid base64 audio data", code="invalid_audio")
+            )
+            return
+        try:
+            pcm16 = decode_audio_to_pcm16(
+                raw, self.config.input_audio_format, target_rate=16000
+            )
+        except Exception as e:  # noqa: BLE001
+            await self._send(events.error(str(e), code="invalid_audio"))
+            return
+        try:
+            vad_events = self.audio_buffer.append(pcm16)
+        except BufferError as e:
+            if self.audio_buffer:
+                self.audio_buffer.clear()
+            await self._send(events.error(str(e), code="buffer_overflow"))
+            return
+
+        for evt in vad_events:
+            if evt["type"] == "speech_started":
+                await self._send(
+                    events.input_audio_buffer_speech_started(
+                        evt["audio_start_ms"], events._item_id()
+                    )
+                )
+            elif evt["type"] == "speech_stopped":
+                await self._send(
+                    events.input_audio_buffer_speech_stopped(
+                        evt["audio_end_ms"], events._item_id()
+                    )
+                )
+                await self._commit_and_transcribe()
+
+    async def _handle_input_audio_buffer_commit(self, data: dict[str, Any]) -> None:
+        await self._commit_and_transcribe()
+
+    async def _handle_input_audio_buffer_clear(self, data: dict[str, Any]) -> None:
+        if self.audio_buffer:
+            self.audio_buffer.clear()
+        await self._send(events.input_audio_buffer_cleared())
+
+    async def _handle_response_create(self, data: dict[str, Any]) -> None:
+        response_data = data.get("response", {})
+        modalities = response_data.get("modalities", ["audio", "text"])
+        if modalities == ["text"]:
+            await self._send(
+                events.error(
+                    "Open Speech does not support text-only responses. "
+                    "We handle audio I/O only.",
+                    code="unsupported_modality",
+                )
+            )
+            return
+
+        text_to_speak = response_data.get("instructions", "")
+        if not text_to_speak:
+            for item in response_data.get("input", []):
+                for c in item.get("content", []):
+                    if c.get("type") == "input_text" and c.get("text"):
+                        text_to_speak = c["text"]
+                        break
+                if text_to_speak:
+                    break
+        if not text_to_speak:
+            await self._send(
+                events.error(
+                    "No text provided for TTS. Include 'instructions' or "
+                    "input text content.",
+                    code="missing_input",
+                )
+            )
+            return
+
+        resp_id = events._response_id()
+        self._current_response_id = resp_id
+        item_id = events._item_id()
+        response_obj = {
+            "id": resp_id,
+            "object": "realtime.response",
+            "status": "in_progress",
+            "output": [],
+        }
+        await self._send(events.response_created(response_obj))
+
+        loop = asyncio.get_running_loop()
+        voice = self.config.voice
+        output_format = self.config.output_audio_format
+        tts_model = (
+            response_data.get("model") or self.config.model or settings.tts_model
+        )
+
+        try:
+
+            def _synthesize() -> bytes:
+                chunks = list(
+                    self.tts_router.synthesize(
+                        text=text_to_speak, model=tts_model, voice=voice, speed=1.0
+                    )
+                )
+                if not chunks:
+                    return b""
+                combined = np.concatenate(
+                    [np.asarray(c, np.float32) for c in chunks]
+                )
+                backend = self.tts_router.get_backend(tts_model)
+                native_rate = getattr(backend, "sample_rate", 24000)
+                pcm16 = float_to_pcm16(combined)
+                return encode_pcm16_to_format(pcm16, native_rate, output_format)
+
+            audio_data = await loop.run_in_executor(_executor, _synthesize)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("TTS synthesis failed in realtime session")
+            await self._send(events.error(str(e), code="tts_error"))
+            response_obj["status"] = "failed"
+            await self._send(events.response_done(response_obj))
+            self._current_response_id = None
+            return
+
+        if resp_id in self._cancelled_responses:
+            self._cancelled_responses.discard(resp_id)
+            self._current_response_id = None
+            return
+
+        CHUNK_SIZE = 3000  # ~4 KB of base64 per delta
+        for i in range(0, len(audio_data), CHUNK_SIZE):
+            if resp_id in self._cancelled_responses:
+                break
+            delta = base64.b64encode(audio_data[i : i + CHUNK_SIZE]).decode("ascii")
+            await self._send(
+                events.response_audio_delta(resp_id, item_id, 0, 0, delta)
+            )
+
+        self._cancelled_responses.discard(resp_id)
+        await self._send(events.response_audio_done(resp_id, item_id, 0, 0))
+        response_obj["status"] = "completed"
+        response_obj["output"] = [
+            {
+                "id": item_id,
+                "object": "realtime.item",
+                "type": "message",
+                "role": "assistant",
+                "content": [{"type": "audio", "transcript": text_to_speak}],
+            }
+        ]
+        await self._send(events.response_done(response_obj))
+        self._current_response_id = None
+
+    async def _handle_response_cancel(self, data: dict[str, Any]) -> None:
+        if self._current_response_id:
+            self._cancelled_responses.add(self._current_response_id)
+
+    # ── internal ──────────────────────────────────────────────────────
+
+    async def _commit_and_transcribe(self) -> None:
+        if self.audio_buffer is None:
+            return
+        audio_data = self.audio_buffer.commit()
+        self._last_commit_at = time.monotonic()
+        if not audio_data or len(audio_data) < 1600:  # <50 ms @16 kHz
+            return
+
+        item_id = events._item_id()
+        self._last_item_id = item_id
+        await self._send(events.input_audio_buffer_committed(item_id, None))
+        await self._send(
+            events.conversation_item_created(
+                {
+                    "id": item_id,
+                    "object": "realtime.item",
+                    "type": "message",
+                    "role": "user",
+                    "content": [{"type": "input_audio", "transcript": None}],
+                }
+            )
+        )
+
+        loop = asyncio.get_running_loop()
+        model = self.config.model or settings.stt_model
+        try:
+            result = await loop.run_in_executor(
+                _executor,
+                lambda: stt_router.transcribe(
+                    audio=pcm16_to_wav(audio_data, 16000),
+                    model=model,
+                    language=None,
+                    response_format="json",
+                    temperature=0.0,
+                ),
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.exception("Transcription failed in realtime session")
+            await self._send(events.error(str(e), code="transcription_error"))
+            return
+
+        transcript = (
+            result.get("text", "") if isinstance(result, dict) else str(result)
+        )
+        await self._send(
+            events.conversation_item_input_audio_transcription_completed(
+                item_id, 0, transcript
+            )
+        )
+
+
+_CLIENT_HANDLERS: dict[str, Any] = {
+    "session.update": RealtimeSession._handle_session_update,
+    "input_audio_buffer.append": RealtimeSession._handle_input_audio_buffer_append,
+    "input_audio_buffer.commit": RealtimeSession._handle_input_audio_buffer_commit,
+    "input_audio_buffer.clear": RealtimeSession._handle_input_audio_buffer_clear,
+    "response.create": RealtimeSession._handle_response_create,
+    "response.cancel": RealtimeSession._handle_response_cancel,
+}
+
+
+async def realtime_endpoint(ws, tts_router, model: str = "") -> None:
+    """Run a realtime session over an accepted aiohttp WebSocketResponse."""
+    session = RealtimeSession(ws, tts_router, model=model)
+    await session.initialize()
+    try:
+        while True:
+            try:
+                msg = await ws.receive(timeout=settings.os_realtime_idle_timeout_s)
+            except asyncio.TimeoutError:
+                await session._send(
+                    events.error("Session idle timeout", code="idle_timeout")
+                )
+                await ws.close(code=4008, message=b"Session idle timeout")
+                break
+            if msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING, WSMsgType.ERROR):
+                break
+            if msg.type != WSMsgType.TEXT:
+                continue
+            try:
+                data = json.loads(msg.data)
+            except json.JSONDecodeError:
+                await session._send(events.error("Invalid JSON", code="invalid_json"))
+                continue
+            if not isinstance(data, dict) or "type" not in data:
+                await session._send(
+                    events.error(
+                        "Event must be a JSON object with a 'type' field",
+                        code="invalid_event",
+                    )
+                )
+                continue
+            await session.handle_event(data)
+    except Exception:  # noqa: BLE001
+        logger.exception("Realtime session error")

@@ -1,0 +1,443 @@
+"""Real-time streaming transcription via WebSocket (Deepgram-compatible).
+
+Protocol parity with reference src/streaming.py:1-16:
+  Client -> Server: binary PCM16 LE mono frames, or JSON text messages
+    {"type":"stop"} / {"type":"config", ...}
+  Server -> Client: JSON events
+    session.begin / transcript {is_final, speech_final} / vad / error /
+    session.end
+
+Behavioral parity: per-chunk VAD gating and endpointing (:290-355), 30 s
+utterance force-finalize (:42-43), LocalAgreement2 stable-prefix partials
+(:98-146), session registry with max-connections (:153, :543), dedicated
+transcription executor (:50). The resampler runs on device
+(ops.resample.resample_pcm16) instead of scipy.
+
+The O(n^2) full-utterance re-transcription per chunk is kept as the
+*semantic* model (each interim result covers the whole utterance — that's
+what LocalAgreement2 consumes), but transcriptions are submitted through a
+shared executor so concurrent sessions batch onto the chip together.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import concurrent.futures
+import json
+import logging
+import uuid
+
+import numpy as np
+
+from aiohttp import WSMsgType, web
+
+from open_speech_tpu.config import settings
+from open_speech_tpu.models.vad.silero import (
+    VAD_SAMPLE_RATE,
+    SileroVAD,
+    get_vad_model,
+)
+from open_speech_tpu.ops.audio import pcm16_to_wav
+from open_speech_tpu.ops.resample import resample_pcm16
+from open_speech_tpu.runtime.router import router as backend_router
+
+logger = logging.getLogger(__name__)
+
+INTERNAL_SAMPLE_RATE = VAD_SAMPLE_RATE  # 16 kHz
+
+MAX_UTTERANCE_SECONDS = 30
+MAX_UTTERANCE_BYTES = MAX_UTTERANCE_SECONDS * INTERNAL_SAMPLE_RATE * 2
+
+MIN_SAMPLE_RATE = 8000
+MAX_SAMPLE_RATE = 192000
+
+# Dedicated pool so streaming work can't starve REST requests (reference :50)
+_streaming_executor = concurrent.futures.ThreadPoolExecutor(
+    max_workers=4, thread_name_prefix="stream-transcribe"
+)
+
+
+class LocalAgreement2:
+    """Emit only words agreed upon by two consecutive transcriptions
+    (reference: src/streaming.py:98-146)."""
+
+    def __init__(self):
+        self.previous_words: list[str] = []
+        self.confirmed_words: list[str] = []
+
+    def process(self, current_text: str) -> tuple[list[str], list[str]]:
+        current_words = current_text.split() if current_text.strip() else []
+        common_len = 0
+        for i in range(min(len(self.previous_words), len(current_words))):
+            if self.previous_words[i].lower() == current_words[i].lower():
+                common_len = i + 1
+            else:
+                break
+        already = len(self.confirmed_words)
+        new_confirmed: list[str] = []
+        if common_len > already:
+            new_confirmed = current_words[already:common_len]
+            self.confirmed_words = current_words[:common_len]
+        pending = current_words[len(self.confirmed_words) :]
+        self.previous_words = current_words
+        return new_confirmed, pending
+
+    def flush(self) -> list[str]:
+        remaining = self.previous_words[len(self.confirmed_words) :]
+        self.confirmed_words.extend(remaining)
+        return remaining
+
+    def reset(self):
+        self.previous_words = []
+        self.confirmed_words = []
+
+
+_active_sessions: dict[str, "StreamingSession"] = {}
+
+
+class StreamingSession:
+    """One WS streaming transcription session (reference: src/streaming.py:156)."""
+
+    def __init__(
+        self,
+        ws,
+        model: str,
+        language: str | None,
+        sample_rate: int,
+        interim_results: bool,
+        endpointing_ms: int,
+        vad_enabled: bool = True,
+    ):
+        self.ws = ws
+        self.session_id = str(uuid.uuid4())
+        self.model = model
+        self.language = language
+        self.client_sample_rate = sample_rate
+        self.needs_resample = sample_rate != INTERNAL_SAMPLE_RATE
+        self.interim_results = interim_results
+        self.endpointing_ms = endpointing_ms
+        self.vad_enabled = vad_enabled
+
+        self.audio_buffer = bytearray()
+        self.chunk_samples = int(sample_rate * settings.stt_stream_chunk_ms / 1000)
+        self.chunk_bytes = self.chunk_samples * 2
+
+        self.agreement = LocalAgreement2()
+        self.vad_state: SileroVAD | None = None
+
+        self.utterance_start = 0.0
+        self.total_samples = 0
+        self.silence_samples = 0
+        self.endpointing_samples = int(INTERNAL_SAMPLE_RATE * endpointing_ms / 1000)
+        self.speech_active = False
+        self.utterance_audio = bytearray()
+
+        self._running = False
+        self._transcription_count = 0
+        self._error_count = 0
+
+    async def run(self):
+        self._running = True
+        loop = asyncio.get_running_loop()
+        try:
+            if not backend_router.is_model_loaded(self.model):
+                await loop.run_in_executor(
+                    None, lambda: backend_router.load_model(self.model)
+                )
+        except Exception as e:  # noqa: BLE001
+            logger.error("[%s] Failed to load model: %s", self.session_id[:8], e)
+            await self._send_event(
+                {"type": "error", "message": f"Failed to load model: {e}"}
+            )
+            return
+
+        if self.vad_enabled:
+            shared = await get_vad_model()
+            self.vad_state = SileroVAD(
+                shared.session, threshold=settings.stt_vad_threshold
+            )
+        else:
+            self.vad_state = None
+
+        await self._send_event(
+            {
+                "type": "session.begin",
+                "session_id": self.session_id,
+                "model": self.model,
+                "sample_rate": self.client_sample_rate,
+                "internal_sample_rate": INTERNAL_SAMPLE_RATE,
+                "vad_enabled": self.vad_enabled,
+            }
+        )
+
+        try:
+            async for msg in self.ws:
+                if not self._running:
+                    break
+                if msg.type == WSMsgType.BINARY and msg.data:
+                    await self._handle_audio(msg.data)
+                elif msg.type == WSMsgType.TEXT and msg.data:
+                    await self._handle_text(msg.data)
+                elif msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING, WSMsgType.ERROR):
+                    break
+        except Exception as e:  # noqa: BLE001
+            logger.exception("[%s] Streaming session error: %s", self.session_id[:8], e)
+        finally:
+            await self._flush()
+            await self._send_event(
+                {
+                    "type": "session.end",
+                    "reason": "client_stop" if not self._running else "disconnect",
+                    "transcriptions": self._transcription_count,
+                    "errors": self._error_count,
+                }
+            )
+
+    async def _handle_text(self, text: str):
+        try:
+            data = json.loads(text)
+        except json.JSONDecodeError:
+            logger.warning("[%s] Malformed JSON text frame", self.session_id[:8])
+            return
+        if data.get("type") == "stop":
+            self._running = False
+
+    async def _handle_audio(self, data: bytes):
+        if len(data) % 2 != 0:
+            data = data[:-1]
+        if not data:
+            return
+        self.audio_buffer.extend(data)
+        self.total_samples += len(data) // 2
+        while len(self.audio_buffer) >= self.chunk_bytes:
+            chunk = bytes(self.audio_buffer[: self.chunk_bytes])
+            del self.audio_buffer[: self.chunk_bytes]
+            await self._process_chunk(chunk)
+
+    async def _process_chunk(self, chunk: bytes):
+        if self.needs_resample:
+            chunk_16k = resample_pcm16(
+                chunk, self.client_sample_rate, INTERNAL_SAMPLE_RATE
+            )
+        else:
+            chunk_16k = chunk
+
+        if not self.vad_enabled or self.vad_state is None:
+            if not self.speech_active:
+                self.speech_active = True
+                self.utterance_start = (
+                    self.total_samples - len(chunk) // 2
+                ) / self.client_sample_rate
+                self.utterance_audio = bytearray()
+                self.agreement.reset()
+            self.utterance_audio.extend(chunk_16k)
+            if len(self.utterance_audio) >= MAX_UTTERANCE_BYTES:
+                await self._finalize_utterance()
+            else:
+                await self._transcribe_utterance()
+            return
+
+        samples = (
+            np.frombuffer(chunk_16k, dtype=np.int16).astype(np.float32) / 32768.0
+        )
+        speech_prob = await asyncio.get_running_loop().run_in_executor(
+            _streaming_executor, self.vad_state, samples
+        )
+        is_speech = speech_prob >= settings.stt_vad_threshold
+
+        if is_speech:
+            self.silence_samples = 0
+            if not self.speech_active:
+                self.speech_active = True
+                self.utterance_start = (
+                    self.total_samples - len(chunk) // 2
+                ) / self.client_sample_rate
+                self.utterance_audio = bytearray()
+                self.agreement.reset()
+                await self._send_event({"type": "vad", "state": "speech_start"})
+            self.utterance_audio.extend(chunk_16k)
+            if len(self.utterance_audio) >= MAX_UTTERANCE_BYTES:
+                await self._finalize_utterance()
+            else:
+                await self._transcribe_utterance()
+        else:
+            if self.speech_active:
+                self.silence_samples += len(chunk_16k) // 2
+                self.utterance_audio.extend(chunk_16k)
+                if self.silence_samples >= self.endpointing_samples:
+                    await self._finalize_utterance()
+                else:
+                    await self._transcribe_utterance()
+
+    async def _run_transcription(self) -> dict | None:
+        wav_data = pcm16_to_wav(bytes(self.utterance_audio), INTERNAL_SAMPLE_RATE)
+        loop = asyncio.get_running_loop()
+        try:
+            result = await loop.run_in_executor(
+                _streaming_executor,
+                lambda: backend_router.transcribe(
+                    audio=wav_data,
+                    model=self.model,
+                    language=self.language,
+                    response_format="json",
+                    temperature=0.0,
+                ),
+            )
+            self._transcription_count += 1
+            return result
+        except Exception as e:  # noqa: BLE001
+            self._error_count += 1
+            logger.error(
+                "[%s] Transcription error (#%d): %s",
+                self.session_id[:8], self._error_count, e,
+            )
+            await self._send_event(
+                {"type": "error", "message": f"Transcription failed: {e}"}
+            )
+            return None
+
+    async def _transcribe_utterance(self):
+        if len(self.utterance_audio) < 3200:  # <100 ms: skip
+            return
+        result = await self._run_transcription()
+        if result is None:
+            return
+        text = result.get("text", "").strip()
+        if not text:
+            return
+        new_confirmed, pending = self.agreement.process(text)
+        now = self.total_samples / self.client_sample_rate
+        if new_confirmed:
+            await self._send_event(
+                {
+                    "type": "transcript",
+                    "is_final": True,
+                    "speech_final": False,
+                    "text": " ".join(self.agreement.confirmed_words),
+                    "start": self.utterance_start,
+                    "end": now,
+                    "confidence": 0.95,
+                }
+            )
+        if self.interim_results and pending:
+            await self._send_event(
+                {
+                    "type": "transcript",
+                    "is_final": False,
+                    "speech_final": False,
+                    "text": " ".join(self.agreement.confirmed_words + pending),
+                    "start": self.utterance_start,
+                    "end": now,
+                    "confidence": 0.90,
+                }
+            )
+
+    async def _finalize_utterance(self):
+        if len(self.utterance_audio) < 3200:
+            was_active = self.speech_active
+            self.speech_active = False
+            self.silence_samples = 0
+            if was_active and self.vad_enabled:
+                await self._send_event({"type": "vad", "state": "speech_end"})
+            return
+
+        result = await self._run_transcription()
+        if result is None:
+            self.speech_active = False
+            self.silence_samples = 0
+            if self.vad_enabled:
+                await self._send_event({"type": "vad", "state": "speech_end"})
+            return
+
+        text = result.get("text", "").strip()
+        now = self.total_samples / self.client_sample_rate
+        if text:
+            await self._send_event(
+                {
+                    "type": "transcript",
+                    "is_final": True,
+                    "speech_final": True,
+                    "text": text,
+                    "start": self.utterance_start,
+                    "end": now,
+                    "confidence": 0.95,
+                }
+            )
+        if self.vad_enabled:
+            await self._send_event({"type": "vad", "state": "speech_end"})
+        self.speech_active = False
+        self.silence_samples = 0
+        self.utterance_audio = bytearray()
+        self.agreement.reset()
+
+    async def _flush(self):
+        if self.audio_buffer:
+            remaining = bytes(self.audio_buffer)
+            self.audio_buffer.clear()
+            if self.speech_active and len(self.utterance_audio) > 0:
+                if self.needs_resample:
+                    remaining = resample_pcm16(
+                        remaining, self.client_sample_rate, INTERNAL_SAMPLE_RATE
+                    )
+                self.utterance_audio.extend(remaining)
+                await self._finalize_utterance()
+
+    async def _send_event(self, event: dict):
+        try:
+            await self.ws.send_str(json.dumps(event))
+        except Exception as e:  # noqa: BLE001
+            logger.warning(
+                "[%s] Failed to send event %s: %s",
+                self.session_id[:8], event.get("type", "?"), e,
+            )
+
+
+async def streaming_endpoint(
+    ws,
+    model: str | None = None,
+    language: str | None = None,
+    sample_rate: int = 16000,
+    encoding: str = "pcm_s16le",
+    interim_results: bool = True,
+    endpointing: int = 300,
+    vad: bool | None = None,
+):
+    """Run a streaming session over an accepted aiohttp WebSocketResponse."""
+    if len(_active_sessions) >= settings.stt_stream_max_connections:
+        await ws.close(code=1013, message=b"Too many concurrent streams")
+        return
+    if sample_rate < MIN_SAMPLE_RATE or sample_rate > MAX_SAMPLE_RATE:
+        await ws.close(
+            code=1008,
+            message=(
+                f"Invalid sample_rate: must be {MIN_SAMPLE_RATE}-"
+                f"{MAX_SAMPLE_RATE}"
+            ).encode(),
+        )
+        return
+
+    vad_enabled = vad if vad is not None else settings.stt_vad_enabled
+    session = StreamingSession(
+        ws=ws,
+        model=model or settings.stt_default_model,
+        language=language,
+        sample_rate=sample_rate,
+        interim_results=interim_results,
+        endpointing_ms=endpointing,
+        vad_enabled=vad_enabled,
+    )
+    _active_sessions[session.session_id] = session
+    try:
+        logger.info(
+            "Streaming session %s started (model=%s, rate=%d, vad=%s)",
+            session.session_id, session.model, sample_rate, vad_enabled,
+        )
+        await session.run()
+    finally:
+        _active_sessions.pop(session.session_id, None)
+        logger.info(
+            "Streaming session %s ended (transcriptions=%d, errors=%d)",
+            session.session_id,
+            session._transcription_count,
+            session._error_count,
+        )

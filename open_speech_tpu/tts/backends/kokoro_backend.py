@@ -1,0 +1,226 @@
+"""JAX Kokoro TTS backend (reference: src/tts/backends/kokoro.py).
+
+Same surface: 52-voice registry, lang derived from voice-id prefix
+(:112-122), voice blending as weighted style-vector averaging (:289-308 —
+here a single vector add on device), per-sentence chunk generator, warmup
+synth on load (:216-224). Compute runs as one jitted program per
+(batch, phoneme-bucket) shape on TPU instead of torch CUDA.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Iterator
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from open_speech_tpu.models.kokoro import (
+    KokoroConfig,
+    init_kokoro_params,
+    synthesize_frames,
+    voice_vector,
+)
+from open_speech_tpu.models.kokoro.model import SAMPLE_RATE
+from open_speech_tpu.text.g2p import get_g2p, split_sentences
+from open_speech_tpu.tts.backends.base import (
+    DEFAULT_TTS_CAPABILITIES,
+    TTSLoadedModelInfo,
+    VoiceInfo,
+)
+from open_speech_tpu.tts.voices import parse_voice_spec
+
+logger = logging.getLogger(__name__)
+
+VOICE_PREFIX_TO_LANG = {
+    "a": "en-us", "b": "en-gb", "e": "es", "f": "fr-fr", "h": "hi",
+    "i": "it", "j": "ja", "p": "pt-br", "z": "zh",
+}
+
+# voice registry (reference: src/tts/backends/kokoro.py:45-109)
+ALL_KOKORO_VOICES: list[dict[str, str]] = [
+    {"id": "af_heart", "name": "Heart", "lang": "a", "gender": "female"},
+    {"id": "af_alloy", "name": "Alloy", "lang": "a", "gender": "female"},
+    {"id": "af_aoede", "name": "Aoede", "lang": "a", "gender": "female"},
+    {"id": "af_bella", "name": "Bella", "lang": "a", "gender": "female"},
+    {"id": "af_jessica", "name": "Jessica", "lang": "a", "gender": "female"},
+    {"id": "af_kore", "name": "Kore", "lang": "a", "gender": "female"},
+    {"id": "af_nicole", "name": "Nicole", "lang": "a", "gender": "female"},
+    {"id": "af_nova", "name": "Nova", "lang": "a", "gender": "female"},
+    {"id": "af_river", "name": "River", "lang": "a", "gender": "female"},
+    {"id": "af_sarah", "name": "Sarah", "lang": "a", "gender": "female"},
+    {"id": "af_sky", "name": "Sky", "lang": "a", "gender": "female"},
+    {"id": "am_adam", "name": "Adam", "lang": "a", "gender": "male"},
+    {"id": "am_echo", "name": "Echo", "lang": "a", "gender": "male"},
+    {"id": "am_eric", "name": "Eric", "lang": "a", "gender": "male"},
+    {"id": "am_fenrir", "name": "Fenrir", "lang": "a", "gender": "male"},
+    {"id": "am_liam", "name": "Liam", "lang": "a", "gender": "male"},
+    {"id": "am_michael", "name": "Michael", "lang": "a", "gender": "male"},
+    {"id": "am_onyx", "name": "Onyx", "lang": "a", "gender": "male"},
+    {"id": "am_puck", "name": "Puck", "lang": "a", "gender": "male"},
+    {"id": "am_santa", "name": "Santa", "lang": "a", "gender": "male"},
+    {"id": "bf_alice", "name": "Alice", "lang": "b", "gender": "female"},
+    {"id": "bf_emma", "name": "Emma", "lang": "b", "gender": "female"},
+    {"id": "bf_isabella", "name": "Isabella", "lang": "b", "gender": "female"},
+    {"id": "bf_lily", "name": "Lily", "lang": "b", "gender": "female"},
+    {"id": "bm_daniel", "name": "Daniel", "lang": "b", "gender": "male"},
+    {"id": "bm_fable", "name": "Fable", "lang": "b", "gender": "male"},
+    {"id": "bm_george", "name": "George", "lang": "b", "gender": "male"},
+    {"id": "bm_lewis", "name": "Lewis", "lang": "b", "gender": "male"},
+    {"id": "ef_dora", "name": "Dora", "lang": "e", "gender": "female"},
+    {"id": "em_alex", "name": "Alex", "lang": "e", "gender": "male"},
+    {"id": "em_santa", "name": "Santa (ES)", "lang": "e", "gender": "male"},
+    {"id": "ff_siwis", "name": "Siwis", "lang": "f", "gender": "female"},
+    {"id": "hf_alpha", "name": "Alpha", "lang": "h", "gender": "female"},
+    {"id": "hf_beta", "name": "Beta", "lang": "h", "gender": "female"},
+    {"id": "hm_omega", "name": "Omega", "lang": "h", "gender": "male"},
+    {"id": "hm_psi", "name": "Psi", "lang": "h", "gender": "male"},
+    {"id": "if_sara", "name": "Sara", "lang": "i", "gender": "female"},
+    {"id": "im_nicola", "name": "Nicola", "lang": "i", "gender": "male"},
+    {"id": "jf_alpha", "name": "Alpha (JA)", "lang": "j", "gender": "female"},
+    {"id": "jf_gongitsune", "name": "Gongitsune", "lang": "j", "gender": "female"},
+    {"id": "jf_nezumi", "name": "Nezumi", "lang": "j", "gender": "female"},
+    {"id": "jf_tebukuro", "name": "Tebukuro", "lang": "j", "gender": "female"},
+    {"id": "jm_kumo", "name": "Kumo", "lang": "j", "gender": "male"},
+    {"id": "pf_dora", "name": "Dora (PT)", "lang": "p", "gender": "female"},
+    {"id": "zf_xiaobei", "name": "Xiaobei", "lang": "z", "gender": "female"},
+    {"id": "zf_xiaoni", "name": "Xiaoni", "lang": "z", "gender": "female"},
+    {"id": "zf_xiaoxiao", "name": "Xiaoxiao", "lang": "z", "gender": "female"},
+    {"id": "zf_xiaoyi", "name": "Xiaoyi", "lang": "z", "gender": "female"},
+    {"id": "zm_yunjian", "name": "Yunjian", "lang": "z", "gender": "male"},
+    {"id": "zm_yunxi", "name": "Yunxi", "lang": "z", "gender": "male"},
+    {"id": "zm_yunxia", "name": "Yunxia", "lang": "z", "gender": "male"},
+    {"id": "zm_yunyang", "name": "Yunyang", "lang": "z", "gender": "male"},
+]
+
+
+def lang_code_from_voice_id(voice_id: str) -> str:
+    if voice_id and len(voice_id) >= 2:
+        return VOICE_PREFIX_TO_LANG.get(voice_id[0], "en-us")
+    return "en-us"
+
+
+class KokoroBackend:
+    name = "kokoro"
+    sample_rate = SAMPLE_RATE
+    capabilities: dict[str, Any] = {
+        **DEFAULT_TTS_CAPABILITIES,
+        "voice_blend": True,
+        "streaming": True,
+        "languages": sorted(set(VOICE_PREFIX_TO_LANG.values())),
+    }
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return True  # pure JAX; always present
+
+    def __init__(self, device: str = "auto") -> None:
+        self._device = jax.default_backend() if device == "auto" else device
+        self._cfg = KokoroConfig()
+        self._params = None
+        self._loaded_at: float | None = None
+        self._last_used: float | None = None
+        self._g2p = get_g2p()
+        self._voice_cache: dict[str, np.ndarray] = {}
+
+    # ── lifecycle ─────────────────────────────────────────────────────
+
+    def load_model(self, model_id: str = "kokoro") -> None:
+        if self._params is not None:
+            self._last_used = time.time()
+            return
+        t0 = time.time()
+        # TODO(weights): convert hexgrad/Kokoro-82M torch checkpoint when a
+        # local snapshot exists; random init otherwise (no egress here).
+        self._params = init_kokoro_params(jax.random.PRNGKey(7), self._cfg)
+        self._loaded_at = self._last_used = time.time()
+        logger.info("kokoro params initialized in %.1fs", time.time() - t0)
+        # warmup synth (reference: kokoro.py:216-224 does a CUDA warmup)
+        self._generate("warmup", "af_heart", 1.0)
+        logger.info("kokoro warmed up in %.1fs total", time.time() - t0)
+
+    def unload_model(self, model_id: str = "kokoro") -> None:
+        self._params = None
+        self._loaded_at = None
+
+    def is_model_loaded(self, model_id: str = "kokoro") -> bool:
+        return self._params is not None and model_id in ("kokoro", self.name)
+
+    def loaded_models(self) -> list[TTSLoadedModelInfo]:
+        if self._params is None:
+            return []
+        return [
+            TTSLoadedModelInfo(
+                model="kokoro",
+                backend=self.name,
+                device=self._device,
+                loaded_at=self._loaded_at or 0.0,
+                last_used_at=self._last_used,
+            )
+        ]
+
+    # ── voices ────────────────────────────────────────────────────────
+
+    def list_voices(self) -> list[VoiceInfo]:
+        return [
+            VoiceInfo(
+                id=v["id"],
+                name=v["name"],
+                language=VOICE_PREFIX_TO_LANG.get(v["lang"], "en-us"),
+                gender=v["gender"],
+            )
+            for v in ALL_KOKORO_VOICES
+        ]
+
+    def _style_for(self, voice: str) -> np.ndarray:
+        """Resolve a voice spec (may be a blend) to one style vector."""
+        spec = parse_voice_spec(voice)
+        weights = spec.normalized_weights()
+        vec = np.zeros(self._cfg.style_dim, np.float32)
+        for comp, w in zip(spec.components, weights):
+            if comp.voice_id not in self._voice_cache:
+                self._voice_cache[comp.voice_id] = voice_vector(
+                    comp.voice_id, self._cfg.style_dim
+                )
+            vec += w * self._voice_cache[comp.voice_id]
+        return vec
+
+    # ── synthesis ─────────────────────────────────────────────────────
+
+    def _generate(self, text: str, voice: str, speed: float) -> np.ndarray:
+        ids = self._g2p.to_ids(text)[: self._cfg.max_phonemes]
+        n = len(ids)
+        phonemes = np.zeros((1, self._cfg.max_phonemes), np.int32)
+        phonemes[0, :n] = ids
+        style = self._style_for(voice)[None, :]
+        audio, n_frames = synthesize_frames(
+            self._params,
+            self._cfg,
+            jnp.asarray(phonemes),
+            jnp.asarray([n], jnp.int32),
+            jnp.asarray(style),
+            jnp.asarray([speed], jnp.float32),
+        )
+        samples = int(n_frames[0]) * self._cfg.samples_per_frame
+        return np.asarray(audio[0, :samples], np.float32)
+
+    def synthesize(
+        self,
+        text: str,
+        voice: str,
+        speed: float = 1.0,
+        lang_code: str | None = None,
+    ) -> Iterator[np.ndarray]:
+        """Per-sentence chunk generator (streams true generation chunks)."""
+        if self._params is None:
+            self.load_model("kokoro")
+        self._last_used = time.time()
+        voice = voice or "af_heart"
+        speed = speed if speed and speed > 0 else 1.0
+        for sentence in split_sentences(text) or [text]:
+            chunk = self._generate(sentence, voice, speed)
+            if chunk.size:
+                yield chunk

@@ -1,0 +1,194 @@
+"""JAX Piper TTS backend (reference: src/tts/backends/piper_backend.py).
+
+Single-speaker semantics: the model id (``piper/en_US-lessac-medium``)
+doubles as the voice selector (reference router passes the model id when
+``single_speaker`` is set, src/tts/router.py:156-160). The curated 30-voice
+catalog with per-voice quality tiers matches the reference's registry
+(:21-202); speed maps to ``length_scale = 1/speed`` (:381). Each voice gets
+its own deterministic parameter seed, so distinct voices produce distinct
+(random-weight) generators until converted ONNX weights are dropped in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import time
+from typing import Any, Iterator
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from open_speech_tpu.models.piper import (
+    PiperConfig,
+    init_piper_params,
+    synthesize_vits,
+)
+from open_speech_tpu.models.piper.model import SAMPLE_RATE
+from open_speech_tpu.text.g2p import get_g2p, split_sentences
+from open_speech_tpu.tts.backends.base import (
+    DEFAULT_TTS_CAPABILITIES,
+    TTSLoadedModelInfo,
+    VoiceInfo,
+)
+
+logger = logging.getLogger(__name__)
+
+# voice id -> (sample_rate, quality); ids match the reference registry
+PIPER_VOICES: dict[str, dict[str, Any]] = {
+    f"piper/{vid}": {"sample_rate": sr, "quality": q}
+    for vid, sr, q in [
+        ("en_US-lessac-low", 16000, "low"),
+        ("en_US-lessac-medium", 22050, "medium"),
+        ("en_US-lessac-high", 22050, "high"),
+        ("en_US-amy-medium", 22050, "medium"),
+        ("en_US-amy-high", 22050, "high"),
+        ("en_US-arctic-medium", 22050, "medium"),
+        ("en_US-bryce-medium", 22050, "medium"),
+        ("en_US-danny-low", 16000, "low"),
+        ("en_US-hfc_female-medium", 22050, "medium"),
+        ("en_US-hfc_male-medium", 22050, "medium"),
+        ("en_US-joe-medium", 22050, "medium"),
+        ("en_US-john-medium", 22050, "medium"),
+        ("en_US-kathleen-low", 16000, "low"),
+        ("en_US-kusal-medium", 22050, "medium"),
+        ("en_US-libritts_r-medium", 22050, "medium"),
+        ("en_US-ljspeech-medium", 22050, "medium"),
+        ("en_US-ljspeech-high", 22050, "high"),
+        ("en_US-norman-medium", 22050, "medium"),
+        ("en_US-ryan-low", 16000, "low"),
+        ("en_US-ryan-medium", 22050, "medium"),
+        ("en_US-ryan-high", 22050, "high"),
+        ("en_GB-alan-low", 16000, "low"),
+        ("en_GB-alan-medium", 22050, "medium"),
+        ("en_GB-cori-medium", 22050, "medium"),
+        ("en_GB-cori-high", 22050, "high"),
+        ("en_GB-jenny_dioco-medium", 22050, "medium"),
+        ("en_GB-northern_english_male-medium", 22050, "medium"),
+        ("en_GB-semaine-medium", 22050, "medium"),
+        ("en_GB-southern_english_female-low", 16000, "low"),
+        ("en_GB-southern_english_female-medium", 22050, "medium"),
+    ]
+}
+
+DEFAULT_VOICE = "piper/en_US-lessac-medium"
+
+
+class PiperBackend:
+    name = "piper"
+    sample_rate = SAMPLE_RATE  # nominal; per-voice rates in PIPER_VOICES
+    single_speaker = True  # router passes model id as voice
+    capabilities: dict[str, Any] = {
+        **DEFAULT_TTS_CAPABILITIES,
+        "streaming": True,
+        "languages": ["en-us", "en-gb"],
+    }
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return True
+
+    def __init__(self, device: str = "auto") -> None:
+        self._device = jax.default_backend() if device == "auto" else device
+        self._cfg = PiperConfig()
+        self._models: dict[str, Any] = {}
+        self._loaded_at: dict[str, float] = {}
+        self._last_used: dict[str, float] = {}
+        self._g2p = get_g2p()
+
+    def _canonical(self, model_id: str) -> str:
+        if model_id in ("piper", self.name, ""):
+            return DEFAULT_VOICE
+        if not model_id.startswith("piper/"):
+            model_id = "piper/" + model_id.removeprefix("piper-")
+        return model_id
+
+    # ── lifecycle ─────────────────────────────────────────────────────
+
+    def load_model(self, model_id: str) -> None:
+        mid = self._canonical(model_id)
+        if mid in self._models:
+            self._last_used[mid] = time.time()
+            return
+        if mid not in PIPER_VOICES:
+            raise ValueError(f"Unknown piper voice: {model_id}")
+        seed = int.from_bytes(hashlib.sha256(mid.encode()).digest()[:4], "little")
+        t0 = time.time()
+        # TODO(weights): convert rhasspy piper ONNX graphs when present
+        self._models[mid] = init_piper_params(jax.random.PRNGKey(seed), self._cfg)
+        now = time.time()
+        self._loaded_at[mid] = now
+        self._last_used[mid] = now
+        logger.info("piper voice %s initialized in %.1fs", mid, now - t0)
+
+    def unload_model(self, model_id: str) -> None:
+        mid = self._canonical(model_id)
+        self._models.pop(mid, None)
+        self._loaded_at.pop(mid, None)
+        self._last_used.pop(mid, None)
+
+    def is_model_loaded(self, model_id: str) -> bool:
+        return self._canonical(model_id) in self._models
+
+    def loaded_models(self) -> list[TTSLoadedModelInfo]:
+        return [
+            TTSLoadedModelInfo(
+                model=mid,
+                backend=self.name,
+                device=self._device,
+                loaded_at=self._loaded_at.get(mid, 0.0),
+                last_used_at=self._last_used.get(mid),
+            )
+            for mid in self._models
+        ]
+
+    # ── voices ────────────────────────────────────────────────────────
+
+    def list_voices(self) -> list[VoiceInfo]:
+        out = []
+        for vid in PIPER_VOICES:
+            short = vid.removeprefix("piper/")
+            lang = "en-gb" if short.startswith("en_GB") else "en-us"
+            out.append(
+                VoiceInfo(id=vid, name=short, language=lang, gender="unknown")
+            )
+        return out
+
+    # ── synthesis ─────────────────────────────────────────────────────
+
+    def _voice_rate(self, mid: str) -> int:
+        return PIPER_VOICES.get(mid, {}).get("sample_rate", SAMPLE_RATE)
+
+    def synthesize(
+        self,
+        text: str,
+        voice: str,
+        speed: float = 1.0,
+        lang_code: str | None = None,
+    ) -> Iterator[np.ndarray]:
+        mid = self._canonical(voice)
+        if mid not in self._models:
+            self.load_model(mid)  # auto-load fallback (reference :350-373)
+        self._last_used[mid] = time.time()
+        params = self._models[mid]
+        speed = speed if speed and speed > 0 else 1.0
+        for si, sentence in enumerate(split_sentences(text) or [text]):
+            ids = self._g2p.to_ids(sentence)[: self._cfg.max_phonemes]
+            n = len(ids)
+            phonemes = np.zeros((1, self._cfg.max_phonemes), np.int32)
+            phonemes[0, :n] = ids
+            audio, n_frames = synthesize_vits(
+                params,
+                self._cfg,
+                jnp.asarray(phonemes),
+                jnp.asarray([n], jnp.int32),
+                jnp.asarray([0], jnp.int32),
+                jnp.asarray([speed], jnp.float32),
+                jax.random.PRNGKey(si),
+            )
+            samples = int(n_frames[0]) * self._cfg.samples_per_frame
+            chunk = np.asarray(audio[0, :samples], np.float32)
+            if chunk.size:
+                yield chunk

@@ -1,0 +1,286 @@
+"""Realtime API: event constructors, session config, buffer, session handlers."""
+
+import asyncio
+import base64
+import json
+from unittest.mock import MagicMock
+
+import numpy as np
+import pytest
+
+from open_speech_tpu.server.realtime import events
+from open_speech_tpu.server.realtime.audio_buffer import (
+    InputAudioBuffer,
+    decode_audio_to_pcm16,
+    encode_pcm16_to_format,
+)
+from open_speech_tpu.server.realtime.server import RealtimeSession
+from open_speech_tpu.server.realtime.session import SessionConfig
+
+
+def _run(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+# ── events ────────────────────────────────────────────────────────────
+
+
+def test_event_ids_and_shapes():
+    e = events.session_created({"id": "s"})
+    assert e["type"] == "session.created"
+    assert e["event_id"].startswith("evt_")
+    err = events.error("bad", code="x", event_id="evt_1")
+    assert err["error"]["code"] == "x"
+    assert err["error"]["event_id"] == "evt_1"
+    d = events.response_audio_delta("r", "i", 0, 0, "AAAA")
+    assert d["delta"] == "AAAA"
+    assert events._item_id().startswith("item_")
+    assert events._response_id().startswith("resp_")
+
+
+# ── session config ────────────────────────────────────────────────────
+
+
+def test_session_config_defaults():
+    cfg = SessionConfig()
+    assert cfg.voice == "alloy"
+    assert cfg.input_audio_format == "pcm16"
+    assert cfg.vad_enabled is True
+    d = cfg.to_dict()
+    assert d["object"] == "realtime.session"
+    assert d["modalities"] == ["audio", "text"]
+
+
+def test_session_config_update():
+    cfg = SessionConfig()
+    cfg.update_from(
+        {
+            "session": {
+                "voice": "nova",
+                "input_audio_format": "g711_ulaw",
+                "output_audio_format": "bogus",  # invalid: ignored
+                "turn_detection": {"threshold": 0.8, "silence_duration_ms": 900},
+            }
+        }
+    )
+    assert cfg.voice == "nova"
+    assert cfg.input_audio_format == "g711_ulaw"
+    assert cfg.output_audio_format == "pcm16"
+    assert cfg.turn_detection.threshold == 0.8
+    assert cfg.turn_detection.silence_duration_ms == 900
+
+
+def test_session_config_disable_vad():
+    cfg = SessionConfig()
+    cfg.update_from({"session": {"turn_detection": None}})
+    assert cfg.vad_enabled is False
+
+
+# ── audio format conversion ───────────────────────────────────────────
+
+
+def test_decode_pcm16_resamples_24k_to_16k():
+    pcm24 = (np.ones(2400, dtype=np.int16) * 1000).tobytes()  # 100ms @24k
+    out = decode_audio_to_pcm16(pcm24, "pcm16", 16000)
+    assert len(out) == 1600 * 2  # 100ms @16k
+
+
+def test_g711_roundtrip():
+    pcm8 = (np.linspace(-20000, 20000, 800).astype(np.int16)).tobytes()
+    for fmt in ("g711_ulaw", "g711_alaw"):
+        encoded = encode_pcm16_to_format(pcm8, 8000, fmt)
+        assert len(encoded) == 800  # 1 byte/sample at 8k
+        decoded = decode_audio_to_pcm16(encoded, fmt, 8000)
+        orig = np.frombuffer(pcm8, dtype=np.int16).astype(np.float32)
+        back = np.frombuffer(decoded, dtype=np.int16).astype(np.float32)
+        assert np.corrcoef(orig, back)[0, 1] > 0.99
+
+
+def test_decode_unknown_format():
+    with pytest.raises(ValueError):
+        decode_audio_to_pcm16(b"xx", "mp3")
+
+
+# ── input buffer ──────────────────────────────────────────────────────
+
+
+def test_buffer_overflow():
+    buf = InputAudioBuffer(max_buffer_bytes=100)
+    with pytest.raises(BufferError):
+        buf.append(b"\x00" * 200)
+    buf2 = InputAudioBuffer(max_buffer_bytes=100)
+    buf2.append(b"\x00" * 60)
+    with pytest.raises(BufferError):
+        buf2.append(b"\x00" * 60)
+
+
+def test_buffer_commit_clears():
+    buf = InputAudioBuffer()
+    buf.append(b"\x01\x02" * 100)
+    data = buf.commit()
+    assert len(data) == 200
+    assert buf.get_audio() == b""
+
+
+def test_buffer_vad_events_scripted():
+    probs = iter([0.9, 0.9, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1])
+
+    class FakeVAD:
+        def __call__(self, audio):
+            return next(probs)
+
+    buf = InputAudioBuffer(vad=FakeVAD(), threshold=0.5, silence_duration_ms=200)
+    chunk = b"\x00" * (1600 * 2)  # 100ms @16k
+    all_events = []
+    for _ in range(9):
+        all_events.extend(buf.append(chunk))
+    types = [e["type"] for e in all_events]
+    assert types == ["speech_started", "speech_stopped"]
+
+
+# ── session handlers with fake ws ─────────────────────────────────────
+
+
+class FakeWS:
+    def __init__(self):
+        self.sent = []
+        self.closed = False
+
+    async def send_str(self, text):
+        self.sent.append(json.loads(text))
+
+    async def close(self, code=1000, message=b""):
+        self.closed = True
+
+
+def _mk_session(monkeypatch, transcript="hi there"):
+    from open_speech_tpu.server.realtime import server as rt
+
+    stt = MagicMock()
+    stt.transcribe.return_value = {"text": transcript}
+    monkeypatch.setattr(rt, "stt_router", stt)
+    tts = MagicMock()
+    tts.synthesize.return_value = iter(
+        [np.ones(2400, np.float32) * 0.1]
+    )
+    tts.get_backend.return_value = MagicMock(sample_rate=24000)
+    ws = FakeWS()
+    session = RealtimeSession(ws, tts, model="whisper-tiny")
+    # no VAD in unit tests: set config turn_detection off
+    session.config.turn_detection = None
+    return session, ws, stt, tts
+
+
+def test_realtime_initialize_sends_session_created(monkeypatch):
+    session, ws, *_ = _mk_session(monkeypatch)
+    _run(session.initialize())
+    assert ws.sent[0]["type"] == "session.created"
+    assert ws.sent[0]["session"]["id"].startswith("sess_")
+
+
+def test_realtime_unknown_event(monkeypatch):
+    session, ws, *_ = _mk_session(monkeypatch)
+    _run(session.initialize())
+    _run(session.handle_event({"type": "nope.nope"}))
+    assert ws.sent[-1]["type"] == "error"
+    assert ws.sent[-1]["error"]["code"] == "unknown_event"
+
+
+def test_realtime_append_and_commit_transcribes(monkeypatch):
+    session, ws, stt, _ = _mk_session(monkeypatch)
+    _run(session.initialize())
+    pcm24 = (np.ones(4800, dtype=np.int16) * 1000).tobytes()  # 200ms @24k
+    audio_b64 = base64.b64encode(pcm24).decode()
+    _run(
+        session.handle_event(
+            {"type": "input_audio_buffer.append", "audio": audio_b64}
+        )
+    )
+    _run(session.handle_event({"type": "input_audio_buffer.commit"}))
+    types = [e["type"] for e in ws.sent]
+    assert "input_audio_buffer.committed" in types
+    assert "conversation.item.created" in types
+    assert (
+        "conversation.item.input_audio_transcription.completed" in types
+    )
+    done = [
+        e for e in ws.sent
+        if e["type"] == "conversation.item.input_audio_transcription.completed"
+    ][0]
+    assert done["transcript"] == "hi there"
+    # transcription got a 16k WAV
+    wav = stt.transcribe.call_args.kwargs["audio"]
+    assert wav[:4] == b"RIFF"
+
+
+def test_realtime_append_invalid_base64(monkeypatch):
+    session, ws, *_ = _mk_session(monkeypatch)
+    _run(session.initialize())
+    _run(
+        session.handle_event(
+            {"type": "input_audio_buffer.append", "audio": "!!notb64!!"}
+        )
+    )
+    assert ws.sent[-1]["type"] == "error"
+    assert ws.sent[-1]["error"]["code"] == "invalid_audio"
+
+
+def test_realtime_response_create_tts(monkeypatch):
+    session, ws, _, tts = _mk_session(monkeypatch)
+    _run(session.initialize())
+    _run(
+        session.handle_event(
+            {"type": "response.create", "response": {"instructions": "say hi"}}
+        )
+    )
+    types = [e["type"] for e in ws.sent]
+    assert "response.created" in types
+    assert "response.audio.delta" in types
+    assert "response.audio.done" in types
+    assert types[-1] == "response.done"
+    done = ws.sent[-1]["response"]
+    assert done["status"] == "completed"
+    delta = [e for e in ws.sent if e["type"] == "response.audio.delta"][0]
+    base64.b64decode(delta["delta"])  # valid b64
+
+
+def test_realtime_response_create_text_only_rejected(monkeypatch):
+    session, ws, *_ = _mk_session(monkeypatch)
+    _run(session.initialize())
+    _run(
+        session.handle_event(
+            {"type": "response.create", "response": {"modalities": ["text"]}}
+        )
+    )
+    assert ws.sent[-1]["error"]["code"] == "unsupported_modality"
+
+
+def test_realtime_response_create_no_text(monkeypatch):
+    session, ws, *_ = _mk_session(monkeypatch)
+    _run(session.initialize())
+    _run(session.handle_event({"type": "response.create", "response": {}}))
+    assert ws.sent[-1]["error"]["code"] == "missing_input"
+
+
+def test_realtime_buffer_clear(monkeypatch):
+    session, ws, *_ = _mk_session(monkeypatch)
+    _run(session.initialize())
+    _run(session.handle_event({"type": "input_audio_buffer.clear"}))
+    assert ws.sent[-1]["type"] == "input_audio_buffer.cleared"
+
+
+def test_realtime_session_update(monkeypatch):
+    session, ws, *_ = _mk_session(monkeypatch)
+    _run(session.initialize())
+    _run(
+        session.handle_event(
+            {
+                "type": "session.update",
+                "session": {"voice": "shimmer", "turn_detection": None},
+            }
+        )
+    )
+    updated = ws.sent[-1]
+    assert updated["type"] == "session.updated"
+    assert updated["session"]["voice"] == "shimmer"
+    assert updated["session"]["turn_detection"] is None

@@ -1,0 +1,216 @@
+"""Runtime layer: router, model manager state machine, lifecycle, registry.
+
+Mirrors the reference's fake-backend strategy (tests/test_model_manager.py).
+"""
+
+import asyncio
+import threading
+import time
+
+import pytest
+
+from open_speech_tpu.config import settings
+from open_speech_tpu.runtime.model_manager import (
+    ModelLifecycleError,
+    ModelManager,
+    ModelState,
+)
+from open_speech_tpu.runtime.registry import get_known_model, get_known_models
+from open_speech_tpu.schemas import LoadedModelInfo
+from open_speech_tpu.tts.backends.base import TTSLoadedModelInfo
+
+
+class FakeSTTBackend:
+    name = "jax-whisper"
+
+    def __init__(self):
+        self._models = {}
+        self._last_used = {}
+
+    def load_model(self, model_id):
+        self._models[model_id] = object()
+        self._last_used[model_id] = time.time()
+
+    def unload_model(self, model_id):
+        self._models.pop(model_id, None)
+        self._last_used.pop(model_id, None)
+
+    def loaded_models(self):
+        return [
+            LoadedModelInfo(
+                model=m, backend=self.name, device="tpu", compute_type="bf16",
+                loaded_at=0.0, last_used_at=self._last_used.get(m),
+            )
+            for m in self._models
+        ]
+
+    def is_model_loaded(self, model_id):
+        return model_id in self._models
+
+    def list_cached_models(self):
+        return []
+
+    def transcribe(self, audio, model, **kw):
+        return {"text": "hello world"}
+
+    def translate(self, audio, model, **kw):
+        return {"text": "hello world"}
+
+
+class FakeSTTRouter:
+    def __init__(self):
+        self._default_backend = FakeSTTBackend()
+        self._backends = {"jax-whisper": self._default_backend}
+        self._lock = asyncio.Lock()
+
+    def __getattr__(self, item):
+        return getattr(self._default_backend, item)
+
+
+class FakeTTSBackend:
+    name = "kokoro"
+
+    def __init__(self):
+        self._loaded = set()
+
+    def load_model(self, model_id):
+        self._loaded.add(model_id)
+
+    def unload_model(self, model_id):
+        self._loaded.discard(model_id)
+
+    def is_model_loaded(self, model_id):
+        return model_id in self._loaded
+
+    def loaded_models(self):
+        return [
+            TTSLoadedModelInfo(
+                model=m, backend=self.name, device="tpu", loaded_at=0.0
+            )
+            for m in self._loaded
+        ]
+
+
+class FakeTTSRouter:
+    def __init__(self):
+        self._backends = {"kokoro": FakeTTSBackend(), "piper": FakeTTSBackend()}
+        self._kokoro = self._backends["kokoro"]
+
+    def load_model(self, model_id):
+        self._kokoro.load_model(model_id)
+
+    def unload_model(self, model_id):
+        self._kokoro.unload_model(model_id)
+
+    def is_model_loaded(self, model_id):
+        return self._kokoro.is_model_loaded(model_id)
+
+    def loaded_models(self):
+        return self._kokoro.loaded_models()
+
+
+@pytest.fixture
+def manager():
+    return ModelManager(FakeSTTRouter(), FakeTTSRouter())
+
+
+def test_registry_contains_core_models():
+    ids = {m["id"] for m in get_known_models()}
+    assert "whisper-large-v3-turbo" in ids
+    assert "deepdml/faster-whisper-large-v3-turbo-ct2" in ids  # reference alias
+    assert "kokoro" in ids
+    assert "piper/en_US-lessac-medium" in ids
+    assert get_known_model("whisper-tiny")["type"] == "stt"
+    assert get_known_model("nonexistent") is None
+
+
+def test_load_and_status(manager):
+    info = manager.load("whisper-tiny")
+    assert info.state == ModelState.LOADED
+    assert info.type == "stt"
+    assert manager.status("whisper-tiny").state == ModelState.LOADED
+
+
+def test_load_evicts_same_type(manager):
+    manager.load("whisper-tiny")
+    manager.load("whisper-base")
+    loaded = [m.id for m in manager.list_loaded() if m.type == "stt"]
+    assert loaded == ["whisper-base"]
+
+
+def test_load_does_not_evict_other_type(manager):
+    manager.load("whisper-tiny")
+    manager.load("kokoro")
+    types = {m.type for m in manager.list_loaded()}
+    assert types == {"stt", "tts"}
+
+
+def test_download_loads_then_unloads(manager):
+    info = manager.download("whisper-tiny")
+    assert not manager._stt.is_model_loaded("whisper-tiny")
+    assert info.id == "whisper-tiny"
+
+
+def test_resolve_type_tts_prefixes(manager):
+    assert manager._resolve_type("kokoro") == "tts"
+    assert manager._resolve_type("piper/en_US-amy-medium") == "tts"
+    assert manager._resolve_type("whisper-tiny") == "stt"
+
+
+def test_provider_resolution(manager):
+    assert manager.resolve_provider("kokoro") == "kokoro"
+    assert manager.resolve_provider("piper/en_US-amy-medium") == "piper"
+    assert manager.resolve_provider("whisper-large-v3") == "jax-whisper"
+    assert manager.resolve_provider("arbitrary/unknown-model") == "jax-whisper"
+
+
+def test_list_all_merges_catalog(manager):
+    manager.load("whisper-tiny")
+    all_models = {m.id: m for m in manager.list_all()}
+    assert all_models["whisper-tiny"].state == ModelState.LOADED
+    assert all_models["kokoro"].state != ModelState.LOADED
+    assert len(all_models) >= 40
+
+
+def test_delete_artifacts_not_found(manager):
+    result = manager.delete_artifacts("whisper-tiny")
+    assert result["status"] == "not_found"
+    assert result["model"] == "whisper-tiny"
+
+
+def test_ttl_eviction(manager, monkeypatch):
+    manager.load("whisper-tiny")
+    backend = manager._stt._default_backend
+    backend._last_used["whisper-tiny"] = time.time() - 10_000
+    monkeypatch.setattr(settings, "os_model_ttl", 300)
+    # default model is exempt
+    monkeypatch.setattr(settings, "stt_model", "whisper-large-v3-turbo")
+    manager.check_ttl()
+    assert not backend.is_model_loaded("whisper-tiny")
+
+
+def test_ttl_default_exempt(manager, monkeypatch):
+    monkeypatch.setattr(settings, "stt_model", "whisper-tiny")
+    manager.load("whisper-tiny")
+    backend = manager._stt._default_backend
+    backend._last_used["whisper-tiny"] = time.time() - 10_000
+    manager.check_ttl()
+    assert backend.is_model_loaded("whisper-tiny")
+
+
+def test_evict_lru(manager, monkeypatch):
+    monkeypatch.setattr(settings, "stt_model", "whisper-large-v3-turbo")
+    manager.load("whisper-tiny")
+    manager.load("kokoro")
+    backend = manager._stt._default_backend
+    backend._last_used["whisper-tiny"] = time.time() - 500
+    manager.evict_lru()
+    assert not backend.is_model_loaded("whisper-tiny")
+
+
+def test_lifecycle_error_shape():
+    err = ModelLifecycleError(
+        message="m", code="load_failed", model_id="x", provider="p", action="load"
+    )
+    d = err.to_dict()
+    assert d["code"] == "load_failed" and d["model"] == "x"

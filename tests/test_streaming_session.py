@@ -1,0 +1,250 @@
+"""Streaming WS session lifecycle with scripted fake sockets + LocalAgreement2.
+
+Mirrors reference tests/test_streaming_session_runtime.py (DummyWS pattern)
+and tests/test_streaming_units.py (pure-fn units).
+"""
+
+import asyncio
+import json
+from unittest.mock import MagicMock
+
+import numpy as np
+import pytest
+
+from aiohttp import WSMsgType
+
+from open_speech_tpu.server.streaming import (
+    INTERNAL_SAMPLE_RATE,
+    LocalAgreement2,
+    StreamingSession,
+)
+
+
+class FakeMsg:
+    def __init__(self, type_, data):
+        self.type = type_
+        self.data = data
+
+
+class DummyWS:
+    """Scripted message queue driving a full session lifecycle."""
+
+    def __init__(self, messages):
+        self._messages = list(messages)
+        self.sent: list[dict] = []
+        self.closed = False
+
+    def __aiter__(self):
+        return self
+
+    async def __anext__(self):
+        if not self._messages:
+            raise StopAsyncIteration
+        return self._messages.pop(0)
+
+    async def send_str(self, text):
+        self.sent.append(json.loads(text))
+
+    async def close(self, code=1000, message=b""):
+        self.closed = True
+
+
+def _patch_router(monkeypatch, text="hello world"):
+    from open_speech_tpu.server import streaming as S
+
+    mock = MagicMock()
+    mock.is_model_loaded.return_value = True
+    mock.transcribe.return_value = {"text": text}
+    monkeypatch.setattr(S, "backend_router", mock)
+    return mock
+
+
+def _run(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+def _pcm(ms: int, value: int = 1000) -> bytes:
+    n = INTERNAL_SAMPLE_RATE * ms // 1000
+    return (np.ones(n, dtype=np.int16) * value).tobytes()
+
+
+# ── LocalAgreement2 units (reference: tests/test_streaming_units.py) ──
+
+
+def test_agreement_confirms_common_prefix():
+    agg = LocalAgreement2()
+    confirmed, pending = agg.process("hello world")
+    assert confirmed == []
+    assert pending == ["hello", "world"]
+    confirmed, pending = agg.process("hello world again")
+    assert confirmed == ["hello", "world"]
+    assert pending == ["again"]
+
+
+def test_agreement_case_insensitive_match():
+    agg = LocalAgreement2()
+    agg.process("Hello World")
+    confirmed, _ = agg.process("hello world more")
+    assert confirmed == ["hello", "world"]
+
+
+def test_agreement_divergence_resets_pending():
+    agg = LocalAgreement2()
+    agg.process("the cat sat")
+    confirmed, pending = agg.process("the dog ran")
+    assert confirmed == ["the"]
+    assert pending == ["dog", "ran"]
+
+
+def test_agreement_flush():
+    agg = LocalAgreement2()
+    agg.process("one two three")
+    remaining = agg.flush()
+    assert remaining == ["one", "two", "three"]
+    assert agg.confirmed_words == ["one", "two", "three"]
+
+
+def test_agreement_empty_text():
+    agg = LocalAgreement2()
+    confirmed, pending = agg.process("   ")
+    assert confirmed == [] and pending == []
+
+
+# ── session lifecycle ─────────────────────────────────────────────────
+
+
+def test_session_stop_message(monkeypatch):
+    _patch_router(monkeypatch)
+    ws = DummyWS([FakeMsg(WSMsgType.TEXT, json.dumps({"type": "stop"}))])
+    session = StreamingSession(
+        ws, model="m", language=None, sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(session.run())
+    types = [e["type"] for e in ws.sent]
+    assert types[0] == "session.begin"
+    assert types[-1] == "session.end"
+    end = ws.sent[-1]
+    assert end["reason"] == "client_stop"
+
+
+def test_session_vad_disabled_transcribes(monkeypatch):
+    mock = _patch_router(monkeypatch)
+    # 300ms of audio in one binary frame -> 3 chunks at 100ms
+    # 350ms: 3 full chunks + 50ms residue so _flush finalizes (reference
+    # semantics: flush only acts on leftover buffered bytes)
+    ws = DummyWS(
+        [
+            FakeMsg(WSMsgType.BINARY, _pcm(350)),
+            FakeMsg(WSMsgType.TEXT, json.dumps({"type": "stop"})),
+        ]
+    )
+    session = StreamingSession(
+        ws, model="m", language=None, sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(session.run())
+    assert mock.transcribe.called
+    transcripts = [e for e in ws.sent if e["type"] == "transcript"]
+    assert transcripts  # interim or final emitted
+    # flush on stop produced a speech_final transcript
+    assert any(t.get("speech_final") for t in transcripts)
+
+
+def test_session_model_load_failure(monkeypatch):
+    from open_speech_tpu.server import streaming as S
+
+    mock = MagicMock()
+    mock.is_model_loaded.return_value = False
+    mock.load_model.side_effect = RuntimeError("no such model")
+    monkeypatch.setattr(S, "backend_router", mock)
+    ws = DummyWS([])
+    session = StreamingSession(
+        ws, model="bad", language=None, sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(session.run())
+    assert ws.sent[0]["type"] == "error"
+    assert "Failed to load model" in ws.sent[0]["message"]
+
+
+def test_session_transcription_error_event(monkeypatch):
+    from open_speech_tpu.server import streaming as S
+
+    mock = MagicMock()
+    mock.is_model_loaded.return_value = True
+    mock.transcribe.side_effect = RuntimeError("backend exploded")
+    monkeypatch.setattr(S, "backend_router", mock)
+    ws = DummyWS(
+        [
+            FakeMsg(WSMsgType.BINARY, _pcm(200)),
+            FakeMsg(WSMsgType.TEXT, json.dumps({"type": "stop"})),
+        ]
+    )
+    session = StreamingSession(
+        ws, model="m", language=None, sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(session.run())
+    errors = [e for e in ws.sent if e["type"] == "error"]
+    assert errors
+    end = ws.sent[-1]
+    assert end["type"] == "session.end"
+    assert end["errors"] >= 1
+
+
+def test_session_odd_byte_frame(monkeypatch):
+    mock = _patch_router(monkeypatch)
+    ws = DummyWS(
+        [
+            FakeMsg(WSMsgType.BINARY, _pcm(100) + b"\x01"),  # odd trailing byte
+            FakeMsg(WSMsgType.TEXT, json.dumps({"type": "stop"})),
+        ]
+    )
+    session = StreamingSession(
+        ws, model="m", language=None, sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(session.run())  # must not crash
+    assert ws.sent[-1]["type"] == "session.end"
+
+
+def test_session_malformed_json_ignored(monkeypatch):
+    _patch_router(monkeypatch)
+    ws = DummyWS(
+        [
+            FakeMsg(WSMsgType.TEXT, "{not json"),
+            FakeMsg(WSMsgType.TEXT, json.dumps({"type": "stop"})),
+        ]
+    )
+    session = StreamingSession(
+        ws, model="m", language=None, sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(session.run())
+    assert ws.sent[-1]["type"] == "session.end"
+
+
+def test_session_resamples_other_rates(monkeypatch):
+    mock = _patch_router(monkeypatch)
+    ws = DummyWS(
+        [
+            # 48kHz frames: chunk is 4800 samples per 100ms
+            FakeMsg(
+                WSMsgType.BINARY,
+                (np.ones(4800 * 3, dtype=np.int16) * 500).tobytes(),
+            ),
+            FakeMsg(WSMsgType.TEXT, json.dumps({"type": "stop"})),
+        ]
+    )
+    session = StreamingSession(
+        ws, model="m", language=None, sample_rate=48000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    assert session.needs_resample
+    _run(session.run())
+    assert mock.transcribe.called
+    # transcribed audio was resampled to 16k WAV
+    wav = mock.transcribe.call_args.kwargs["audio"]
+    assert wav[:4] == b"RIFF"
+    assert int.from_bytes(wav[24:28], "little") == INTERNAL_SAMPLE_RATE

@@ -1,0 +1,211 @@
+"""TTS layer: voices, router discovery, kokoro/piper synthesis, cache, G2P."""
+
+import numpy as np
+import pytest
+
+from open_speech_tpu.cache.tts_cache import TTSCache
+from open_speech_tpu.text import g2p
+from open_speech_tpu.text.pronunciation import PronunciationDictionary, parse_ssml
+from open_speech_tpu.tts.router import TTSRouter
+from open_speech_tpu.tts.voices import parse_voice_spec, resolve_voice_name
+
+
+# ── voices ────────────────────────────────────────────────────────────
+
+
+def test_parse_single_voice():
+    spec = parse_voice_spec("af_bella")
+    assert not spec.is_blend
+    assert spec.primary_id == "af_bella"
+
+
+def test_parse_openai_alias():
+    assert resolve_voice_name("alloy") == "af_heart"
+    assert parse_voice_spec("shimmer").primary_id == "af_bella"
+
+
+def test_parse_weighted_blend():
+    spec = parse_voice_spec("af_bella(2)+af_sky(1)")
+    assert spec.is_blend
+    assert spec.normalized_weights() == pytest.approx([2 / 3, 1 / 3])
+
+
+def test_parse_equal_blend():
+    spec = parse_voice_spec("af_bella+af_sky")
+    assert spec.normalized_weights() == pytest.approx([0.5, 0.5])
+
+
+def test_parse_invalid():
+    with pytest.raises(ValueError):
+        parse_voice_spec("bad voice!")
+
+
+# ── G2P ───────────────────────────────────────────────────────────────
+
+
+def test_g2p_basic():
+    p = g2p.RuleG2P()
+    phones = p.phonemize("hello world")
+    assert "HH" in phones and "W" in phones
+    ids = p.to_ids("hello world")
+    assert ids[0] == g2p.PHONEME_TO_ID["<bos>"]
+    assert ids[-1] == g2p.PHONEME_TO_ID["<eos>"]
+    assert all(0 <= i < g2p.N_PHONEMES for i in ids)
+
+
+def test_g2p_numbers():
+    assert "forty two" in g2p.normalize_text("42 things")
+    assert "three dollars" in g2p.normalize_text("$3 fee")
+    assert "ten percent" in g2p.normalize_text("10%")
+
+
+def test_g2p_punctuation_kept():
+    phones = g2p.RuleG2P().phonemize("hi, there.")
+    assert "," in phones and "." in phones
+
+
+def test_split_sentences():
+    assert g2p.split_sentences("One. Two! Three?") == ["One.", "Two!", "Three?"]
+    assert g2p.split_sentences("no breaks") == ["no breaks"]
+    assert g2p.split_sentences("  ") == []
+
+
+# ── router + backends ─────────────────────────────────────────────────
+
+
+@pytest.fixture(scope="module")
+def router():
+    return TTSRouter(device="cpu")
+
+
+def test_router_discovers_jax_backends(router):
+    names = router.list_backends()
+    assert "kokoro" in names
+    assert "piper" in names
+
+
+def test_router_prefix_routing(router):
+    assert router.get_backend("piper/en_US-amy-medium").name == "piper"
+    assert router.get_backend("kokoro").name == "kokoro"
+    assert router.get_backend("unknown-model").name == "kokoro"  # default
+
+
+def test_router_capabilities(router):
+    caps = router.get_capabilities("kokoro")
+    assert caps["voice_blend"] is True
+    assert caps["streaming"] is True
+
+
+def test_kokoro_voices(router):
+    voices = router.list_voices("kokoro")
+    ids = {v.id for v in voices}
+    assert {"af_heart", "af_bella", "am_adam", "bf_emma", "zm_yunyang"} <= ids
+    assert len(voices) == 52
+
+
+def test_kokoro_synthesize_chunks(router):
+    router.load_model("kokoro")
+    chunks = list(router.synthesize("Hello there. Second sentence.", "kokoro", "af_heart"))
+    assert len(chunks) == 2  # one per sentence
+    for c in chunks:
+        assert c.dtype == np.float32
+        assert c.size > 0
+        assert np.isfinite(c).all()
+
+
+def test_kokoro_blend_differs_from_components(router):
+    a = np.concatenate(list(router.synthesize("test", "kokoro", "af_heart")))
+    b = np.concatenate(list(router.synthesize("test", "kokoro", "af_sky")))
+    blend = np.concatenate(
+        list(router.synthesize("test", "kokoro", "af_heart(1)+af_sky(1)"))
+    )
+    # style changes both duration and waveform; compare common prefix
+    n = min(len(a), len(b), len(blend))
+    assert not np.allclose(a[:n], b[:n])
+    assert not np.allclose(blend[:n], a[:n])
+
+
+def test_kokoro_speed_changes_duration(router):
+    slow = np.concatenate(list(router.synthesize("speed test words", "kokoro", "af_heart", 0.5)))
+    fast = np.concatenate(list(router.synthesize("speed test words", "kokoro", "af_heart", 2.0)))
+    assert len(slow) > len(fast)
+
+
+def test_piper_single_speaker_routing(router):
+    router.load_model("piper/en_US-lessac-medium")
+    assert router.is_model_loaded("piper/en_US-lessac-medium")
+    chunks = list(
+        router.synthesize("Hello.", "piper/en_US-lessac-medium", "ignored_voice")
+    )
+    assert len(chunks) == 1
+    assert chunks[0].size > 0
+
+
+def test_piper_unknown_voice_raises(router):
+    with pytest.raises(ValueError):
+        router.get_backend("piper/x").load_model("piper/nonexistent-voice")
+
+
+def test_piper_voice_catalog(router):
+    voices = router.list_voices("piper")
+    assert len(voices) == 30
+    assert any(v.language == "en-gb" for v in voices)
+
+
+def test_loaded_models_listing(router):
+    models = {m.model for m in router.loaded_models()}
+    assert "kokoro" in models
+    assert "piper/en_US-lessac-medium" in models
+
+
+# ── cache ─────────────────────────────────────────────────────────────
+
+
+def test_tts_cache_roundtrip(tmp_path):
+    cache = TTSCache(str(tmp_path), max_mb=1)
+    key = TTSCache.make_key("hi", "af_heart", 1.0, "wav", "kokoro")
+    assert cache.get(key, "wav") is None
+    cache.set(key, "wav", b"audio-bytes")
+    assert cache.get(key, "wav") == b"audio-bytes"
+    # same inputs -> same key; different -> different
+    assert key == TTSCache.make_key("hi", "af_heart", 1.0, "wav", "kokoro")
+    assert key != TTSCache.make_key("hi", "af_sky", 1.0, "wav", "kokoro")
+
+
+def test_tts_cache_eviction(tmp_path):
+    cache = TTSCache(str(tmp_path), max_mb=0)  # evict everything over 0
+    cache.set("k1", "wav", b"x" * 1000)
+    freed = cache.cleanup()
+    assert freed >= 1000
+    assert cache.get("k1", "wav") is None
+
+
+# ── pronunciation + SSML ──────────────────────────────────────────────
+
+
+def test_pronunciation_apply():
+    d = PronunciationDictionary()
+    d.set_mapping({"TPU": "tee pee you", "JAX": "jacks"})
+    assert d.apply("run JAX on TPU") == "run jacks on tee pee you"
+
+
+def test_pronunciation_longest_match_first():
+    d = PronunciationDictionary()
+    d.set_mapping({"AI": "ay eye", "AI model": "smart model"})
+    assert d.apply("the AI model") == "the smart model"
+
+
+def test_parse_ssml_break():
+    out = parse_ssml('Hello<break time="1s"/>world')
+    assert ".." in out
+    assert "<" not in out
+
+
+def test_parse_ssml_strips_tags():
+    out = parse_ssml("<speak>Hi <emphasis>there</emphasis></speak>")
+    assert out == "Hi there"
+
+
+def test_parse_ssml_ms_break():
+    out = parse_ssml('a<break time="500ms"/>b')
+    assert out == "a . b"
