@@ -89,8 +89,13 @@ class JaxWhisperBackend:
         self._models: dict[str, dict[str, Any]] = {}  # id -> {params, cfg, tok}
         self._last_used: dict[str, float] = {}
         self._loaded_at: dict[str, float] = {}
-        self._device = jax.default_backend()
         self._compute_type = settings.stt_compute_type
+
+    @property
+    def _device(self) -> str:
+        # lazy: jax.default_backend() at import time would freeze backend
+        # selection before the server can pin JAX_PLATFORMS
+        return jax.default_backend()
 
     # ── weights ───────────────────────────────────────────────────────
 
@@ -275,6 +280,8 @@ class JaxWhisperBackend:
         response_format: str = "json",
         temperature: float = 0.0,
         prompt: str | None = None,
+        beam_size: int = 5,
+        fallback: bool = True,
     ) -> dict[str, Any]:
         entry = self._ensure_model(model_id)
         pcm, rate = codec.read_wav(audio) if codec.is_wav(audio) else (
@@ -287,15 +294,24 @@ class JaxWhisperBackend:
             pcm = np.asarray(resample_poly(jnp.asarray(pcm), 16000, rate))
         temps: tuple[float, ...] = (
             (temperature,)
-            if temperature > 0
+            if temperature > 0 or not fallback
             else (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
         )
+        # Decode budget scales with audio duration (whisper emits well under
+        # 12 tokens/s incl. timestamps); bucketed to multiples of 16 so the
+        # jitted decode loop sees a bounded set of static bounds.
+        duration_s = len(pcm) / 16000
+        budget = min(224, int(duration_s * 12) + 12)
+        budget = -(-budget // 16) * 16
         opts = TranscribeOptions(
             task=task,
             language=language if task == "transcribe" else None,
-            beam_size=5,
+            beam_size=beam_size,
             temperature=temps,
             initial_prompt=prompt,
+            max_new_tokens=budget,
+            compression_ratio_threshold=2.4 if fallback else None,
+            logprob_threshold=-1.0 if fallback else None,
         )
         segments, info = transcribe(
             entry["params"], entry["cfg"], entry["tok"], pcm, opts
@@ -313,11 +329,13 @@ class JaxWhisperBackend:
         response_format: str = "json",
         temperature: float = 0.0,
         prompt: str | None = None,
+        beam_size: int = 5,
+        fallback: bool = True,
     ) -> dict[str, Any]:
         return self._run_inference(
             audio, model, task="transcribe", language=language,
             response_format=response_format, temperature=temperature,
-            prompt=prompt,
+            prompt=prompt, beam_size=beam_size, fallback=fallback,
         )
 
     def translate(

@@ -85,7 +85,8 @@ def mha_reference(
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, causal, block_q, block_k
+    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+    *, scale, causal, block_q, block_k, kv_len,
 ):
     kv_idx = pl.program_id(3)
     q_idx = pl.program_id(2)
@@ -98,17 +99,19 @@ def _flash_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     def _body():
-        q = q_ref[0]  # [block_q, d]
-        k = k_ref[0]  # [block_k, d]
+        q = q_ref[0, 0]  # [block_q, d]
+        k = k_ref[0, 0]  # [block_k, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [block_q, block_k]
+        cols = kv_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        if kv_len is not None:  # mask kv padding (seq padded to block multiple)
+            s = jnp.where(cols < kv_len, s, NEG_INF)
         if causal:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
-            )
-            cols = kv_idx * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
             )
             s = jnp.where(cols <= rows, s, NEG_INF)
         m_prev = m_ref[:]  # [block_q, 1]
@@ -119,7 +122,7 @@ def _flash_kernel(
         l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p.astype(v_ref.dtype),
-            v_ref[0],
+            v_ref[0, 0],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -135,7 +138,7 @@ def _flash_kernel(
 
     @pl.when(kv_idx == n_kv - 1)
     def _finalize():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -153,17 +156,25 @@ def _flash_attention_tpu(
     b, h, t_q, d = q.shape
     t_k = k.shape[2]
     scale = (d**-0.5) if scale is None else scale
-    block_q = min(block_q, t_q)
-    block_k = min(block_k, t_k)
-    if t_q % block_q or t_k % block_k:
-        raise ValueError(
-            f"seq lens ({t_q},{t_k}) must be multiples of blocks ({block_q},{block_k})"
-        )
-    grid = (b, h, t_q // block_q, t_k // block_k)
+    block_q = min(block_q, max(_round_up(t_q, 8), 8))
+    block_k = min(block_k, max(_round_up(t_k, 8), 8))
+    # pad sequences up to block multiples; padded kv is masked in-kernel,
+    # padded q rows are sliced off after
+    pad_q = _round_up(t_q, block_q) - t_q
+    pad_k = _round_up(t_k, block_k) - t_k
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    t_q_p, t_k_p = t_q + pad_q, t_k + pad_k
+    grid = (b, h, t_q_p // block_q, t_k_p // block_k)
     kernel = functools.partial(
-        _flash_kernel, scale=scale, causal=causal, block_q=block_q, block_k=block_k
+        _flash_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k,
+        kv_len=t_k if pad_k else None,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -190,6 +201,11 @@ def _flash_attention_tpu(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
     )(q, k, v)
+    return out[:, :, :t_q] if pad_q else out
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def flash_attention(
@@ -209,12 +225,9 @@ def flash_attention(
     when per-example kv_length masking is needed, the jnp reference.
     """
     if _on_tpu() and kv_length is None and q.shape[-2] >= 8:
-        try:
-            return _flash_attention_tpu(
-                q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k
-            )
-        except ValueError:
-            pass  # non-multiple seq lens: fall through to reference
+        return _flash_attention_tpu(
+            q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k
+        )
     return mha_reference(q, k, v, causal=causal, kv_length=kv_length, scale=scale)
 
 

@@ -1,0 +1,361 @@
+"""Continuous batching scheduler for whisper decoding.
+
+The genuinely new, TPU-idiomatic core (SURVEY §7.4): the reference multiplexes
+concurrent sessions onto thread pools, each request running its own full
+inference (src/streaming.py:50, src/realtime/server.py:33). Here concurrent
+requests share the chip through a slot pool:
+
+  - a fixed-shape KV-cache pool ([L, 2, S, H, T, Dh], S = slots) lives on
+    device for the lifetime of the batcher — no per-request allocation;
+  - arriving requests are encoded (batched) and claim a slot: their
+    cross-attention K/V and prompt prefill land in that slot's rows;
+  - a single jitted ``batched decode step`` advances ALL live slots one token
+    per tick, with per-slot positions (vmapped cache insertion) and per-slot
+    suppress/timestamp rule state;
+  - slots retire on EOT or token budget and are immediately reusable.
+
+Every program has static shapes (slot count, cache length), so the scheduler
+never recompiles as sessions come and go. Greedy sampling only — this is the
+latency path; quality-critical batch jobs use decode.beam_decode.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from open_speech_tpu.models.whisper.decode import _apply_rules, _suppress_mask, DecodeOptions
+from open_speech_tpu.models.whisper.model import (
+    WhisperConfig,
+    _merge_heads,
+    _split_heads,
+    decode_attention,
+    layer_norm,
+    linear,
+    mlp,
+    encode,
+    precompute_cross_kv,
+)
+from open_speech_tpu.models.whisper.tokenizer import SpecialTokens
+
+logger = logging.getLogger(__name__)
+
+
+# ──────────────────────────────────────────────────────────────────────
+# Device step with per-slot positions
+# ──────────────────────────────────────────────────────────────────────
+
+
+@partial(jax.jit, static_argnames=("n_head",))
+def _slot_decode_step(params, tokens, pos, self_kv, cross_kv, n_head):
+    """One decode position for every slot.
+
+    tokens: [S, 1]; pos: [S] int32 (per-slot position); self_kv:
+    [L, 2, S, H, T, Dh] (donated); cross_kv: [L, 2, S, H, T_enc, Dh].
+    """
+    dec = params["decoder"]
+    s = tokens.shape[0]
+    pos_emb = jnp.take(dec["pos_emb"], pos, axis=0)[:, None, :]  # [S,1,d]
+    x = dec["tok_emb"][tokens] + pos_emb
+
+    def block(h, layer):
+        bp, ckv, kv = layer
+        hn = layer_norm(h, bp["ln1"])
+        q = _split_heads(linear(hn, bp["attn"]["q"]), n_head)
+        k_new = _split_heads(linear(hn, bp["attn"]["k"]), n_head)
+        v_new = _split_heads(linear(hn, bp["attn"]["v"]), n_head)
+        # per-slot cache insertion: vmap a dynamic_update_slice over slots
+        insert = jax.vmap(
+            lambda cache, new, p: jax.lax.dynamic_update_slice(
+                cache, new.astype(cache.dtype), (0, p, 0)
+            )
+        )
+        k_cache = insert(kv[0], k_new, pos)
+        v_cache = insert(kv[1], v_new, pos)
+        attn = decode_attention(q, k_cache, v_cache, pos + 1)
+        h = h + linear(_merge_heads(attn), bp["attn"]["o"])
+        hc = layer_norm(h, bp["ln_cross"])
+        qc = _split_heads(linear(hc, bp["cross"]["q"]), n_head)
+        enc_len = jnp.full((s,), ckv.shape[3], jnp.int32)
+        attn_c = decode_attention(qc, ckv[0], ckv[1], enc_len)
+        h = h + linear(_merge_heads(attn_c), bp["cross"]["o"])
+        h = h + mlp(layer_norm(h, bp["ln_mlp"]), bp)
+        return h, jnp.stack([k_cache, v_cache])
+
+    x, new_kv = jax.lax.scan(
+        block, x, (params["decoder"]["blocks"], cross_kv, self_kv)
+    )
+    x = layer_norm(x, dec["ln"])
+    logits = (x @ dec["tok_emb"].T.astype(x.dtype)).astype(jnp.float32)
+    return logits[:, 0], new_kv
+
+
+@partial(
+    jax.jit,
+    static_argnames=("special", "timestamps", "max_init_tok", "blank"),
+)
+def _select_tokens(
+    logits, step_idx, last, penult, max_ts, suppress, active,
+    *, special, timestamps, max_init_tok, blank,
+):
+    """Apply whisper logit rules per slot and pick greedy tokens.
+
+    step_idx/last/penult/max_ts/active: [S] per-slot rule state.
+    """
+    # _apply_rules expects a shared step_idx; emulate per-slot "first step"
+    # by masking blank/initial-ts per row
+    ruled = _apply_rules(
+        logits,
+        step_idx=jnp.int32(1),  # never the global begin path
+        last=last,
+        penult=penult,
+        max_ts=max_ts,
+        suppress=suppress,
+        special=special,
+        timestamps=timestamps,
+        max_initial_ts_tok=max_init_tok,
+        blank_tokens=(),
+    )
+    v = logits.shape[-1]
+    cols = jnp.arange(v)[None, :]
+    at_begin = (step_idx == 0)[:, None]
+    if blank:
+        blank_mask = jnp.zeros((v,), bool).at[jnp.array(blank)].set(True)
+        ruled = jnp.where(at_begin & blank_mask[None, :], -1e30, ruled)
+    if timestamps:
+        is_ts = cols >= special.timestamp_begin
+        ruled = jnp.where(
+            at_begin & is_ts & (cols > max_init_tok), -1e30, ruled
+        )
+    tok = jnp.argmax(ruled, axis=-1).astype(jnp.int32)
+    tok = jnp.where(active, tok, special.eot)
+    return tok
+
+
+# ──────────────────────────────────────────────────────────────────────
+# Scheduler
+# ──────────────────────────────────────────────────────────────────────
+
+
+@dataclass
+class _Slot:
+    future: asyncio.Future
+    tokens: list[int] = field(default_factory=list)
+    steps: int = 0
+    max_new: int = 224
+    started_at: float = 0.0
+
+
+class ContinuousBatcher:
+    """Async scheduler multiplexing transcription windows onto one chip."""
+
+    def __init__(
+        self,
+        params,
+        cfg: WhisperConfig,
+        special: SpecialTokens,
+        *,
+        slots: int = 8,
+        max_new_tokens: int = 224,
+        language: str = "en",
+        task: str = "transcribe",
+        timestamps: bool = True,
+        suppress_tokens: tuple[int, ...] = (),
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.special = special
+        self.n_slots = slots
+        self.max_new_tokens = max_new_tokens
+        self.timestamps = timestamps
+        dh = cfg.n_text_state // cfg.n_text_head
+
+        self._self_kv = jnp.zeros(
+            (cfg.n_text_layer, 2, slots, cfg.n_text_head, cfg.n_text_ctx, dh),
+            jnp.float32,
+        )
+        self._cross_kv = jnp.zeros(
+            (cfg.n_text_layer, 2, slots, cfg.n_text_head, cfg.n_audio_ctx, dh),
+            jnp.float32,
+        )
+        self._tokens = np.full((slots,), special.eot, np.int32)
+        self._pos = np.zeros((slots,), np.int32)
+        self._step_idx = np.zeros((slots,), np.int32)
+        self._last = np.full((slots,), special.eot, np.int32)
+        self._penult = np.full((slots,), special.eot, np.int32)
+        self._max_ts = np.full((slots,), special.timestamp_begin - 1, np.int32)
+        self._active = np.zeros((slots,), bool)
+        self._slots: dict[int, _Slot] = {}
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._task: asyncio.Task | None = None
+        self._prompt = [
+            *special.sot_sequence(language, task, timestamps=timestamps)
+        ]
+        opts = DecodeOptions(
+            timestamps=timestamps, suppress_tokens=suppress_tokens
+        )
+        self._suppress = jnp.asarray(
+            _suppress_mask(cfg.n_vocab, special, opts)
+        )
+        self._max_init_tok = special.timestamp_begin + 50
+        self._blank = (220 if special.eot > 50000 else 32, special.eot)
+        self.stats = {"ticks": 0, "completed": 0, "peak_occupancy": 0}
+
+    # ── public API ────────────────────────────────────────────────────
+
+    def start(self) -> None:
+        if self._task is None:
+            self._task = asyncio.create_task(self._loop())
+
+    async def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            try:
+                await self._task
+            except asyncio.CancelledError:
+                pass
+            self._task = None
+
+    async def transcribe_window(
+        self, mel: np.ndarray, max_new_tokens: int | None = None
+    ) -> list[int]:
+        """Submit one mel window [n_mels, 2*n_audio_ctx]; awaits token ids."""
+        if self._task is None:
+            self.start()
+        future: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self._queue.put((mel, max_new_tokens or self.max_new_tokens, future))
+        return await future
+
+    @property
+    def occupancy(self) -> int:
+        return int(self._active.sum())
+
+    # ── scheduler loop ────────────────────────────────────────────────
+
+    async def _loop(self) -> None:
+        while True:
+            admitted = await self._admit()
+            if not self._active.any():
+                if not admitted:
+                    # idle: block until work arrives
+                    item = await self._queue.get()
+                    self._queue.put_nowait(item)
+                continue
+            await asyncio.get_running_loop().run_in_executor(None, self._tick)
+            await asyncio.sleep(0)  # yield to admit new arrivals every tick
+
+    async def _admit(self) -> bool:
+        """Claim free slots for queued requests; run encode + prefill."""
+        free = [i for i in range(self.n_slots) if not self._active[i]]
+        batch: list[tuple[int, np.ndarray, int, asyncio.Future]] = []
+        while free and not self._queue.empty():
+            mel, max_new, future = self._queue.get_nowait()
+            batch.append((free.pop(0), mel, max_new, future))
+        if not batch:
+            return False
+        mels = jnp.asarray(np.stack([b[1] for b in batch]))
+        loop = asyncio.get_running_loop()
+        enc_out = await loop.run_in_executor(
+            None, lambda: encode(self.params, mels, self.cfg)
+        )
+        cross = precompute_cross_kv(self.params, enc_out, self.cfg)
+        # prefill the prompt into each claimed slot
+        prompt = np.array(self._prompt, np.int32)
+        for row, (slot, _mel, max_new, future) in enumerate(batch):
+            self._cross_kv = self._cross_kv.at[:, :, slot].set(
+                cross[:, :, row]
+            )
+            self._slots[slot] = _Slot(
+                future=future, max_new=max_new, started_at=time.monotonic()
+            )
+            self._active[slot] = True
+            self._pos[slot] = 0
+            self._step_idx[slot] = 0
+            self._max_ts[slot] = self.special.timestamp_begin - 1
+            self._last[slot] = prompt[-1]
+            self._penult[slot] = prompt[-2] if len(prompt) > 1 else prompt[-1]
+            self._tokens[slot] = prompt[0]
+        # feed prompt tokens (all slots step together; inactive slots no-op)
+        for i in range(len(prompt)):
+            for slot, *_ in batch:
+                self._tokens[slot] = prompt[i]
+            logits = self._device_step()
+            for slot, *_ in batch:
+                self._pos[slot] += 1
+            self._pending_logits = logits
+        self.stats["peak_occupancy"] = max(
+            self.stats["peak_occupancy"], self.occupancy
+        )
+        return True
+
+    def _device_step(self):
+        # np.array copies: jnp.asarray on CPU may zero-copy-alias numpy
+        # buffers, and the scheduler mutates these arrays after dispatching
+        # the (async) computation
+        logits, self._self_kv = _slot_decode_step(
+            self.params,
+            jnp.asarray(np.array(self._tokens[:, None])),
+            jnp.asarray(np.array(self._pos)),
+            self._self_kv,
+            self._cross_kv,
+            self.cfg.n_text_head,
+        )
+        return logits
+
+    def _tick(self) -> None:
+        """One decode position for all live slots (runs in executor)."""
+        logits = getattr(self, "_pending_logits", None)
+        if logits is None:
+            logits = self._device_step()
+            for slot in list(self._slots):
+                self._pos[slot] += 1
+        self._pending_logits = None
+        tok = _select_tokens(
+            logits,
+            jnp.asarray(np.array(self._step_idx)),
+            jnp.asarray(np.array(self._last)),
+            jnp.asarray(np.array(self._penult)),
+            jnp.asarray(np.array(self._max_ts)),
+            self._suppress,
+            jnp.asarray(np.array(self._active)),
+            special=self.special,
+            timestamps=self.timestamps,
+            max_init_tok=self._max_init_tok,
+            blank=self._blank,
+        )
+        tok = np.asarray(tok)
+        eot = self.special.eot
+        for slot in list(self._slots):
+            t = int(tok[slot])
+            state = self._slots[slot]
+            state.steps += 1
+            done = t == eot or state.steps >= state.max_new
+            if t != eot:
+                state.tokens.append(t)
+                self._penult[slot] = self._last[slot]
+                self._last[slot] = t
+                if t >= self.special.timestamp_begin:
+                    self._max_ts[slot] = max(self._max_ts[slot], t)
+                self._step_idx[slot] += 1
+            if done:
+                self._active[slot] = False
+                del self._slots[slot]
+                # count before resolving: a caller woken by the future must
+                # see consistent stats
+                self.stats["completed"] += 1
+                state.future.get_loop().call_soon_threadsafe(
+                    state.future.set_result, state.tokens
+                )
+        self._tokens[:] = np.where(self._active, tok, eot)
+        if self._active.any():
+            self._pending_logits = self._device_step()
+            self._pos[self._active] += 1
+        self.stats["ticks"] += 1

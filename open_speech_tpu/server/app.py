@@ -1460,12 +1460,6 @@ def main() -> None:
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
-    # Some TPU plugins pin jax_platforms at interpreter start; re-assert the
-    # operator's explicit JAX_PLATFORMS choice if one was given.
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
-
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     app = create_app()
     ssl_context = None
     if settings.os_ssl_enabled:

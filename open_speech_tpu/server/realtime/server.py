@@ -314,6 +314,9 @@ class RealtimeSession:
                     language=None,
                     response_format="json",
                     temperature=0.0,
+                    # latency path: greedy, no temperature-fallback sweep
+                    beam_size=1,
+                    fallback=False,
                 ),
             )
         except Exception as e:  # noqa: BLE001

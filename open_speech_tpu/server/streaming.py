@@ -172,14 +172,14 @@ class StreamingSession:
 
         try:
             async for msg in self.ws:
-                if not self._running:
-                    break
                 if msg.type == WSMsgType.BINARY and msg.data:
                     await self._handle_audio(msg.data)
                 elif msg.type == WSMsgType.TEXT and msg.data:
                     await self._handle_text(msg.data)
                 elif msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING, WSMsgType.ERROR):
                     break
+                if not self._running:
+                    break  # a stop message must end the session immediately
         except Exception as e:  # noqa: BLE001
             logger.exception("[%s] Streaming session error: %s", self.session_id[:8], e)
         finally:
@@ -281,6 +281,9 @@ class StreamingSession:
                     language=self.language,
                     response_format="json",
                     temperature=0.0,
+                    # latency path: greedy, no temperature-fallback sweep
+                    beam_size=1,
+                    fallback=False,
                 ),
             )
             self._transcription_count += 1

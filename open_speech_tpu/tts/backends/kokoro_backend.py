@@ -118,13 +118,21 @@ class KokoroBackend:
         return True  # pure JAX; always present
 
     def __init__(self, device: str = "auto") -> None:
-        self._device = jax.default_backend() if device == "auto" else device
+        # resolved lazily: touching jax.default_backend() at construction
+        # would freeze backend selection at import time
+        self._device_arg = device
         self._cfg = KokoroConfig()
         self._params = None
         self._loaded_at: float | None = None
         self._last_used: float | None = None
         self._g2p = get_g2p()
         self._voice_cache: dict[str, np.ndarray] = {}
+
+    @property
+    def _device(self) -> str:
+        return (
+            jax.default_backend() if self._device_arg == "auto" else self._device_arg
+        )
 
     # ── lifecycle ─────────────────────────────────────────────────────
 

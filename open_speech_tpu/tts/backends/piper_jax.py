@@ -91,12 +91,18 @@ class PiperBackend:
         return True
 
     def __init__(self, device: str = "auto") -> None:
-        self._device = jax.default_backend() if device == "auto" else device
+        self._device_arg = device
         self._cfg = PiperConfig()
         self._models: dict[str, Any] = {}
         self._loaded_at: dict[str, float] = {}
         self._last_used: dict[str, float] = {}
         self._g2p = get_g2p()
+
+    @property
+    def _device(self) -> str:
+        return (
+            jax.default_backend() if self._device_arg == "auto" else self._device_arg
+        )
 
     def _canonical(self, model_id: str) -> str:
         if model_id in ("piper", self.name, ""):
