@@ -26,9 +26,23 @@ import numpy as np
 # ──────────────────────────────────────────────────────────────────────
 
 
+def _native():
+    """libosaudio bindings when built (make -C native), else None."""
+    try:
+        from open_speech_tpu import native
+
+        return native if native.available() else None
+    except Exception:  # noqa: BLE001  pragma: no cover
+        return None
+
+
 def float_to_pcm16(audio: np.ndarray) -> bytes:
     """float32 [-1, 1] -> little-endian int16 bytes (clipped)."""
-    clipped = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+    nat = _native()
+    arr = np.asarray(audio, dtype=np.float32)
+    if nat is not None:
+        return nat.f32_to_pcm16(arr).tobytes()
+    clipped = np.clip(arr, -1.0, 1.0)
     return (clipped * 32767.0).astype("<i2").tobytes()
 
 
@@ -38,6 +52,9 @@ def pcm16_to_float(data: bytes | np.ndarray) -> np.ndarray:
         ints = data.astype(np.int16)
     else:
         ints = np.frombuffer(data, dtype="<i2")
+    nat = _native()
+    if nat is not None:
+        return nat.pcm16_to_f32(ints)
     return ints.astype(np.float32) / 32768.0
 
 

@@ -33,6 +33,8 @@ KNOWN_MODELS: list[dict] = [
     {"id": "deepdml/faster-whisper-large-v3-turbo-ct2", "type": "stt", "provider": _W, "source": "deepdml", "model_format": "jax", "size_mb": 1600, "description": "Alias of whisper-large-v3-turbo"},
     # TTS — kokoro
     {"id": "kokoro", "type": "tts", "provider": "kokoro", "size_mb": 330, "description": "Fast, 52 voices, voice blending"},
+    # TTS — pocket-tts (streaming + voice clone + voice design)
+    {"id": "pocket-tts", "type": "tts", "provider": "pocket-tts", "size_mb": 220, "description": "Low-latency streaming TTS with voice cloning and voice design"},
     # TTS — piper
     {"id": "piper/en_US-lessac-low", "type": "tts", "provider": "piper", "size_mb": 6, "description": "US English - Lessac, low quality"},
     {"id": "piper/en_US-lessac-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - Lessac voice"},

@@ -655,8 +655,32 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
 
     backend = tts_router.get_backend(req.model)
     native_rate = getattr(backend, "sample_rate", 24000)
+    has_extended = bool(req.voice_design or req.reference_audio)
 
     def _do_synthesize():
+        if has_extended:
+            # capability-gated extended kwargs (reference :738-758)
+            import base64 as _b64
+
+            caps = _tts_capabilities(req.model)
+            kwargs: dict = dict(
+                text=synth_input, voice=req.voice, speed=req.speed,
+                lang_code=req.language,
+            )
+            if req.voice_design and (
+                caps.get("voice_design") or caps.get("voice_clone")
+            ):
+                kwargs["voice_design"] = req.voice_design
+            if req.reference_audio and caps.get("voice_clone"):
+                try:
+                    kwargs["reference_audio"] = _b64.b64decode(
+                        req.reference_audio
+                    )
+                except Exception:  # noqa: BLE001
+                    kwargs["reference_audio"] = req.reference_audio.encode()
+            if req.clone_transcript and caps.get("voice_clone"):
+                kwargs["clone_transcript"] = req.clone_transcript
+            return backend.synthesize(**kwargs)
         return tts_router.synthesize(
             text=synth_input,
             model=req.model,

@@ -1,0 +1,405 @@
+/* Open Speech TPU web UI.
+ *
+ * Functional equivalent of the reference UI (src/static/app.js): tabs for
+ * file + live-mic transcription (streaming WS with VAD indicator), TTS with
+ * voices/blending/capability gating, model browser with download/load
+ * progress polling, history, and studio (profiles + conversations).
+ */
+"use strict";
+
+const $ = (sel) => document.querySelector(sel);
+const api = (path, opts) => fetch(path, opts).then(async (r) => {
+  if (!r.ok) {
+    let msg = r.statusText;
+    try { msg = (await r.json()).error.message; } catch (_e) {}
+    throw new Error(msg);
+  }
+  return r;
+});
+
+/* ── tabs ─────────────────────────────────────────────────────────── */
+
+document.querySelectorAll("#tabs button").forEach((btn) => {
+  btn.addEventListener("click", () => {
+    document.querySelectorAll("#tabs button").forEach((b) => b.classList.remove("active"));
+    document.querySelectorAll(".tab").forEach((t) => t.classList.remove("active"));
+    btn.classList.add("active");
+    $(`#tab-${btn.dataset.tab}`).classList.add("active");
+    if (btn.dataset.tab === "models") loadModels();
+    if (btn.dataset.tab === "history") loadHistory();
+    if (btn.dataset.tab === "studio") { loadProfiles(); loadConversations(); }
+  });
+});
+
+/* ── health ───────────────────────────────────────────────────────── */
+
+async function checkHealth() {
+  try {
+    const h = await (await api("/health")).json();
+    $("#health").textContent = `● v${h.version} · ${h.models_loaded} loaded`;
+    $("#health").className = "health ok";
+  } catch (_e) {
+    $("#health").className = "health err";
+  }
+}
+checkHealth();
+setInterval(checkHealth, 15000);
+
+/* ── transcribe: file ─────────────────────────────────────────────── */
+
+async function loadSttModels() {
+  const data = await (await api("/api/models")).json();
+  const sel = $("#stt-model");
+  sel.innerHTML = "";
+  data.models.filter((m) => m.type === "stt").forEach((m) => {
+    const opt = document.createElement("option");
+    opt.value = m.id;
+    opt.textContent = m.id + (m.is_default ? " (default)" : "");
+    if (m.is_default) opt.selected = true;
+    sel.appendChild(opt);
+  });
+}
+
+$("#stt-go").addEventListener("click", async () => {
+  const file = $("#stt-file").files[0];
+  if (!file) { $("#stt-result").textContent = "Pick a file first."; return; }
+  const fd = new FormData();
+  fd.append("file", file);
+  fd.append("model", $("#stt-model").value);
+  fd.append("response_format", $("#stt-format").value);
+  $("#stt-result").textContent = "Transcribing…";
+  try {
+    const r = await api("/v1/audio/transcriptions", { method: "POST", body: fd });
+    const text = await r.text();
+    try { $("#stt-result").textContent = JSON.stringify(JSON.parse(text), null, 2); }
+    catch (_e) { $("#stt-result").textContent = text; }
+  } catch (e) {
+    $("#stt-result").textContent = `Error: ${e.message}`;
+  }
+});
+
+/* ── transcribe: live mic over WS ─────────────────────────────────── */
+
+let micCtx = null, micWs = null, micStream = null, micNode = null;
+
+function f32ToPcm16(f32) {
+  const out = new Int16Array(f32.length);
+  for (let i = 0; i < f32.length; i++) {
+    const v = Math.max(-1, Math.min(1, f32[i]));
+    out[i] = v * 32767;
+  }
+  return out.buffer;
+}
+
+async function startMic() {
+  micStream = await navigator.mediaDevices.getUserMedia({ audio: true });
+  micCtx = new AudioContext();
+  const rate = micCtx.sampleRate;
+  const scheme = location.protocol === "https:" ? "wss" : "ws";
+  const model = $("#stt-model").value;
+  micWs = new WebSocket(
+    `${scheme}://${location.host}/v1/audio/stream?sample_rate=${rate}` +
+    (model ? `&model=${encodeURIComponent(model)}` : "")
+  );
+  micWs.onmessage = (evt) => {
+    const e = JSON.parse(evt.data);
+    if (e.type === "vad") {
+      const el = $("#vad-indicator");
+      el.textContent = e.state === "speech_start" ? "speech" : "silence";
+      el.className = e.state === "speech_start" ? "vad speech" : "vad";
+    } else if (e.type === "transcript") {
+      if (e.is_final) {
+        $("#live-final").textContent += (e.speech_final ? e.text + " " : "");
+        if (!e.speech_final) $("#live-interim").textContent = e.text;
+      } else {
+        $("#live-interim").textContent = e.text;
+      }
+      if (e.speech_final) $("#live-interim").textContent = "";
+    }
+  };
+  const src = micCtx.createMediaStreamSource(micStream);
+  micNode = micCtx.createScriptProcessor(4096, 1, 1);
+  micNode.onaudioprocess = (e) => {
+    if (micWs && micWs.readyState === WebSocket.OPEN) {
+      micWs.send(f32ToPcm16(e.inputBuffer.getChannelData(0)));
+    }
+  };
+  src.connect(micNode);
+  micNode.connect(micCtx.destination);
+  $("#mic-toggle").textContent = "Stop mic";
+}
+
+function stopMic() {
+  if (micWs && micWs.readyState === WebSocket.OPEN) {
+    micWs.send(JSON.stringify({ type: "stop" }));
+    micWs.close();
+  }
+  if (micNode) micNode.disconnect();
+  if (micStream) micStream.getTracks().forEach((t) => t.stop());
+  if (micCtx) micCtx.close();
+  micCtx = micWs = micStream = micNode = null;
+  $("#mic-toggle").textContent = "Start mic";
+  $("#vad-indicator").textContent = "silence";
+  $("#vad-indicator").className = "vad";
+}
+
+$("#mic-toggle").addEventListener("click", () => (micCtx ? stopMic() : startMic()));
+
+/* ── speak ────────────────────────────────────────────────────────── */
+
+async function loadVoices() {
+  const modelSel = $("#tts-model");
+  const data = await (await api("/api/models")).json();
+  modelSel.innerHTML = "";
+  data.models.filter((m) => m.type === "tts").forEach((m) => {
+    const opt = document.createElement("option");
+    opt.value = m.id;
+    opt.textContent = m.id;
+    if (m.is_default) opt.selected = true;
+    modelSel.appendChild(opt);
+  });
+  await refreshVoiceList();
+}
+
+async function refreshVoiceList() {
+  const model = $("#tts-model").value;
+  const data = await (
+    await api(`/v1/audio/voices${model ? `?model=${encodeURIComponent(model)}` : ""}`)
+  ).json();
+  const sel = $("#tts-voice");
+  sel.innerHTML = "";
+  data.voices.forEach((v) => {
+    const opt = document.createElement("option");
+    opt.value = v.id;
+    opt.textContent = `${v.id} (${v.language})`;
+    sel.appendChild(opt);
+  });
+  // capability-gated advanced controls (voice_design)
+  try {
+    const caps = await (
+      await api(`/api/tts/capabilities?model=${encodeURIComponent(model)}`)
+    ).json();
+    $("#tts-advanced").style.display =
+      caps.capabilities.voice_design ? "flex" : "none";
+  } catch (_e) { $("#tts-advanced").style.display = "none"; }
+}
+
+$("#tts-model").addEventListener("change", refreshVoiceList);
+$("#tts-speed").addEventListener("input", () => {
+  $("#tts-speed-val").textContent = Number($("#tts-speed").value).toFixed(1);
+});
+
+$("#tts-go").addEventListener("click", async () => {
+  const body = {
+    input: $("#tts-text").value,
+    model: $("#tts-model").value,
+    voice: $("#tts-blend").value.trim() || $("#tts-voice").value,
+    speed: Number($("#tts-speed").value),
+    response_format: $("#tts-format").value,
+  };
+  const design = $("#tts-design").value.trim();
+  if (design) body.voice_design = design;
+  $("#tts-status").textContent = "Synthesizing…";
+  const t0 = performance.now();
+  try {
+    const r = await api("/v1/audio/speech", {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(body),
+    });
+    const blob = await r.blob();
+    $("#tts-audio").src = URL.createObjectURL(blob);
+    $("#tts-audio").play().catch(() => {});
+    const cache = r.headers.get("X-Cache") === "HIT" ? " (cache hit)" : "";
+    $("#tts-status").textContent =
+      `${(blob.size / 1024).toFixed(0)} KB in ${((performance.now() - t0) / 1000).toFixed(1)}s${cache}`;
+  } catch (e) {
+    $("#tts-status").textContent = `Error: ${e.message}`;
+  }
+});
+
+/* ── models ───────────────────────────────────────────────────────── */
+
+async function loadModels() {
+  const data = await (await api("/api/models")).json();
+  const tbody = $("#models-table tbody");
+  tbody.innerHTML = "";
+  data.models
+    .sort((a, b) => a.id.localeCompare(b.id))
+    .forEach((m) => {
+      const tr = document.createElement("tr");
+      tr.innerHTML = `
+        <td>${m.id}${m.is_default ? " ★" : ""}</td>
+        <td>${m.type}</td>
+        <td>${m.provider}</td>
+        <td>${m.size_mb ? m.size_mb + " MB" : "—"}</td>
+        <td><span class="state ${m.state}">${m.state}</span></td>
+        <td></td>`;
+      const actions = tr.lastElementChild;
+      if (m.state === "loaded") {
+        actions.appendChild(btn("Unload", "danger", () => modelOp(m.id, "DELETE", `/api/models/${m.id}`)));
+      } else {
+        actions.appendChild(btn("Load", "primary", () => modelOp(m.id, "POST", `/api/models/${m.id}/load`, tr)));
+      }
+      tbody.appendChild(tr);
+    });
+}
+
+function btn(label, cls, onclick) {
+  const b = document.createElement("button");
+  b.textContent = label;
+  b.className = `${cls} small`;
+  b.addEventListener("click", onclick);
+  return b;
+}
+
+async function modelOp(id, method, path, row) {
+  try {
+    const pending = api(path, { method });
+    if (row) pollProgress(id, row);
+    await pending;
+  } catch (e) { alert(e.message); }
+  loadModels();
+}
+
+async function pollProgress(id, row) {
+  for (let i = 0; i < 600; i++) {
+    try {
+      const p = await (await api(`/api/models/${id}/progress`)).json();
+      const cell = row.querySelector(".state");
+      if (cell) cell.textContent = `${p.status} ${(p.progress * 100) | 0}%`;
+      if (p.status === "ready" || p.status === "idle" || p.status === "downloaded") break;
+    } catch (_e) { break; }
+    await new Promise((res) => setTimeout(res, 1000));
+  }
+}
+
+/* ── history ──────────────────────────────────────────────────────── */
+
+async function loadHistory() {
+  const data = await (await api("/api/history?limit=100")).json();
+  const tbody = $("#history-table tbody");
+  tbody.innerHTML = "";
+  data.items.forEach((it) => {
+    const tr = document.createElement("tr");
+    tr.innerHTML = `
+      <td>${new Date(it.created_at).toLocaleString()}</td>
+      <td>${it.type}</td>
+      <td>${it.model || ""}</td>
+      <td>${it.text_preview || ""}</td>
+      <td></td>`;
+    tr.lastElementChild.appendChild(
+      btn("Delete", "danger", async () => {
+        await api(`/api/history/${it.id}`, { method: "DELETE" });
+        loadHistory();
+      })
+    );
+    tbody.appendChild(tr);
+  });
+}
+
+$("#history-clear").addEventListener("click", async () => {
+  await api("/api/history", { method: "DELETE" });
+  loadHistory();
+});
+
+/* ── studio: profiles ─────────────────────────────────────────────── */
+
+async function loadProfiles() {
+  const data = await (await api("/api/profiles")).json();
+  const tbody = $("#profiles-table tbody");
+  tbody.innerHTML = "";
+  data.profiles.forEach((p) => {
+    const tr = document.createElement("tr");
+    tr.innerHTML = `
+      <td>${p.name}</td><td>${p.voice}</td><td>${p.speed}</td>
+      <td>${p.id === data.default_profile_id ? "★" : ""}</td><td></td>`;
+    const cell = tr.lastElementChild;
+    cell.appendChild(btn("Default", "primary", async () => {
+      await api(`/api/profiles/${p.id}/default`, { method: "POST" });
+      loadProfiles();
+    }));
+    cell.appendChild(btn("Delete", "danger", async () => {
+      await api(`/api/profiles/${p.id}`, { method: "DELETE" });
+      loadProfiles();
+    }));
+    tbody.appendChild(tr);
+  });
+}
+
+$("#profile-create").addEventListener("click", async () => {
+  try {
+    await api("/api/profiles", {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({
+        name: $("#profile-name").value,
+        backend: "kokoro",
+        voice: $("#profile-voice").value || "af_heart",
+        speed: Number($("#profile-speed").value) || 1.0,
+      }),
+    });
+    $("#profile-name").value = "";
+    loadProfiles();
+  } catch (e) { alert(e.message); }
+});
+
+/* ── studio: conversations ────────────────────────────────────────── */
+
+async function loadConversations() {
+  const data = await (await api("/api/conversations")).json();
+  const list = $("#conv-list");
+  list.innerHTML = "";
+  data.items.forEach((c) => {
+    const div = document.createElement("div");
+    div.className = "conv";
+    div.innerHTML = `<strong>${c.name || c.id}</strong> `;
+    const addRow = document.createElement("div");
+    addRow.className = "row";
+    const speaker = document.createElement("input");
+    speaker.placeholder = "speaker";
+    const text = document.createElement("input");
+    text.placeholder = "line of dialogue";
+    addRow.append(speaker, text,
+      btn("Add turn", "primary", async () => {
+        await api(`/api/conversations/${c.id}/turns`, {
+          method: "POST",
+          headers: { "Content-Type": "application/json" },
+          body: JSON.stringify({ speaker: speaker.value || "Speaker", text: text.value }),
+        });
+        text.value = "";
+      }),
+      btn("Render", "primary", async () => {
+        const r = await (await api(`/api/conversations/${c.id}/render`, {
+          method: "POST",
+          headers: { "Content-Type": "application/json" },
+          body: JSON.stringify({ format: "wav" }),
+        })).json();
+        const audio = document.createElement("audio");
+        audio.controls = true;
+        audio.src = r.download_url;
+        div.appendChild(audio);
+      }),
+      btn("Delete", "danger", async () => {
+        await api(`/api/conversations/${c.id}`, { method: "DELETE" });
+        loadConversations();
+      }));
+    div.appendChild(addRow);
+    list.appendChild(div);
+  });
+}
+
+$("#conv-create").addEventListener("click", async () => {
+  await api("/api/conversations", {
+    method: "POST",
+    headers: { "Content-Type": "application/json" },
+    body: JSON.stringify({ name: $("#conv-name").value || "Untitled", turns: [] }),
+  });
+  $("#conv-name").value = "";
+  loadConversations();
+});
+
+/* ── init ─────────────────────────────────────────────────────────── */
+
+loadSttModels();
+loadVoices();
