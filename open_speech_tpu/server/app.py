@@ -48,6 +48,7 @@ from open_speech_tpu.schemas import (
     TTSSpeechRequest,
 )
 from open_speech_tpu.server.errors import ApiError, error_middleware, error_response
+from open_speech_tpu.server.metrics import metrics
 from open_speech_tpu.server.middleware import (
     security_middleware,
     verify_ws_api_key,
@@ -226,6 +227,9 @@ async def transcribe(request: web.Request) -> web.Response:
         else response_format
     )
     loop = asyncio.get_running_loop()
+    import time as _time
+
+    t_start = _time.monotonic()
     try:
         result = await loop.run_in_executor(
             None,
@@ -239,8 +243,13 @@ async def transcribe(request: web.Request) -> web.Response:
             ),
         )
     except Exception as e:  # noqa: BLE001
+        metrics.inc("stt_errors_total")
         logger.exception("Transcription failed")
         raise ApiError(500, str(e))
+    metrics.record_stt(
+        audio_seconds=float(result.get("duration", 0.0) or 0.0),
+        wall_seconds=_time.monotonic() - t_start,
+    )
 
     if settings.os_history_enabled:
         try:
@@ -548,6 +557,23 @@ async def health(request: web.Request) -> web.Response:
     )
 
 
+async def metrics_route(request: web.Request) -> web.Response:
+    from open_speech_tpu.server.streaming import _active_sessions
+
+    metrics.set_gauge("streaming_sessions_active", len(_active_sessions))
+    return web.Response(
+        text=metrics.prometheus(), content_type="text/plain"
+    )
+
+
+async def stats_route(request: web.Request) -> web.Response:
+    from open_speech_tpu.server.streaming import _active_sessions
+
+    snap = metrics.snapshot()
+    snap["gauges"]["streaming_sessions_active"] = len(_active_sessions)
+    return web.json_response(snap)
+
+
 # ── WebSockets (reference :623-691) ───────────────────────────────────
 
 
@@ -762,11 +788,21 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
                 headers={"X-Cache": "HIT"},
             )
 
+    import time as _time
+
+    t_start = _time.monotonic()
     try:
-        def _full_synth() -> bytes:
+        def _full_synth() -> tuple[bytes, float, float]:
+            gen = _do_synthesize()
+            chunks_list = []
+            ttfa = None
+            for chunk in gen:
+                if ttfa is None:
+                    ttfa = _time.monotonic() - t_start
+                chunks_list.append(chunk)
             chunks_list = list(
                 process_tts_chunks(
-                    _do_synthesize(),
+                    iter(chunks_list),
                     trim=settings.tts_trim_silence,
                     normalize=settings.tts_normalize_output,
                 )
@@ -778,9 +814,20 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
             )
             if settings.os_effects_enabled and req.effects:
                 samples = apply_chain(samples, native_rate, req.effects)
-            return encode_audio(samples, native_rate, req.response_format)
+            return (
+                encode_audio(samples, native_rate, req.response_format),
+                ttfa if ttfa is not None else _time.monotonic() - t_start,
+                len(samples) / native_rate,
+            )
 
-        audio_bytes = await loop.run_in_executor(None, _full_synth)
+        audio_bytes, ttfa_s, audio_s = await loop.run_in_executor(
+            None, _full_synth
+        )
+        metrics.record_tts(
+            ttfa_seconds=ttfa_s,
+            audio_seconds=audio_s,
+            wall_seconds=_time.monotonic() - t_start,
+        )
         if cache and settings.tts_cache_enabled and not req.effects:
             await loop.run_in_executor(
                 None,
@@ -1424,6 +1471,8 @@ def create_app() -> web.Application:
     r.add_delete("/api/models/{model_id:.+}", unload_model_unified)
     r.add_post("/api/pull/{model:.+}", pull_model)
     r.add_get("/health", health)
+    r.add_get("/metrics", metrics_route)
+    r.add_get("/api/stats", stats_route)
     # WebSockets
     r.add_get("/v1/audio/stream", ws_stream)
     r.add_get("/v1/realtime", ws_realtime)

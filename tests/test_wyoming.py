@@ -1,0 +1,137 @@
+"""Wyoming TCP server: protocol roundtrip + STT/TTS handlers over a socket."""
+
+import asyncio
+import json
+from unittest.mock import MagicMock
+
+import numpy as np
+import pytest
+
+from open_speech_tpu.server.wyoming.protocol import Event, read_event, write_event
+from open_speech_tpu.server.wyoming.server import start_wyoming_server
+from open_speech_tpu.tts.backends.base import VoiceInfo
+
+
+def _run(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+def test_protocol_roundtrip():
+    async def go():
+        reader = asyncio.StreamReader()
+        # feed what write_event would produce
+        payload = b"\x01\x02\x03"
+        header = {
+            "type": "audio-chunk",
+            "data": {"rate": 16000},
+            "payload_length": len(payload),
+        }
+        reader.feed_data(json.dumps(header).encode() + b"\n" + payload)
+        reader.feed_eof()
+        event = await read_event(reader)
+        assert event.type == "audio-chunk"
+        assert event.data["rate"] == 16000
+        assert event.payload == payload
+        assert await read_event(reader) is None  # EOF
+
+    _run(go())
+
+
+def _mock_routers(transcript="wyoming says hi"):
+    stt = MagicMock()
+    stt.transcribe.return_value = {"text": transcript}
+    tts = MagicMock()
+    tts.synthesize.return_value = iter([np.ones(2400, np.float32) * 0.3])
+    tts.get_backend.return_value = MagicMock(sample_rate=24000)
+    tts.list_voices.return_value = [
+        VoiceInfo(id="af_heart", name="Heart", language="en-us")
+    ]
+    return stt, tts
+
+
+def test_wyoming_describe_and_transcribe(monkeypatch):
+    from open_speech_tpu.config import settings
+
+    monkeypatch.setattr(settings, "stt_vad_enabled", False)
+    stt, tts = _mock_routers()
+
+    async def go():
+        server = await start_wyoming_server(stt, tts, host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+
+        await write_event(writer, Event("describe"))
+        info = await asyncio.wait_for(read_event(reader), 10)
+        assert info.type == "info"
+        assert info.data["asr"][0]["name"] == "open-speech"
+        assert info.data["tts"][0]["voices"][0]["name"] == "af_heart"
+
+        # STT: transcribe -> chunks -> stop -> transcript
+        await write_event(writer, Event("transcribe", {"name": "whisper-tiny"}))
+        pcm = (np.ones(3200, np.int16) * 1000).tobytes()
+        await write_event(
+            writer,
+            Event("audio-chunk", {"rate": 16000, "width": 2, "channels": 1}, pcm),
+        )
+        await write_event(writer, Event("audio-stop"))
+        transcript = await asyncio.wait_for(read_event(reader), 30)
+        assert transcript.type == "transcript"
+        assert transcript.data["text"] == "wyoming says hi"
+        assert stt.transcribe.call_args.kwargs["model"] == "whisper-tiny"
+
+        writer.close()
+        server.close()
+        await server.wait_closed()
+
+    _run(go())
+
+
+def test_wyoming_synthesize(monkeypatch):
+    stt, tts = _mock_routers()
+
+    async def go():
+        server = await start_wyoming_server(stt, tts, host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+
+        await write_event(
+            writer,
+            Event("synthesize", {"text": "hi", "voice": {"name": "af_heart"}}),
+        )
+        events = []
+        while True:
+            evt = await asyncio.wait_for(read_event(reader), 30)
+            events.append(evt)
+            if evt.type == "audio-stop":
+                break
+        types = [e.type for e in events]
+        assert types[0] == "audio-start"
+        assert types[-1] == "audio-stop"
+        chunks = [e for e in events if e.type == "audio-chunk"]
+        assert chunks and all(e.data["rate"] == 16000 for e in chunks)
+        total = sum(len(e.payload) for e in chunks)
+        assert total > 0
+
+        writer.close()
+        server.close()
+        await server.wait_closed()
+
+    _run(go())
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from open_speech_tpu.models.whisper import PRESETS, init_params
+    from open_speech_tpu.runtime.checkpoint import load_params, save_params
+
+    cfg = PRESETS["test-tiny"]
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    save_params(tmp_path / "ckpt", params)
+    restored = load_params(tmp_path / "ckpt", like=params)
+    flat1 = jax.tree.leaves(params)
+    flat2 = jax.tree.leaves(restored)
+    assert all(
+        jnp.array_equal(a, b) for a, b in zip(flat1, flat2)
+    )
