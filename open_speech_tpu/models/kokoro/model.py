@@ -30,12 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from open_speech_tpu.ops.vocoder import (
-    adain1d,
     conv1d,
     conv_transpose1d,
     init_resblock1,
     istft,
     resblock1,
+    style_mod,
 )
 from open_speech_tpu.text.g2p import N_PHONEMES
 
@@ -151,6 +151,118 @@ def _bilstm(x, pf, pb):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def encode_utterance(params, cfg: KokoroConfig, phonemes, ph_len, style, speed):
+    """Text side of synthesis: frame features ready for the vocoder.
+
+    Returns (g [B, max_frames, hidden+2], n_frames [B]) — everything up to
+    the generator input, so the vocoder can run incrementally in frame
+    blocks for streaming (TTFA = this + one block instead of the full
+    utterance).
+    """
+    b = phonemes.shape[0]
+    mask = (jnp.arange(cfg.max_phonemes)[None, :] < ph_len[:, None]).astype(
+        jnp.float32
+    )
+
+    x = params["embed"][phonemes] * mask[..., None]
+    x = jax.nn.relu(conv1d(x, params["enc_conv1"]))
+    x = jax.nn.relu(conv1d(x, params["enc_conv2"]))
+    x = jax.nn.relu(conv1d(x, params["enc_conv3"]))
+    x = _bilstm(x, params["enc_lstm_f"], params["enc_lstm_b"])  # [B, T, h]
+    x = x * mask[..., None]
+
+    sty_tiled = jnp.tile(style[:, None, :], (1, cfg.max_phonemes, 1))
+    d = jnp.concatenate([x, sty_tiled], axis=-1)
+    d = jax.nn.relu(conv1d(d, params["dur_conv1"]))
+    d = jax.nn.relu(conv1d(d, params["dur_conv2"]))
+    dur = jax.nn.softplus(d @ params["dur_out"]["w"] + params["dur_out"]["b"])[..., 0]
+    dur = (1.0 + dur * 8.0) / speed[:, None]
+    dur = dur * mask
+    total = jnp.sum(dur, axis=1, keepdims=True)
+    scale = jnp.minimum(1.0, (cfg.max_frames - 1) / jnp.maximum(total, 1.0))
+    dur = dur * scale
+    ends = jnp.cumsum(dur, axis=1)
+    n_frames = jnp.minimum(
+        jnp.ceil(ends[:, -1]).astype(jnp.int32), cfg.max_frames
+    )
+
+    frame_pos = jnp.arange(cfg.max_frames, dtype=jnp.float32) + 0.5
+    idx = jax.vmap(lambda e: jnp.searchsorted(e, frame_pos))(ends)
+    idx = jnp.minimum(idx, ph_len[:, None] - 1)
+    frames = jnp.take_along_axis(x, idx[..., None], axis=1)
+    fmask = (
+        jnp.arange(cfg.max_frames)[None, :] < n_frames[:, None]
+    ).astype(jnp.float32)[..., None]
+    frames = frames * fmask
+
+    f = jax.nn.relu(conv1d(frames, params["f0_conv1"]))
+    f0 = f @ params["f0_out"]["w"] + params["f0_out"]["b"]
+    energy = jax.nn.sigmoid(f @ params["en_out"]["w"] + params["en_out"]["b"])
+    return jnp.concatenate([frames, f0, energy], axis=-1), n_frames
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def vocode(params, cfg: KokoroConfig, g, style):
+    """ISTFTNet generator: frame features [B, F, hidden+2] -> audio [B, F*spf]."""
+    g = conv1d(g, params["gen_pre"])
+    for i, u in enumerate(cfg.upsample_rates):
+        g = jax.nn.leaky_relu(g, 0.1)
+        g = conv_transpose1d(g, params[f"up_{i}"], u)
+        g = style_mod(g, style, params[f"up_adain_{i}"])
+        acc = None
+        for j in range(len(cfg.resblock_kernels)):
+            r = resblock1(g, params[f"res_{i}_{j}"])
+            acc = r if acc is None else acc + r
+        g = acc / len(cfg.resblock_kernels)
+    g = jax.nn.leaky_relu(g, 0.1)
+    g = conv1d(g, params["gen_post"])
+    n_bins = cfg.istft_n_fft // 2 + 1
+    mag = jnp.exp(jnp.clip(g[..., :n_bins], -8.0, 4.0))
+    phase = jnp.pi * jnp.tanh(g[..., n_bins:])
+    return istft(mag, phase, cfg.istft_n_fft, cfg.istft_hop)
+
+
+def vocode_blocks(
+    params,
+    cfg: KokoroConfig,
+    g,
+    n_frames,
+    style,
+    block_frames: int = 64,
+    overlap: int = 16,
+    first_block: int = 24,
+):
+    """Streaming vocoder: yield audio chunks block by block.
+
+    Each block carries ``overlap`` context frames on both sides (the conv
+    stack's receptive field) which are trimmed from the emitted samples, so
+    chunk boundaries are seamless up to the receptive-field approximation.
+    Every block is the same static shape -> one compiled program, TTFA = one
+    block instead of the whole utterance.
+    """
+    total = int(np.max(np.asarray(n_frames)))
+    spf = cfg.samples_per_frame
+    # right padding only: the first block uses the convs' implicit zero
+    # padding on the left (explicit zero frames would pass through conv
+    # biases and diverge from whole-utterance output at the onset)
+    padded = jnp.pad(g, ((0, 0), (0, block_frames + 2 * overlap), (0, 0)))
+    start = 0
+    # the first block is smaller: TTFA = encode + ~0.3 s of vocoder work
+    size = min(first_block, block_frames)
+    while start < total:
+        window = size + 2 * overlap
+        slice_start = max(0, start - overlap)
+        left_trim = start - slice_start
+        block = jax.lax.dynamic_slice_in_dim(padded, slice_start, window, axis=1)
+        audio = vocode(params, cfg, block, style)
+        valid = min(size, total - start)
+        chunk = audio[:, left_trim * spf : (left_trim + valid) * spf]
+        yield np.asarray(chunk, np.float32)
+        start += size
+        size = block_frames
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def synthesize_frames(params, cfg: KokoroConfig, phonemes, ph_len, style, speed):
     """Synthesize one utterance bucket.
 
@@ -208,7 +320,7 @@ def synthesize_frames(params, cfg: KokoroConfig, phonemes, ph_len, style, speed)
     for i, u in enumerate(cfg.upsample_rates):
         g = jax.nn.leaky_relu(g, 0.1)
         g = conv_transpose1d(g, params[f"up_{i}"], u)
-        g = adain1d(g, style, params[f"up_adain_{i}"])
+        g = style_mod(g, style, params[f"up_adain_{i}"])
         acc = None
         for j in range(len(cfg.resblock_kernels)):
             r = resblock1(g, params[f"res_{i}_{j}"])

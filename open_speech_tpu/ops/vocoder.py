@@ -80,6 +80,8 @@ def adain1d(x: jax.Array, style: jax.Array, p) -> jax.Array:
     """Adaptive instance norm: x [B, T, C], style [B, S] -> [B, T, C].
 
     p: {"w": [S, 2C], "b": [2C]} producing per-channel gain/bias from style.
+    NOTE: instance-norm statistics span the whole time axis, which makes the
+    op non-streamable; generators that vocode in blocks use ``style_mod``.
     """
     mean = x.mean(axis=1, keepdims=True)
     var = x.var(axis=1, keepdims=True)
@@ -88,6 +90,18 @@ def adain1d(x: jax.Array, style: jax.Array, p) -> jax.Array:
     c = x.shape[-1]
     gamma, beta = gb[:, :c], gb[:, c:]
     return xn * (1.0 + gamma[:, None, :]) + beta[:, None, :]
+
+
+def style_mod(x: jax.Array, style: jax.Array, p) -> jax.Array:
+    """Streaming-safe style conditioning: per-channel affine from style only.
+
+    Same parameter shape as adain1d but no data-dependent normalization, so
+    block-wise vocoding is exact up to the conv receptive field.
+    """
+    gb = style @ p["w"] + p["b"]
+    c = x.shape[-1]
+    gamma, beta = gb[:, :c], gb[:, c:]
+    return x * (1.0 + gamma[:, None, :]) + beta[:, None, :]
 
 
 def conv1d(x: jax.Array, p, stride: int = 1, dilation: int = 1) -> jax.Array:

@@ -20,8 +20,10 @@ import jax.numpy as jnp
 
 from open_speech_tpu.models.kokoro import (
     KokoroConfig,
+    encode_utterance,
     init_kokoro_params,
     synthesize_frames,
+    vocode_blocks,
     voice_vector,
 )
 from open_speech_tpu.models.kokoro.model import SAMPLE_RATE
@@ -222,13 +224,34 @@ class KokoroBackend:
         speed: float = 1.0,
         lang_code: str | None = None,
     ) -> Iterator[np.ndarray]:
-        """Per-sentence chunk generator (streams true generation chunks)."""
+        """Streaming generator: vocoder runs in overlapped frame blocks.
+
+        TTFA is text-encode + one 64-frame (0.8 s) vocoder block rather than
+        the full utterance — the streaming-TTS property the reference's
+        postprocessing collapse destroyed (SURVEY §3.3).
+        """
         if self._params is None:
             self.load_model("kokoro")
         self._last_used = time.time()
         voice = voice or "af_heart"
         speed = speed if speed and speed > 0 else 1.0
+        style = jnp.asarray(self._style_for(voice)[None, :])
         for sentence in split_sentences(text) or [text]:
-            chunk = self._generate(sentence, voice, speed)
-            if chunk.size:
-                yield chunk
+            ids = self._g2p.to_ids(sentence)[: self._cfg.max_phonemes]
+            n = len(ids)
+            phonemes = np.zeros((1, self._cfg.max_phonemes), np.int32)
+            phonemes[0, :n] = ids
+            g, n_frames = encode_utterance(
+                self._params,
+                self._cfg,
+                jnp.asarray(phonemes),
+                jnp.asarray([n], jnp.int32),
+                style,
+                jnp.asarray([speed], jnp.float32),
+            )
+            for block in vocode_blocks(
+                self._params, self._cfg, g, n_frames, style
+            ):
+                chunk = block[0]
+                if chunk.size:
+                    yield chunk
