@@ -104,7 +104,7 @@ class JaxWhisperBackend:
             "bfloat16": jnp.bfloat16,
             "float16": jnp.bfloat16,  # TPU has no fp16; bf16 is the analog
             "float32": jnp.float32,
-            "int8": jnp.bfloat16,  # int8 quantized matmuls arrive later
+            "int8": jnp.bfloat16,  # base dtype; weights packed to int8 below
         }.get(self._compute_type, jnp.bfloat16)
 
     def _weight_dirs(self, model_id: str) -> list[Path]:
@@ -159,6 +159,13 @@ class JaxWhisperBackend:
             )
             params = init_params(jax.random.PRNGKey(0), cfg, dtype=self._dtype())
             tok = get_tokenizer(n_vocab=cfg.n_vocab, n_langs=cfg.n_langs)
+        if self._compute_type == "int8":
+            from open_speech_tpu.models.whisper.quantize import (
+                quantize_whisper_params,
+            )
+
+            params = quantize_whisper_params(params)
+            logger.info("Quantized %s weights to int8 (per-channel)", model_id)
         self._models[model_id] = {"params": params, "cfg": cfg, "tok": tok}
         now = time.time()
         self._loaded_at[model_id] = now

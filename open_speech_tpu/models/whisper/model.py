@@ -198,10 +198,33 @@ def layer_norm(x, p):
 
 
 def linear(x, p):
-    out = x @ p["w"]
+    w = p["w"]
+    if isinstance(w, dict):  # int8 pack {"q", "s"} (quantize.py)
+        # matmul reads int8 weights (convert fuses into the dot); the
+        # per-output-channel scale applies to the small output tensor
+        out = (x @ w["q"].astype(x.dtype)) * w["s"].astype(x.dtype)
+    else:
+        out = x @ w
     if "b" in p:
         out = out + p["b"]
     return out
+
+
+def embed_tokens(dec, tokens):
+    emb = dec["tok_emb"]
+    if isinstance(emb, dict):
+        return emb["q"][tokens].astype(jnp.bfloat16) * emb["s"][tokens].astype(
+            jnp.bfloat16
+        )
+    return emb[tokens]
+
+
+def output_logits(x, dec):
+    emb = dec["tok_emb"]
+    if isinstance(emb, dict):
+        logits = x @ emb["q"].T.astype(x.dtype)
+        return (logits * emb["s"][:, 0].astype(x.dtype)).astype(jnp.float32)
+    return (x @ emb.T.astype(x.dtype)).astype(jnp.float32)
 
 
 def _split_heads(x, n_head):
@@ -277,7 +300,7 @@ def encode(params, mel, cfg: WhisperConfig):
 def _decoder_forward_impl(params, tokens, enc_out, n_head):
     dec = params["decoder"]
     t = tokens.shape[1]
-    x = dec["tok_emb"][tokens] + dec["pos_emb"][:t]
+    x = embed_tokens(dec, tokens) + dec["pos_emb"][:t]
 
     def block(h, bp):
         h = h + self_attention(layer_norm(h, bp["ln1"]), bp["attn"], n_head, True)
@@ -291,7 +314,7 @@ def _decoder_forward_impl(params, tokens, enc_out, n_head):
 
     x, _ = jax.lax.scan(block, x, dec["blocks"])
     x = layer_norm(x, dec["ln"])
-    return (x @ dec["tok_emb"].T.astype(x.dtype)).astype(jnp.float32)
+    return output_logits(x, dec)
 
 
 def decoder_forward(params, tokens, enc_out, cfg: WhisperConfig):
@@ -335,7 +358,7 @@ def precompute_cross_kv(params, enc_out, cfg: WhisperConfig):
 def _decode_step_impl(params, tokens, pos, self_kv, cross_kv, n_head):
     dec = params["decoder"]
     b = tokens.shape[0]
-    x = dec["tok_emb"][tokens] + jax.lax.dynamic_slice_in_dim(
+    x = embed_tokens(dec, tokens) + jax.lax.dynamic_slice_in_dim(
         dec["pos_emb"], pos, 1, axis=0
     )  # [B, 1, d]
 
@@ -368,7 +391,7 @@ def _decode_step_impl(params, tokens, pos, self_kv, cross_kv, n_head):
         block, x, (params["decoder"]["blocks"], cross_kv, self_kv)
     )
     x = layer_norm(x, dec["ln"])
-    logits = (x @ dec["tok_emb"].T.astype(x.dtype)).astype(jnp.float32)
+    logits = output_logits(x, dec)
     return logits[:, 0], new_kv
 
 

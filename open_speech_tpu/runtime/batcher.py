@@ -38,9 +38,11 @@ from open_speech_tpu.models.whisper.model import (
     _merge_heads,
     _split_heads,
     decode_attention,
+    embed_tokens,
     layer_norm,
     linear,
     mlp,
+    output_logits,
     encode,
     precompute_cross_kv,
 )
@@ -64,7 +66,7 @@ def _slot_decode_step(params, tokens, pos, self_kv, cross_kv, n_head):
     dec = params["decoder"]
     s = tokens.shape[0]
     pos_emb = jnp.take(dec["pos_emb"], pos, axis=0)[:, None, :]  # [S,1,d]
-    x = dec["tok_emb"][tokens] + pos_emb
+    x = embed_tokens(dec, tokens) + pos_emb
 
     def block(h, layer):
         bp, ckv, kv = layer
@@ -94,7 +96,7 @@ def _slot_decode_step(params, tokens, pos, self_kv, cross_kv, n_head):
         block, x, (params["decoder"]["blocks"], cross_kv, self_kv)
     )
     x = layer_norm(x, dec["ln"])
-    logits = (x @ dec["tok_emb"].T.astype(x.dtype)).astype(jnp.float32)
+    logits = output_logits(x, dec)
     return logits[:, 0], new_kv
 
 
