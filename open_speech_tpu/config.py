@@ -172,8 +172,11 @@ _DEFAULTS: dict[str, object] = {
     # ── TPU-native additions (no reference counterpart) ────────────────
     # Mesh shape as "data,model" axis sizes; 0 = auto (all devices on data).
     "os_tpu_mesh": "",
+    # Continuous batcher: route streaming/realtime transcription through the
+    # shared slot-pool scheduler instead of per-request invocations.
+    "os_batcher_enabled": False,
     # Max concurrent sessions per continuous-batch decode step.
-    "os_batch_max_sessions": 16,
+    "os_batch_max_sessions": 8,
     # Decode-side KV cache length bucket (tokens).
     "os_batch_max_tokens": 448,
     # jit warmup on model load (precompile hot shapes).

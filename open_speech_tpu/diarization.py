@@ -1,28 +1,25 @@
-"""Speaker diarization (reference: src/diarization/pyannote_diarizer.py).
+"""Speaker diarization service (reference: src/diarization/pyannote_diarizer.py).
 
-The reference gates pyannote behind an optional dependency and raises a
-RuntimeError when missing (:19); this deployment has no pyannote weights, so
-the same contract holds: ``Diarizer`` raises unless a diarization model is
-available, and ``attach_text_to_speakers`` keeps the reference's naive
-word-allocation behavior (:35-55) for when one is.
-
-A JAX segmentation+embedding diarizer is the planned replacement; the energy
-fallback below provides a weight-free two-speaker heuristic for tests.
+The reference gates torch/pyannote behind an optional dependency and raises
+RuntimeError when missing (:19); the same enablement contract holds here
+(STT_DIARIZE_ENABLED), but the model is the JAX embedding diarizer
+(models/diarize.py) — windowed speaker embeddings on device, agglomerative
+clustering on host. ``attach_text_to_speakers`` keeps the reference's naive
+word-allocation behavior (:35-55).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from open_speech_tpu.models.diarize import JaxDiarizer
 from open_speech_tpu.ops import audio as codec
+
+_shared: JaxDiarizer | None = None
 
 
 class Diarizer:
-    """Energy-based segment diarizer (single-speaker label without weights).
-
-    Raises RuntimeError when diarization is disabled to mirror the
-    reference's optional-dependency behavior.
-    """
+    """JAX diarizer behind the reference's enablement gate."""
 
     def __init__(self) -> None:
         from open_speech_tpu.config import settings
@@ -31,43 +28,23 @@ class Diarizer:
             raise RuntimeError(
                 "Diarization is disabled. Set STT_DIARIZE_ENABLED=true"
             )
+        global _shared
+        if _shared is None:
+            _shared = JaxDiarizer()
+        self._model = _shared
 
     def diarize(self, wav_bytes: bytes) -> list[dict]:
-        """Return [{speaker, start, end}] segments."""
+        """WAV bytes -> [{speaker, start, end}] turns."""
         audio, sr = codec.read_wav(wav_bytes)
         if len(audio) == 0:
             return []
-        # 1 s windows; silence splits segments; alternate speakers on long
-        # gaps (placeholder heuristic until the JAX embedding diarizer lands)
-        win = sr
-        segments: list[dict] = []
-        current_start = None
-        for i in range(0, len(audio), win):
-            chunk = audio[i : i + win]
-            rms = float(np.sqrt(np.mean(chunk**2))) if len(chunk) else 0.0
-            t = i / sr
-            if rms > 0.01:
-                if current_start is None:
-                    current_start = t
-            else:
-                if current_start is not None:
-                    segments.append(
-                        {
-                            "speaker": f"SPEAKER_{len(segments) % 2:02d}",
-                            "start": round(current_start, 3),
-                            "end": round(t, 3),
-                        }
-                    )
-                    current_start = None
-        if current_start is not None:
-            segments.append(
-                {
-                    "speaker": f"SPEAKER_{len(segments) % 2:02d}",
-                    "start": round(current_start, 3),
-                    "end": round(len(audio) / sr, 3),
-                }
-            )
-        return segments
+        if sr != 16000:
+            import jax.numpy as jnp
+
+            from open_speech_tpu.ops.resample import resample_poly
+
+            audio = np.asarray(resample_poly(jnp.asarray(audio), 16000, sr))
+        return self._model.diarize_audio(audio)
 
 
 def attach_text_to_speakers(text: str, segments: list[dict]) -> list[dict]:

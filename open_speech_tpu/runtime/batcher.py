@@ -171,6 +171,7 @@ class ContinuousBatcher:
         task: str = "transcribe",
         timestamps: bool = True,
         suppress_tokens: tuple[int, ...] = (),
+        cache_dtype=jnp.bfloat16,
     ) -> None:
         self.params = params
         self.cfg = cfg
@@ -180,13 +181,15 @@ class ContinuousBatcher:
         self.timestamps = timestamps
         dh = cfg.n_text_state // cfg.n_text_head
 
+        # bf16 caches: the KV pool is the memory hog (cross-KV is
+        # L*2*slots*H*1500*Dh); halving it costs nothing at decode precision
         self._self_kv = jnp.zeros(
             (cfg.n_text_layer, 2, slots, cfg.n_text_head, cfg.n_text_ctx, dh),
-            jnp.float32,
+            cache_dtype,
         )
         self._cross_kv = jnp.zeros(
             (cfg.n_text_layer, 2, slots, cfg.n_text_head, cfg.n_audio_ctx, dh),
-            jnp.float32,
+            cache_dtype,
         )
         self._tokens = np.full((slots,), special.eot, np.int32)
         self._pos = np.zeros((slots,), np.int32)

@@ -1,0 +1,60 @@
+"""Shared batcher pool: one ContinuousBatcher per (model, language, task).
+
+Streaming/realtime sessions submit mel windows here instead of running whole
+model invocations on executor threads — every live session's decode advances
+in one device step per tick. Opt-in via OS_BATCHER_ENABLED; keyed per prompt
+configuration because a batcher's slots share their prompt prefill.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+
+from open_speech_tpu.config import settings
+from open_speech_tpu.runtime.batcher import ContinuousBatcher
+
+logger = logging.getLogger(__name__)
+
+_batchers: dict[tuple, ContinuousBatcher] = {}
+_lock = asyncio.Lock()
+
+
+async def get_batcher(
+    backend, model_id: str, language: str | None, task: str = "transcribe"
+) -> ContinuousBatcher:
+    key = (model_id, language or "en", task)
+    if key in _batchers:
+        return _batchers[key]
+    async with _lock:
+        if key in _batchers:
+            return _batchers[key]
+        entry = backend._ensure_model(model_id)
+        batcher = ContinuousBatcher(
+            entry["params"],
+            entry["cfg"],
+            entry["tok"].special,
+            slots=settings.os_batch_max_sessions,
+            max_new_tokens=min(224, settings.os_batch_max_tokens),
+            language=language or "en",
+            task=task,
+            suppress_tokens=tuple(entry["tok"].non_speech_tokens),
+        )
+        batcher.start()
+        _batchers[key] = batcher
+        logger.info(
+            "Continuous batcher started for %s (lang=%s, slots=%d)",
+            model_id, language or "en", settings.os_batch_max_sessions,
+        )
+        return batcher
+
+
+async def shutdown_batchers() -> None:
+    for batcher in list(_batchers.values()):
+        await batcher.stop()
+    _batchers.clear()
+
+
+def reset_pool() -> None:
+    """Test hook: drop batchers without awaiting (fresh event loops)."""
+    _batchers.clear()

@@ -270,22 +270,11 @@ class StreamingSession:
                     await self._transcribe_utterance()
 
     async def _run_transcription(self) -> dict | None:
-        wav_data = pcm16_to_wav(bytes(self.utterance_audio), INTERNAL_SAMPLE_RATE)
-        loop = asyncio.get_running_loop()
         try:
-            result = await loop.run_in_executor(
-                _streaming_executor,
-                lambda: backend_router.transcribe(
-                    audio=wav_data,
-                    model=self.model,
-                    language=self.language,
-                    response_format="json",
-                    temperature=0.0,
-                    # latency path: greedy, no temperature-fallback sweep
-                    beam_size=1,
-                    fallback=False,
-                ),
-            )
+            if settings.os_batcher_enabled:
+                result = await self._transcribe_batched()
+            else:
+                result = await self._transcribe_executor()
             self._transcription_count += 1
             return result
         except Exception as e:  # noqa: BLE001
@@ -298,6 +287,48 @@ class StreamingSession:
                 {"type": "error", "message": f"Transcription failed: {e}"}
             )
             return None
+
+    async def _transcribe_executor(self) -> dict:
+        """Per-request path: whole inference on the streaming executor."""
+        wav_data = pcm16_to_wav(bytes(self.utterance_audio), INTERNAL_SAMPLE_RATE)
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            _streaming_executor,
+            lambda: backend_router.transcribe(
+                audio=wav_data,
+                model=self.model,
+                language=self.language,
+                response_format="json",
+                temperature=0.0,
+                # latency path: greedy, no temperature-fallback sweep
+                beam_size=1,
+                fallback=False,
+            ),
+        )
+
+    async def _transcribe_batched(self) -> dict:
+        """Continuous-batching path: all live sessions share device steps."""
+        import jax.numpy as jnp
+
+        from open_speech_tpu.ops.audio import pcm16_to_float
+        from open_speech_tpu.ops.mel import log_mel_spectrogram, pad_or_trim
+        from open_speech_tpu.runtime.batcher_pool import get_batcher
+
+        backend = backend_router.get_backend(self.model)
+        entry = backend._ensure_model(self.model)
+        cfg, tok = entry["cfg"], entry["tok"]
+        batcher = await get_batcher(backend, self.model, self.language)
+        pcm = pcm16_to_float(bytes(self.utterance_audio))
+        duration_s = len(pcm) / INTERNAL_SAMPLE_RATE
+        window_samples = cfg.n_audio_ctx * 2 * 160
+        mel = log_mel_spectrogram(
+            pad_or_trim(jnp.asarray(pcm), window_samples), n_mels=cfg.n_mels
+        )
+        budget = -(-min(224, int(duration_s * 12) + 12) // 16) * 16
+        tokens = await batcher.transcribe_window(
+            np.asarray(mel), max_new_tokens=budget
+        )
+        return {"text": tok.decode(tokens).strip()}
 
     async def _transcribe_utterance(self):
         if len(self.utterance_audio) < 3200:  # <100 ms: skip

@@ -1,0 +1,144 @@
+"""JAX diarizer: embeddings, clustering, turns, and the API gate."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from open_speech_tpu.models.diarize import (
+    DiarizerConfig,
+    JaxDiarizer,
+    _agglomerate,
+    embed_windows,
+    init_diarizer_params,
+)
+
+
+def _speaker_audio(freq: float, seconds: float, seed: int) -> np.ndarray:
+    """Synthetic 'speaker': harmonic stack + noise signature."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(16000 * seconds)) / 16000
+    sig = sum(
+        (0.3 / k) * np.sin(2 * np.pi * freq * k * t) for k in range(1, 4)
+    )
+    return (sig + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def test_embed_windows_shapes_and_norm():
+    cfg = DiarizerConfig()
+    params = init_diarizer_params()
+    mels = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (3, cfg.n_mels, 150))
+    )
+    emb = embed_windows(params, cfg, mels)
+    assert emb.shape == (3, cfg.embed_dim + 2 * cfg.n_mels)
+    norms = np.linalg.norm(np.asarray(emb), axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-4)
+
+
+def test_agglomerate_separates_clear_clusters():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal(64); a /= np.linalg.norm(a)
+    b = rng.standard_normal(64); b /= np.linalg.norm(b)
+    pts = np.stack([a, a + 0.01, b, b + 0.01, a + 0.02])
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    labels = _agglomerate(pts, threshold=0.3)
+    assert labels[0] == labels[1] == labels[4]
+    assert labels[2] == labels[3]
+    assert labels[0] != labels[2]
+
+
+def test_diarize_two_speakers():
+    # A(220Hz) speaks 4s, B(520Hz) speaks 4s, A again 3s
+    audio = np.concatenate(
+        [
+            _speaker_audio(220, 4, 1),
+            _speaker_audio(520, 4, 2),
+            _speaker_audio(220, 3, 3),
+        ]
+    )
+    turns = JaxDiarizer(threshold=0.2).diarize_audio(audio)
+    assert turns, "no turns detected"
+    speakers = {t["speaker"] for t in turns}
+    assert len(speakers) >= 2  # distinguishes the two voices
+    # first and last turns should be the same speaker (A returns)
+    assert turns[0]["speaker"] == turns[-1]["speaker"]
+    # boundaries roughly at the 4s switch
+    first_b_turn = next(t for t in turns if t["speaker"] != turns[0]["speaker"])
+    assert 2.5 <= first_b_turn["start"] <= 5.5
+
+
+def test_diarize_silence_returns_empty():
+    assert JaxDiarizer().diarize_audio(np.zeros(16000 * 3, np.float32)) == []
+
+
+def test_diarizer_service_gate(monkeypatch):
+    from open_speech_tpu.config import settings
+    from open_speech_tpu.diarization import Diarizer
+
+    monkeypatch.setattr(settings, "stt_diarize_enabled", False)
+    with pytest.raises(RuntimeError, match="disabled"):
+        Diarizer()
+    monkeypatch.setattr(settings, "stt_diarize_enabled", True)
+    d = Diarizer()
+    from open_speech_tpu.ops.audio import write_wav
+
+    wav = write_wav(_speaker_audio(300, 2, 5), 16000)
+    turns = d.diarize(wav)
+    assert all({"speaker", "start", "end"} <= set(t) for t in turns)
+
+
+def test_attach_text_to_speakers():
+    from open_speech_tpu.diarization import attach_text_to_speakers
+
+    segs = [
+        {"speaker": "SPEAKER_00", "start": 0.0, "end": 2.0},
+        {"speaker": "SPEAKER_01", "start": 2.0, "end": 4.0},
+    ]
+    out = attach_text_to_speakers("one two three four", segs)
+    assert out[0]["text"] and out[1]["text"]
+    all_words = " ".join(o["text"] for o in out).split()
+    assert all_words == ["one", "two", "three", "four"]
+
+
+def test_transcriptions_diarize_endpoint(monkeypatch):
+    """?diarize=true end-to-end with mocked STT + real JAX diarizer."""
+    import asyncio
+    from unittest.mock import MagicMock
+
+    from aiohttp import FormData
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from open_speech_tpu.config import settings
+    from open_speech_tpu.ops.audio import write_wav
+    from open_speech_tpu.runtime.router import router
+    from open_speech_tpu.server.app import create_app
+
+    monkeypatch.setattr(settings, "stt_diarize_enabled", True)
+    mock = MagicMock()
+    mock.transcribe.return_value = {"text": "hello there everyone", "duration": 8.0}
+    original = router._default_backend
+    router._default_backend = mock
+
+    async def body():
+        app = create_app()
+        async with TestClient(TestServer(app)) as client:
+            audio = np.concatenate(
+                [_speaker_audio(220, 4, 1), _speaker_audio(520, 4, 2)]
+            )
+            form = FormData()
+            form.add_field("file", write_wav(audio, 16000), filename="t.wav",
+                           content_type="audio/wav")
+            resp = await client.post(
+                "/v1/audio/transcriptions?diarize=true", data=form
+            )
+            assert resp.status == 200, await resp.text()
+            data = await resp.json()
+            assert data["text"] == "hello there everyone"
+            assert data["segments"]
+            assert all("speaker" in s for s in data["segments"])
+
+    try:
+        asyncio.get_event_loop_policy().new_event_loop().run_until_complete(body())
+    finally:
+        router._default_backend = original
