@@ -19,6 +19,43 @@ from typing import Any
 import httpx
 
 
+class _ReplaySender:
+    """Pumps audio chunks into a WS; replays the in-flight chunk on retry."""
+
+    def __init__(self, audio_stream: Iterator[bytes]):
+        self._source = audio_stream
+        self._stop = threading.Event()
+        self.pending: bytes | None = None
+        self.exhausted = False
+        self.error: Exception | None = None
+
+    def pump(self, ws) -> None:
+        try:
+            if self.pending is not None:
+                ws.send(self.pending)
+                self.pending = None
+            for chunk in self._source:
+                if self._stop.is_set():
+                    return
+                self.pending = chunk
+                ws.send(chunk)
+                self.pending = None
+            self.exhausted = True
+            ws.send(json.dumps({"type": "stop"}))
+        except Exception as exc:  # pragma: no cover - network timing
+            self.error = exc
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def finished_clean(self) -> bool:
+        return self.exhausted and self.pending is None
+
+    def reset_for_retry(self) -> None:
+        self._stop.clear()
+        self.error = None
+
+
 class OpenSpeechClient:
     def __init__(
         self,
@@ -145,35 +182,21 @@ class OpenSpeechClient:
 
         ws_url = self._stream_url(model, sample_rate, vad)
         headers = self._headers() or None
-        attempts = 0
-        pending_chunk: bytes | None = None
+        sender = _ReplaySender(audio_stream)
 
-        while attempts <= reconnect_attempts:
-            stop_evt = threading.Event()
-            sender_error: list[Exception] = []
-            exhausted = False
+        for attempt in range(reconnect_attempts + 2):
+            if attempt > reconnect_attempts:
+                raise RuntimeError(
+                    "stream_transcribe disconnected and reconnection limit reached"
+                )
+            if attempt:
+                time.sleep(min(0.2 * attempt, 1.0))
 
             with connect(ws_url, additional_headers=headers) as ws:
-
-                def _sender() -> None:
-                    nonlocal pending_chunk, exhausted
-                    try:
-                        if pending_chunk is not None:
-                            ws.send(pending_chunk)
-                            pending_chunk = None
-                        for chunk in audio_stream:
-                            if stop_evt.is_set():
-                                return
-                            pending_chunk = chunk
-                            ws.send(chunk)
-                            pending_chunk = None
-                        exhausted = True
-                        ws.send(json.dumps({"type": "stop"}))
-                    except Exception as exc:  # pragma: no cover
-                        sender_error.append(exc)
-
-                t = threading.Thread(target=_sender, daemon=True)
-                t.start()
+                thread = threading.Thread(
+                    target=sender.pump, args=(ws,), daemon=True
+                )
+                thread.start()
                 try:
                     while True:
                         raw = ws.recv()
@@ -182,24 +205,18 @@ class OpenSpeechClient:
                         event = json.loads(raw)
                         yield event
                         if event.get("type") == "session.end":
-                            stop_evt.set()
+                            sender.stop()
                             break
                 except ConnectionClosed:
-                    stop_evt.set()
+                    sender.stop()
                 finally:
-                    t.join(timeout=1.0)
+                    thread.join(timeout=1.0)
 
-            if exhausted and pending_chunk is None:
+            if sender.finished_clean():
                 return
-            if sender_error and exhausted:
-                raise sender_error[0]
-
-            attempts += 1
-            if attempts > reconnect_attempts:
-                raise RuntimeError(
-                    "stream_transcribe disconnected and reconnection limit reached"
-                )
-            time.sleep(min(0.2 * attempts, 1.0))
+            if sender.error and sender.exhausted:
+                raise sender.error
+            sender.reset_for_retry()
 
     async def async_stream_transcribe(
         self,
@@ -218,39 +235,43 @@ class OpenSpeechClient:
             ) from e
 
         ws_url = self._stream_url(model, sample_rate, vad)
-        attempts = 0
-        pending_chunk: bytes | None = None
-        source_done = False
+        state = {"pending": None, "done": False, "error": None}
 
-        while attempts <= reconnect_attempts:
+        async def _chunks():
+            if hasattr(audio_stream, "__aiter__"):
+                async for chunk in audio_stream:  # type: ignore[union-attr]
+                    yield chunk
+            else:
+                for chunk in audio_stream:  # type: ignore[not-an-iterable]
+                    yield chunk
+
+        async def _pump(ws) -> None:
+            try:
+                if state["pending"] is not None:
+                    await ws.send(state["pending"])
+                    state["pending"] = None
+                async for chunk in _chunks():
+                    state["pending"] = chunk
+                    await ws.send(chunk)
+                    state["pending"] = None
+                state["done"] = True
+                await ws.send(json.dumps({"type": "stop"}))
+            except Exception as exc:  # pragma: no cover
+                state["error"] = exc
+
+        for attempt in range(reconnect_attempts + 2):
+            if attempt > reconnect_attempts:
+                raise RuntimeError(
+                    "async_stream_transcribe disconnected and reconnection "
+                    "limit reached"
+                )
+            if attempt:
+                await asyncio.sleep(min(0.2 * attempt, 1.0))
             headers = list(self._headers().items()) if self._headers() else None
             async with websockets.connect(
                 ws_url, additional_headers=headers
             ) as ws:
-                send_exc: Exception | None = None
-
-                async def _sender() -> None:
-                    nonlocal pending_chunk, source_done, send_exc
-                    try:
-                        if pending_chunk is not None:
-                            await ws.send(pending_chunk)
-                            pending_chunk = None
-                        if hasattr(audio_stream, "__aiter__"):
-                            async for chunk in audio_stream:  # type: ignore[union-attr]
-                                pending_chunk = chunk
-                                await ws.send(chunk)
-                                pending_chunk = None
-                        else:
-                            for chunk in audio_stream:  # type: ignore[not-an-iterable]
-                                pending_chunk = chunk
-                                await ws.send(chunk)
-                                pending_chunk = None
-                        source_done = True
-                        await ws.send(json.dumps({"type": "stop"}))
-                    except Exception as exc:  # pragma: no cover
-                        send_exc = exc
-
-                sender_task = asyncio.create_task(_sender())
+                pump_task = asyncio.create_task(_pump(ws))
                 try:
                     async for raw in ws:
                         if isinstance(raw, bytes):
@@ -262,26 +283,18 @@ class OpenSpeechClient:
                 except ConnectionClosed:
                     pass
                 finally:
-                    if not sender_task.done():
+                    if not pump_task.done():
                         with contextlib.suppress(BaseException):
-                            await asyncio.wait_for(sender_task, timeout=0.5)
-                    if not sender_task.done():
-                        sender_task.cancel()
+                            await asyncio.wait_for(pump_task, timeout=0.5)
+                    if not pump_task.done():
+                        pump_task.cancel()
                         with contextlib.suppress(BaseException):
-                            await sender_task
+                            await pump_task
 
-                if source_done and pending_chunk is None:
+                if state["done"] and state["pending"] is None:
                     return
-                if send_exc and source_done:
-                    raise send_exc
-
-            attempts += 1
-            if attempts > reconnect_attempts:
-                raise RuntimeError(
-                    "async_stream_transcribe disconnected and reconnection "
-                    "limit reached"
-                )
-            await asyncio.sleep(min(0.2 * attempts, 1.0))
+                if state["error"] and state["done"]:
+                    raise state["error"]
 
     # ── realtime sessions ─────────────────────────────────────────────
 

@@ -1,9 +1,10 @@
-"""Unified model manager (reference: src/model_manager.py).
+"""Unified model manager over the STT and TTS routers.
 
-Same state machine (available/provider_missing/provider_installed/
-downloading/downloaded/loaded), typed ``ModelLifecycleError``, auto-evict of
-other same-type models on load, download-as-load+unload, guarded artifact
-deletion, merged catalog listing, and TTL/LRU eviction entry points.
+Reference semantics preserved (src/model_manager.py): the
+available/provider_missing/provider_installed/downloading/downloaded/loaded
+state machine, typed lifecycle errors, auto-evicting other same-type models
+on load, download implemented as load+unload, artifact deletion restricted
+to known cache roots, a merged catalog listing, and TTL/LRU eviction hooks.
 """
 
 from __future__ import annotations
@@ -12,7 +13,7 @@ import logging
 import os
 import shutil
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from enum import Enum
 from pathlib import Path
 from typing import Any
@@ -22,16 +23,7 @@ from open_speech_tpu.runtime.registry import get_known_model, get_known_models
 
 logger = logging.getLogger(__name__)
 
-_TTS_PREFIXES = ("kokoro", "piper/", "piper-", "pocket-tts")
-
-
-def _check_provider(model_type: str, provider: str, stt_router, tts_router) -> bool:
-    if model_type == "tts":
-        return provider in getattr(tts_router, "_backends", {})
-    stt_backends = getattr(stt_router, "_backends", None)
-    if not stt_backends:
-        return True
-    return provider in stt_backends
+_TTS_ID_HINTS = ("kokoro", "piper/", "piper-", "pocket-tts")
 
 
 class ModelState(str, Enum):
@@ -53,7 +45,7 @@ class ModelLifecycleError(Exception):
     details: dict[str, Any] | None = None
 
     def to_dict(self) -> dict[str, Any]:
-        payload = {
+        body = {
             "message": self.message,
             "code": self.code,
             "model": self.model_id,
@@ -61,8 +53,8 @@ class ModelLifecycleError(Exception):
             "action": self.action,
         }
         if self.details:
-            payload["details"] = self.details
-        return payload
+            body["details"] = self.details
+        return body
 
 
 @dataclass
@@ -81,8 +73,10 @@ class ModelInfo:
     model_format: str | None = None
     provider_available: bool = True
 
+    _OPTIONAL = ("description", "source", "model_format")
+
     def to_dict(self) -> dict[str, Any]:
-        d = {
+        body: dict[str, Any] = {
             "id": self.id,
             "type": self.type,
             "provider": self.provider,
@@ -94,11 +88,19 @@ class ModelInfo:
             "is_default": self.is_default,
             "provider_available": self.provider_available,
         }
-        for key in ("description", "source", "model_format"):
-            val = getattr(self, key)
-            if val:
-                d[key] = val
-        return d
+        for key in self._OPTIONAL:
+            value = getattr(self, key)
+            if value:
+                body[key] = value
+        return body
+
+    def absorb_catalog(self, row: dict) -> None:
+        """Fill metadata gaps from a registry row."""
+        if self.size_mb is None and row.get("size_mb"):
+            self.size_mb = row["size_mb"]
+        for key in self._OPTIONAL:
+            if not getattr(self, key) and row.get(key):
+                setattr(self, key, row[key])
 
 
 class ModelManager:
@@ -106,32 +108,45 @@ class ModelManager:
         self._stt = stt_router
         self._tts = tts_router
 
-    # ── resolution ────────────────────────────────────────────────────
+    # ── id resolution ─────────────────────────────────────────────────
 
     def _resolve_type(self, model_id: str) -> str:
-        if model_id in getattr(self._tts, "_backends", {}) or any(
-            model_id.startswith(p) for p in _TTS_PREFIXES
-        ):
+        if model_id in getattr(self._tts, "_backends", {}):
             return "tts"
-        for m in self._tts.loaded_models():
-            if m.model == model_id:
-                return "tts"
+        if any(model_id.startswith(hint) for hint in _TTS_ID_HINTS):
+            return "tts"
+        if any(m.model == model_id for m in self._tts.loaded_models()):
+            return "tts"
         return "stt"
 
     def _provider_from_model(self, model_id: str) -> str:
-        known = get_known_model(model_id)
-        if known:
-            return known["provider"]
-        if model_id.startswith(("piper/", "piper-")):
-            return "piper"
-        if model_id.startswith("pocket-tts"):
-            return "pocket-tts"
-        if model_id == "kokoro":
-            return "kokoro"
+        row = get_known_model(model_id)
+        if row:
+            return row["provider"]
+        for hint, provider in (
+            ("piper/", "piper"),
+            ("piper-", "piper"),
+            ("pocket-tts", "pocket-tts"),
+            ("kokoro", "kokoro"),
+        ):
+            if model_id.startswith(hint):
+                return provider
         return "jax-whisper"
 
     def resolve_provider(self, model_id: str) -> str:
         return self._provider_from_model(model_id)
+
+    def _provider_registered(self, model_type: str, provider: str) -> bool:
+        if model_type == "tts":
+            return provider in getattr(self._tts, "_backends", {})
+        stt_backends = getattr(self._stt, "_backends", None)
+        return True if not stt_backends else provider in stt_backends
+
+    def _default_for(self, model_type: str) -> str:
+        return settings.tts_model if model_type == "tts" else settings.stt_model
+
+    def _router_for(self, model_type: str):
+        return self._tts if model_type == "tts" else self._stt
 
     # ── lifecycle ─────────────────────────────────────────────────────
 
@@ -141,7 +156,7 @@ class ModelManager:
         model_type = self._resolve_type(model_id)
         provider = self._provider_from_model(model_id)
 
-        if not _check_provider(model_type, provider, self._stt, self._tts):
+        if not self._provider_registered(model_type, provider):
             raise ModelLifecycleError(
                 message=(
                     f"Provider '{provider}' is not installed for model "
@@ -154,58 +169,60 @@ class ModelManager:
             )
 
         if _evict_others:
-            for m in self.list_loaded():
-                if m.type == model_type and m.id != model_id:
-                    try:
-                        self.unload(m.id)
-                        logger.info(
-                            "Auto-unloaded %s model %s to load %s",
-                            model_type.upper(), m.id, model_id,
-                        )
-                    except Exception as e:  # noqa: BLE001
-                        logger.warning(
-                            "Failed to auto-unload %s model %s: %s",
-                            model_type.upper(), m.id, e,
-                        )
+            self._evict_same_type(model_type, keep=model_id)
 
+        router = self._router_for(model_type)
         try:
-            target = self._tts if model_type == "tts" else self._stt
-            target.load_model(model_id)
-            default = (
-                settings.tts_model if model_type == "tts" else settings.stt_model
-            )
-            for m in target.loaded_models():
-                if m.model == model_id:
-                    return ModelInfo(
-                        id=model_id, type=model_type, provider=m.backend,
-                        device=m.device, state=ModelState.LOADED,
-                        loaded_at=m.loaded_at, last_used_at=m.last_used_at,
-                        is_default=(model_id == default), provider_available=True,
-                    )
-            return ModelInfo(
-                id=model_id, type=model_type, provider=provider,
-                state=ModelState.LOADED, is_default=(model_id == default),
-                provider_available=True,
-            )
+            router.load_model(model_id)
         except ModelLifecycleError:
             raise
-        except Exception as e:  # noqa: BLE001
+        except Exception as exc:  # noqa: BLE001
             raise ModelLifecycleError(
-                message=f"Failed to load model '{model_id}': {e}",
+                message=f"Failed to load model '{model_id}': {exc}",
                 code="load_failed",
                 model_id=model_id,
                 provider=provider,
                 action="load",
-                details={"exception": type(e).__name__},
-            ) from e
+                details={"exception": type(exc).__name__},
+            ) from exc
+
+        default_id = self._default_for(model_type)
+        for loaded in router.loaded_models():
+            if loaded.model == model_id:
+                return ModelInfo(
+                    id=model_id, type=model_type, provider=loaded.backend,
+                    device=loaded.device, state=ModelState.LOADED,
+                    loaded_at=loaded.loaded_at,
+                    last_used_at=loaded.last_used_at,
+                    is_default=(model_id == default_id),
+                )
+        return ModelInfo(
+            id=model_id, type=model_type, provider=provider,
+            state=ModelState.LOADED, is_default=(model_id == default_id),
+        )
+
+    def _evict_same_type(self, model_type: str, keep: str) -> None:
+        """One loaded model per type (reference policy)."""
+        for loaded in self.list_loaded():
+            if loaded.type != model_type or loaded.id == keep:
+                continue
+            try:
+                self.unload(loaded.id)
+                logger.info(
+                    "Auto-unloaded %s model %s to load %s",
+                    model_type.upper(), loaded.id, keep,
+                )
+            except Exception as exc:  # noqa: BLE001
+                logger.warning(
+                    "Failed to auto-unload %s model %s: %s",
+                    model_type.upper(), loaded.id, exc,
+                )
 
     def download(self, model_id: str) -> ModelInfo:
         provider = self._provider_from_model(model_id)
+        router = self._router_for(self._resolve_type(model_id))
         try:
-            target = (
-                self._tts if self._resolve_type(model_id) == "tts" else self._stt
-            )
-            was_loaded = target.is_model_loaded(model_id)
+            was_loaded = router.is_model_loaded(model_id)
         except Exception:  # noqa: BLE001
             was_loaded = False
         self.load(model_id, _evict_others=False)
@@ -216,49 +233,49 @@ class ModelManager:
         return info
 
     def unload(self, model_id: str) -> None:
-        if self._resolve_type(model_id) == "tts":
-            self._tts.unload_model(model_id)
-        else:
-            self._stt.unload_model(model_id)
+        self._router_for(self._resolve_type(model_id)).unload_model(model_id)
 
-    # ── artifacts ─────────────────────────────────────────────────────
+    # ── artifact deletion ─────────────────────────────────────────────
 
     def _hf_cache_roots(self) -> list[Path]:
-        roots: list[Path] = []
-        if settings.stt_model_dir:
-            roots.append(Path(settings.stt_model_dir).expanduser())
-        for root in (
+        candidates = [
+            settings.stt_model_dir,
             os.environ.get("HF_HUB_CACHE"),
             os.environ.get("HUGGINGFACE_HUB_CACHE"),
             str(Path.home() / ".cache" / "huggingface" / "hub"),
-        ):
-            if root:
-                p = Path(root).expanduser()
-                if p not in roots:
-                    roots.append(p)
+        ]
+        roots: list[Path] = []
+        for candidate in candidates:
+            if not candidate:
+                continue
+            path = Path(candidate).expanduser()
+            if path not in roots:
+                roots.append(path)
         return roots
 
-    def _safe_remove_dir(self, path: Path, allowed_roots: list[Path]) -> bool:
-        rp = path.resolve()
+    def _candidate_artifact_paths(self, model_id: str, provider: str) -> list[Path]:
+        safe_name = f"models--{model_id.replace('/', '--')}"
+        paths = [root / safe_name for root in self._hf_cache_roots()]
+        if provider == "kokoro":
+            paths += [
+                root / "models--hexgrad--Kokoro-82M"
+                for root in self._hf_cache_roots()
+            ]
+        return paths
+
+    @staticmethod
+    def _safe_remove_dir(path: Path, allowed_roots: list[Path]) -> bool:
+        resolved = path.resolve()
         for root in allowed_roots:
-            rr = root.resolve()
-            if rp == rr or rr in rp.parents:
-                if rp.exists() and rp.is_dir():
-                    shutil.rmtree(rp)
+            root_resolved = root.resolve()
+            if resolved == root_resolved or root_resolved in resolved.parents:
+                if resolved.is_dir():
+                    shutil.rmtree(resolved)
                     return True
         return False
 
-    def _candidate_artifact_paths(self, model_id: str, provider: str) -> list[Path]:
-        candidates: list[Path] = []
-        for root in self._hf_cache_roots():
-            candidates.append(root / f"models--{model_id.replace('/', '--')}")
-            if provider == "kokoro":
-                candidates.append(root / "models--hexgrad--Kokoro-82M")
-        return candidates
-
     def delete_artifacts(self, model_id: str) -> dict[str, Any]:
         provider = self._provider_from_model(model_id)
-        removed_paths: list[str] = []
         try:
             if self.status(model_id).state == ModelState.LOADED:
                 self.unload(model_id)
@@ -266,182 +283,180 @@ class ModelManager:
             pass
 
         deleted = False
-        if self._resolve_type(model_id) == "stt" and hasattr(
-            self._stt, "delete_cached_model"
-        ):
-            try:
-                deleted = bool(self._stt.delete_cached_model(model_id))
-            except Exception:  # noqa: BLE001
-                deleted = False
+        if self._resolve_type(model_id) == "stt":
+            precise = getattr(self._stt, "delete_cached_model", None)
+            if callable(precise):
+                try:
+                    deleted = bool(precise(model_id))
+                except Exception:  # noqa: BLE001
+                    deleted = False
 
-        allowed_roots = self._hf_cache_roots()
-        for path in self._candidate_artifact_paths(model_id, provider):
+        removed: list[str] = []
+        allowed = self._hf_cache_roots()
+        for candidate in self._candidate_artifact_paths(model_id, provider):
             try:
-                if self._safe_remove_dir(path, allowed_roots):
-                    removed_paths.append(str(path))
+                if self._safe_remove_dir(candidate, allowed):
+                    removed.append(str(candidate))
                     deleted = True
             except Exception:  # noqa: BLE001
-                logger.warning("Failed deleting path %s", path, exc_info=True)
+                logger.warning("Failed deleting path %s", candidate, exc_info=True)
 
         return {
             "status": "deleted" if deleted else "not_found",
             "model": model_id,
             "provider": provider,
-            "deleted_paths": removed_paths,
+            "deleted_paths": removed,
         }
 
-    # ── listings ──────────────────────────────────────────────────────
+    # ── listings / status ─────────────────────────────────────────────
 
     def list_loaded(self) -> list[ModelInfo]:
-        result: list[ModelInfo] = []
-        for m in self._stt.loaded_models():
-            result.append(
-                ModelInfo(
-                    id=m.model, type="stt", provider=m.backend, device=m.device,
-                    state=ModelState.LOADED, loaded_at=m.loaded_at,
-                    last_used_at=m.last_used_at,
-                    is_default=(m.model == settings.stt_model),
-                    provider_available=True,
+        out: list[ModelInfo] = []
+        for model_type, router in (("stt", self._stt), ("tts", self._tts)):
+            default_id = self._default_for(model_type)
+            for loaded in router.loaded_models():
+                out.append(
+                    ModelInfo(
+                        id=loaded.model, type=model_type,
+                        provider=loaded.backend, device=loaded.device,
+                        state=ModelState.LOADED, loaded_at=loaded.loaded_at,
+                        last_used_at=loaded.last_used_at,
+                        is_default=(loaded.model == default_id),
+                    )
                 )
-            )
-        for m in self._tts.loaded_models():
-            result.append(
-                ModelInfo(
-                    id=m.model, type="tts", provider=m.backend, device=m.device,
-                    state=ModelState.LOADED, loaded_at=m.loaded_at,
-                    last_used_at=m.last_used_at,
-                    is_default=(m.model == settings.tts_model),
-                    provider_available=True,
-                )
-            )
-        return result
+        return out
 
-    def _base_state(self, is_downloaded: bool) -> ModelState:
-        return ModelState.DOWNLOADED if is_downloaded else ModelState.PROVIDER_INSTALLED
+    @staticmethod
+    def _downloaded_state(is_downloaded: bool) -> ModelState:
+        return (
+            ModelState.DOWNLOADED
+            if is_downloaded
+            else ModelState.PROVIDER_INSTALLED
+        )
+
+    def _cached_stt_infos(self, known_types: dict[str, str]) -> list[ModelInfo]:
+        infos = []
+        for cached in self._stt.list_cached_models():
+            model_id = cached.get("model") or cached.get("id") or ""
+            if not model_id or known_types.get(model_id) != "stt":
+                continue
+            infos.append(
+                ModelInfo(
+                    id=model_id, type="stt",
+                    provider=cached.get(
+                        "backend", self._provider_from_model(model_id)
+                    ),
+                    state=self._downloaded_state(True),
+                    size_mb=cached.get("size_mb"),
+                    is_default=(model_id == settings.stt_model),
+                )
+            )
+        return infos
 
     def list_all(self) -> list[ModelInfo]:
-        models: dict[str, ModelInfo] = {}
-        for m in self.list_loaded():
-            models[m.id] = m
+        known_rows = get_known_models()
+        known_types = {row["id"]: row["type"] for row in known_rows}
 
-        known_types = {m["id"]: m["type"] for m in get_known_models()}
-        for cached in self._stt.list_cached_models():
-            mid = cached.get("model", cached.get("id", ""))
-            if not mid or mid in models:
-                continue
-            if known_types.get(mid) != "stt":
-                continue
-            provider = cached.get("backend", self._provider_from_model(mid))
-            models[mid] = ModelInfo(
-                id=mid, type="stt", provider=provider,
-                state=self._base_state(is_downloaded=True),
-                size_mb=cached.get("size_mb"),
-                is_default=(mid == settings.stt_model),
-                provider_available=True,
-            )
+        merged: dict[str, ModelInfo] = {m.id: m for m in self.list_loaded()}
+        for info in self._cached_stt_infos(known_types):
+            merged.setdefault(info.id, info)
 
-        for km in get_known_models():
-            mid, provider = km["id"], km["provider"]
-            is_tts = km["type"] == "tts"
-            provider_registered = _check_provider(
-                km["type"], provider, self._stt, self._tts
-            )
-            if mid not in models:
-                is_dl = is_tts and any(
+        for row in known_rows:
+            model_id, provider = row["id"], row["provider"]
+            is_tts = row["type"] == "tts"
+            registered = self._provider_registered(row["type"], provider)
+            existing = merged.get(model_id)
+            if existing is None:
+                downloaded = is_tts and any(
                     p.exists()
-                    for p in self._candidate_artifact_paths(mid, provider)
+                    for p in self._candidate_artifact_paths(model_id, provider)
                 )
                 state = (
                     ModelState.PROVIDER_MISSING
-                    if is_tts and not provider_registered
-                    else self._base_state(is_downloaded=is_dl)
+                    if is_tts and not registered
+                    else self._downloaded_state(downloaded)
                 )
-                models[mid] = ModelInfo(
-                    id=mid, type=km["type"], provider=provider, state=state,
-                    size_mb=km.get("size_mb"),
-                    is_default=(mid in (settings.stt_model, settings.tts_model)),
-                    description=km.get("description"),
-                    source=km.get("source"),
-                    model_format=km.get("model_format"),
-                    provider_available=provider_registered,
+                info = ModelInfo(
+                    id=model_id, type=row["type"], provider=provider,
+                    state=state, size_mb=row.get("size_mb"),
+                    is_default=model_id in (settings.stt_model, settings.tts_model),
+                    description=row.get("description"),
+                    source=row.get("source"),
+                    model_format=row.get("model_format"),
+                    provider_available=registered,
                 )
+                merged[model_id] = info
             else:
-                existing = models[mid]
-                if existing.size_mb is None and km.get("size_mb"):
-                    existing.size_mb = km["size_mb"]
-                for key in ("description", "source", "model_format"):
-                    if not getattr(existing, key, None) and km.get(key):
-                        setattr(existing, key, km[key])
-                if is_tts and not provider_registered:
+                existing.absorb_catalog(row)
+                if is_tts and not registered:
                     existing.provider_available = False
                     if existing.state != ModelState.LOADED:
                         existing.state = ModelState.PROVIDER_MISSING
 
-        for default_id, mtype in (
+        # configured defaults always appear, even off-catalog
+        for default_id, model_type in (
             (settings.stt_model, "stt"),
             (settings.tts_model, "tts"),
         ):
-            if default_id not in models:
-                provider = self._provider_from_model(default_id)
-                registered = _check_provider(mtype, provider, self._stt, self._tts)
-                models[default_id] = ModelInfo(
-                    id=default_id, type=mtype, provider=provider,
-                    state=(
-                        ModelState.PROVIDER_MISSING
-                        if mtype == "tts" and not registered
-                        else self._base_state(is_downloaded=False)
-                    ),
-                    is_default=True,
-                    provider_available=registered if mtype == "tts" else True,
-                )
-        return list(models.values())
+            if default_id in merged:
+                continue
+            provider = self._provider_from_model(default_id)
+            registered = self._provider_registered(model_type, provider)
+            merged[default_id] = ModelInfo(
+                id=default_id, type=model_type, provider=provider,
+                state=(
+                    ModelState.PROVIDER_MISSING
+                    if model_type == "tts" and not registered
+                    else self._downloaded_state(False)
+                ),
+                is_default=True,
+                provider_available=registered if model_type == "tts" else True,
+            )
+        return list(merged.values())
 
     def status(self, model_id: str) -> ModelInfo:
-        for m in self.list_loaded():
-            if m.id == model_id:
-                return m
+        for info in self.list_loaded():
+            if info.id == model_id:
+                return info
         for cached in self._stt.list_cached_models():
-            mid = cached.get("model", cached.get("id", ""))
-            if mid == model_id:
-                provider = cached.get("backend", self._provider_from_model(mid))
+            if (cached.get("model") or cached.get("id")) == model_id:
                 return ModelInfo(
-                    id=model_id, type="stt", provider=provider,
-                    state=self._base_state(is_downloaded=True),
+                    id=model_id, type="stt",
+                    provider=cached.get(
+                        "backend", self._provider_from_model(model_id)
+                    ),
+                    state=self._downloaded_state(True),
                     size_mb=cached.get("size_mb"),
                     is_default=(model_id == settings.stt_model),
-                    provider_available=True,
                 )
         model_type = self._resolve_type(model_id)
-        provider = self.resolve_provider(model_id)
-        is_dl = False
-        provider_available = True
+        provider = self._provider_from_model(model_id)
+        registered = True
+        downloaded = False
         if model_type == "tts":
-            is_dl = any(
+            registered = self._provider_registered("tts", provider)
+            downloaded = any(
                 p.exists()
                 for p in self._candidate_artifact_paths(model_id, provider)
             )
-            provider_available = _check_provider(
-                "tts", provider, self._stt, self._tts
-            )
-        state = (
-            ModelState.PROVIDER_MISSING
-            if model_type == "tts" and not provider_available
-            else self._base_state(is_downloaded=is_dl)
-        )
         return ModelInfo(
-            id=model_id, type=model_type, provider=provider, state=state,
-            is_default=(model_id in (settings.stt_model, settings.tts_model)),
-            provider_available=provider_available,
+            id=model_id, type=model_type, provider=provider,
+            state=(
+                ModelState.PROVIDER_MISSING
+                if model_type == "tts" and not registered
+                else self._downloaded_state(downloaded)
+            ),
+            is_default=model_id in (settings.stt_model, settings.tts_model),
+            provider_available=registered,
         )
 
-    # ── eviction ──────────────────────────────────────────────────────
+    # ── eviction hooks ────────────────────────────────────────────────
 
     def evict_lru(self) -> None:
-        non_default = [m for m in self.list_loaded() if not m.is_default]
-        if not non_default:
+        evictable = [m for m in self.list_loaded() if not m.is_default]
+        if not evictable:
             return
-        non_default.sort(key=lambda m: m.last_used_at or 0)
-        oldest = non_default[0]
+        oldest = min(evictable, key=lambda m: m.last_used_at or 0)
         logger.info("LRU eviction: unloading %s", oldest.id)
         self.unload(oldest.id)
 
@@ -450,12 +465,13 @@ class ModelManager:
         if ttl <= 0:
             return
         now = time.time()
-        for m in self.list_loaded():
-            if m.is_default:
+        for info in self.list_loaded():
+            if info.is_default:
                 continue
-            last_used = m.last_used_at or m.loaded_at or now
-            if (now - last_used) > ttl:
+            last_used = info.last_used_at or info.loaded_at or now
+            idle = now - last_used
+            if idle > ttl:
                 logger.info(
-                    "TTL eviction: unloading %s (idle %.0fs)", m.id, now - last_used
+                    "TTL eviction: unloading %s (idle %.0fs)", info.id, idle
                 )
-                self.unload(m.id)
+                self.unload(info.id)

@@ -1,80 +1,140 @@
-"""Curated model catalog (reference: src/model_registry.py:5-71).
+"""Curated model catalog.
 
-Native ids (``whisper-*``) are primary; the reference's CT2 repo ids remain
-listed so configurations written for the reference keep resolving. All STT
-rows run on the jax-whisper provider; TTS rows on kokoro / piper (provider
-names match the TTS router's backend keys).
+Same catalog contents as the reference registry (src/model_registry.py) —
+native ``whisper-*`` ids are primary, the reference's CT2-era repo ids stay
+listed as aliases so existing configurations resolve. Rows are stored as
+compact tuples and expanded to the dict shape the management API serves.
 """
 
 from __future__ import annotations
 
-_W = "jax-whisper"
+_STT_DESCRIPTIONS = {
+    "tiny": "Fastest, lowest quality",
+    "base": "Good balance",
+    "small": "Better accuracy",
+    "medium": "High accuracy",
+    "tiny.en": "English-only tiny model",
+    "base.en": "English-only base model",
+    "small.en": "English-only small model",
+    "medium.en": "English-only medium model",
+    "large-v2": "Large-v2, high accuracy",
+    "large-v3": "Large-v3, high accuracy",
+    "large-v3-turbo": "Large-v3-turbo, near large-v3 accuracy at 3-4x speed",
+    "distil-large-v3": "Distil-large-v3, near large-v3 quality at half size",
+}
 
-KNOWN_MODELS: list[dict] = [
-    # STT — native ids
-    {"id": "whisper-tiny", "type": "stt", "provider": _W, "source": "openai", "model_format": "jax", "size_mb": 75, "description": "Fastest, lowest quality"},
-    {"id": "whisper-base", "type": "stt", "provider": _W, "source": "openai", "model_format": "jax", "size_mb": 150, "description": "Good balance"},
-    {"id": "whisper-small", "type": "stt", "provider": _W, "source": "openai", "model_format": "jax", "size_mb": 500, "description": "Better accuracy"},
-    {"id": "whisper-medium", "type": "stt", "provider": _W, "source": "openai", "model_format": "jax", "size_mb": 1500, "description": "High accuracy"},
-    {"id": "whisper-tiny.en", "type": "stt", "provider": _W, "source": "openai", "model_format": "jax", "size_mb": 75, "description": "English-only tiny model"},
-    {"id": "whisper-base.en", "type": "stt", "provider": _W, "source": "openai", "model_format": "jax", "size_mb": 150, "description": "English-only base model"},
-    {"id": "whisper-small.en", "type": "stt", "provider": _W, "source": "openai", "model_format": "jax", "size_mb": 500, "description": "English-only small model"},
-    {"id": "whisper-medium.en", "type": "stt", "provider": _W, "source": "openai", "model_format": "jax", "size_mb": 1500, "description": "English-only medium model"},
-    {"id": "whisper-large-v2", "type": "stt", "provider": _W, "source": "openai", "model_format": "jax", "size_mb": 2900, "description": "Large-v2, high accuracy"},
-    {"id": "whisper-large-v3", "type": "stt", "provider": _W, "source": "openai", "model_format": "jax", "size_mb": 3000, "description": "Large-v3, high accuracy"},
-    {"id": "whisper-large-v3-turbo", "type": "stt", "provider": _W, "source": "openai", "model_format": "jax", "size_mb": 1600, "description": "Large-v3-turbo, near large-v3 accuracy at 3-4x speed"},
-    {"id": "whisper-distil-large-v3", "type": "stt", "provider": _W, "source": "distil-whisper", "model_format": "jax", "size_mb": 1500, "description": "Distil-large-v3, near large-v3 quality at half size"},
-    # STT — reference-compatible aliases (same models, CT2-era ids)
-    {"id": "Systran/faster-whisper-tiny", "type": "stt", "provider": _W, "source": "Systran", "model_format": "jax", "size_mb": 75, "description": "Alias of whisper-tiny"},
-    {"id": "Systran/faster-whisper-base", "type": "stt", "provider": _W, "source": "Systran", "model_format": "jax", "size_mb": 150, "description": "Alias of whisper-base"},
-    {"id": "Systran/faster-whisper-small", "type": "stt", "provider": _W, "source": "Systran", "model_format": "jax", "size_mb": 500, "description": "Alias of whisper-small"},
-    {"id": "Systran/faster-whisper-medium", "type": "stt", "provider": _W, "source": "Systran", "model_format": "jax", "size_mb": 1500, "description": "Alias of whisper-medium"},
-    {"id": "Systran/faster-whisper-large-v3", "type": "stt", "provider": _W, "source": "Systran", "model_format": "jax", "size_mb": 3000, "description": "Alias of whisper-large-v3"},
-    {"id": "deepdml/faster-whisper-large-v3-turbo-ct2", "type": "stt", "provider": _W, "source": "deepdml", "model_format": "jax", "size_mb": 1600, "description": "Alias of whisper-large-v3-turbo"},
-    # TTS — kokoro
-    {"id": "kokoro", "type": "tts", "provider": "kokoro", "size_mb": 330, "description": "Fast, 52 voices, voice blending"},
-    # TTS — pocket-tts (streaming + voice clone + voice design)
-    {"id": "pocket-tts", "type": "tts", "provider": "pocket-tts", "size_mb": 220, "description": "Low-latency streaming TTS with voice cloning and voice design"},
-    # TTS — piper
-    {"id": "piper/en_US-lessac-low", "type": "tts", "provider": "piper", "size_mb": 6, "description": "US English - Lessac, low quality"},
-    {"id": "piper/en_US-lessac-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - Lessac voice"},
-    {"id": "piper/en_US-lessac-high", "type": "tts", "provider": "piper", "size_mb": 75, "description": "US English - Lessac, high quality"},
-    {"id": "piper/en_US-amy-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - Amy voice"},
-    {"id": "piper/en_US-amy-high", "type": "tts", "provider": "piper", "size_mb": 75, "description": "US English - Amy, high quality"},
-    {"id": "piper/en_US-arctic-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - Arctic voice"},
-    {"id": "piper/en_US-bryce-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - Bryce voice"},
-    {"id": "piper/en_US-danny-low", "type": "tts", "provider": "piper", "size_mb": 6, "description": "US English - Danny, low quality"},
-    {"id": "piper/en_US-hfc_female-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - HFC female voice"},
-    {"id": "piper/en_US-hfc_male-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - HFC male voice"},
-    {"id": "piper/en_US-joe-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - Joe voice"},
-    {"id": "piper/en_US-john-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - John voice"},
-    {"id": "piper/en_US-kathleen-low", "type": "tts", "provider": "piper", "size_mb": 6, "description": "US English - Kathleen, low quality"},
-    {"id": "piper/en_US-kusal-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - Kusal voice"},
-    {"id": "piper/en_US-libritts_r-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - LibriTTS-R voice"},
-    {"id": "piper/en_US-ljspeech-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - LJSpeech voice"},
-    {"id": "piper/en_US-ljspeech-high", "type": "tts", "provider": "piper", "size_mb": 75, "description": "US English - LJSpeech, high quality"},
-    {"id": "piper/en_US-norman-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - Norman voice"},
-    {"id": "piper/en_US-ryan-low", "type": "tts", "provider": "piper", "size_mb": 6, "description": "US English - Ryan, low quality"},
-    {"id": "piper/en_US-ryan-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "US English - Ryan voice"},
-    {"id": "piper/en_US-ryan-high", "type": "tts", "provider": "piper", "size_mb": 75, "description": "US English - Ryan, high quality"},
-    {"id": "piper/en_GB-alan-low", "type": "tts", "provider": "piper", "size_mb": 6, "description": "British English - Alan, low quality"},
-    {"id": "piper/en_GB-alan-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "British English - Alan voice"},
-    {"id": "piper/en_GB-cori-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "British English - Cori voice"},
-    {"id": "piper/en_GB-cori-high", "type": "tts", "provider": "piper", "size_mb": 75, "description": "British English - Cori, high quality"},
-    {"id": "piper/en_GB-jenny_dioco-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "British English - Jenny Dioco voice"},
-    {"id": "piper/en_GB-northern_english_male-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "British English - Northern English male voice"},
-    {"id": "piper/en_GB-semaine-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "British English - Semaine voice"},
-    {"id": "piper/en_GB-southern_english_female-low", "type": "tts", "provider": "piper", "size_mb": 6, "description": "British English - Southern English female, low quality"},
-    {"id": "piper/en_GB-southern_english_female-medium", "type": "tts", "provider": "piper", "size_mb": 35, "description": "British English - Southern English female voice"},
-]
+_STT_SIZES = {
+    "tiny": 75, "tiny.en": 75, "base": 150, "base.en": 150,
+    "small": 500, "small.en": 500, "medium": 1500, "medium.en": 1500,
+    "large-v2": 2900, "large-v3": 3000, "large-v3-turbo": 1600,
+    "distil-large-v3": 1500,
+}
+
+# (alias id, preset) — reference CT2 repo ids mapped onto the same models
+_STT_ALIASES = (
+    ("Systran/faster-whisper-tiny", "tiny"),
+    ("Systran/faster-whisper-base", "base"),
+    ("Systran/faster-whisper-small", "small"),
+    ("Systran/faster-whisper-medium", "medium"),
+    ("Systran/faster-whisper-large-v3", "large-v3"),
+    ("deepdml/faster-whisper-large-v3-turbo-ct2", "large-v3-turbo"),
+)
+
+# (short id, size_mb, description) for the piper voice catalog
+_PIPER_VOICES = (
+    ("en_US-lessac-low", 6, "US English - Lessac, low quality"),
+    ("en_US-lessac-medium", 35, "US English - Lessac voice"),
+    ("en_US-lessac-high", 75, "US English - Lessac, high quality"),
+    ("en_US-amy-medium", 35, "US English - Amy voice"),
+    ("en_US-amy-high", 75, "US English - Amy, high quality"),
+    ("en_US-arctic-medium", 35, "US English - Arctic voice"),
+    ("en_US-bryce-medium", 35, "US English - Bryce voice"),
+    ("en_US-danny-low", 6, "US English - Danny, low quality"),
+    ("en_US-hfc_female-medium", 35, "US English - HFC female voice"),
+    ("en_US-hfc_male-medium", 35, "US English - HFC male voice"),
+    ("en_US-joe-medium", 35, "US English - Joe voice"),
+    ("en_US-john-medium", 35, "US English - John voice"),
+    ("en_US-kathleen-low", 6, "US English - Kathleen, low quality"),
+    ("en_US-kusal-medium", 35, "US English - Kusal voice"),
+    ("en_US-libritts_r-medium", 35, "US English - LibriTTS-R voice"),
+    ("en_US-ljspeech-medium", 35, "US English - LJSpeech voice"),
+    ("en_US-ljspeech-high", 75, "US English - LJSpeech, high quality"),
+    ("en_US-norman-medium", 35, "US English - Norman voice"),
+    ("en_US-ryan-low", 6, "US English - Ryan, low quality"),
+    ("en_US-ryan-medium", 35, "US English - Ryan voice"),
+    ("en_US-ryan-high", 75, "US English - Ryan, high quality"),
+    ("en_GB-alan-low", 6, "British English - Alan, low quality"),
+    ("en_GB-alan-medium", 35, "British English - Alan voice"),
+    ("en_GB-cori-medium", 35, "British English - Cori voice"),
+    ("en_GB-cori-high", 75, "British English - Cori, high quality"),
+    ("en_GB-jenny_dioco-medium", 35, "British English - Jenny Dioco voice"),
+    ("en_GB-northern_english_male-medium", 35,
+     "British English - Northern English male voice"),
+    ("en_GB-semaine-medium", 35, "British English - Semaine voice"),
+    ("en_GB-southern_english_female-low", 6,
+     "British English - Southern English female, low quality"),
+    ("en_GB-southern_english_female-medium", 35,
+     "British English - Southern English female voice"),
+)
+
+
+def _stt_row(model_id: str, preset: str, source: str) -> dict:
+    return {
+        "id": model_id,
+        "type": "stt",
+        "provider": "jax-whisper",
+        "source": source,
+        "model_format": "jax",
+        "size_mb": _STT_SIZES[preset],
+        "description": (
+            _STT_DESCRIPTIONS[preset]
+            if model_id.startswith("whisper-")
+            else f"Alias of whisper-{preset}"
+        ),
+    }
+
+
+def _build_catalog() -> list[dict]:
+    rows: list[dict] = []
+    for preset in _STT_DESCRIPTIONS:
+        source = "distil-whisper" if preset.startswith("distil") else "openai"
+        rows.append(_stt_row(f"whisper-{preset}", preset, source))
+    for alias, preset in _STT_ALIASES:
+        rows.append(_stt_row(alias, preset, alias.split("/")[0]))
+    rows.append(
+        {
+            "id": "kokoro", "type": "tts", "provider": "kokoro",
+            "size_mb": 330, "description": "Fast, 52 voices, voice blending",
+        }
+    )
+    rows.append(
+        {
+            "id": "pocket-tts", "type": "tts", "provider": "pocket-tts",
+            "size_mb": 220,
+            "description": (
+                "Low-latency streaming TTS with voice cloning and voice design"
+            ),
+        }
+    )
+    for short_id, size_mb, description in _PIPER_VOICES:
+        rows.append(
+            {
+                "id": f"piper/{short_id}", "type": "tts", "provider": "piper",
+                "size_mb": size_mb, "description": description,
+            }
+        )
+    return rows
+
+
+KNOWN_MODELS: list[dict] = _build_catalog()
+
+_BY_ID = {row["id"]: row for row in KNOWN_MODELS}
 
 
 def get_known_models() -> list[dict]:
-    return [m.copy() for m in KNOWN_MODELS]
+    return [row.copy() for row in KNOWN_MODELS]
 
 
 def get_known_model(model_id: str) -> dict | None:
-    for m in KNOWN_MODELS:
-        if m["id"] == model_id:
-            return m.copy()
-    return None
+    row = _BY_ID.get(model_id)
+    return row.copy() if row else None

@@ -1,9 +1,14 @@
-"""Realtime session state/config (reference: src/realtime/session.py)."""
+"""Realtime session configuration state.
+
+Covers the subset of OpenAI Realtime ``session.update`` the server honors
+(reference behavior: src/realtime/session.py): audio formats, voice, model,
+transcription config, and server-VAD turn detection.
+"""
 
 from __future__ import annotations
 
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import asdict, dataclass, field
 from typing import Any
 
 VALID_AUDIO_FORMATS = {"pcm16", "g711_ulaw", "g711_alaw"}
@@ -17,12 +22,30 @@ class TurnDetectionConfig:
     threshold: float = 0.5
     prefix_padding_ms: int = 300
     silence_duration_ms: int = 500
-    create_response: bool = False  # no LLM responses here
+    create_response: bool = False  # audio I/O only — no LLM responses
+
+    # field -> coercion applied when a session.update provides it
+    _COERCE = {
+        "type": str,
+        "threshold": float,
+        "prefix_padding_ms": int,
+        "silence_duration_ms": int,
+        "create_response": bool,
+    }
+
+    def apply(self, update: dict[str, Any]) -> None:
+        for key, cast in self._COERCE.items():
+            if key in update:
+                setattr(self, key, cast(update[key]))
+
+
+def _new_session_id() -> str:
+    return f"sess_{uuid.uuid4().hex[:24]}"
 
 
 @dataclass
 class SessionConfig:
-    id: str = field(default_factory=lambda: f"sess_{uuid.uuid4().hex[:24]}")
+    id: str = field(default_factory=_new_session_id)
     model: str = ""
     voice: str = "alloy"
     input_audio_format: str = "pcm16"
@@ -34,16 +57,13 @@ class SessionConfig:
         default_factory=TurnDetectionConfig
     )
 
+    @property
+    def vad_enabled(self) -> bool:
+        td = self.turn_detection
+        return td is not None and td.type == "server_vad"
+
     def to_dict(self) -> dict[str, Any]:
-        td = None
-        if self.turn_detection:
-            td = {
-                "type": self.turn_detection.type,
-                "threshold": self.turn_detection.threshold,
-                "prefix_padding_ms": self.turn_detection.prefix_padding_ms,
-                "silence_duration_ms": self.turn_detection.silence_duration_ms,
-                "create_response": self.turn_detection.create_response,
-            }
+        td = self.turn_detection
         return {
             "id": self.id,
             "object": "realtime.session",
@@ -52,41 +72,32 @@ class SessionConfig:
             "input_audio_format": self.input_audio_format,
             "output_audio_format": self.output_audio_format,
             "input_audio_transcription": self.input_audio_transcription,
-            "turn_detection": td,
+            "turn_detection": (
+                {k: v for k, v in asdict(td).items()} if td else None
+            ),
             "modalities": ["audio", "text"],
         }
 
     def update_from(self, data: dict[str, Any]) -> None:
-        session = data.get("session", data)
-        if session.get("model"):
-            self.model = str(session["model"])
-        if "voice" in session:
-            self.voice = session["voice"]
-        for key in ("input_audio_format", "output_audio_format"):
-            if key in session and session[key] in VALID_AUDIO_FORMATS:
-                setattr(self, key, session[key])
-        if "input_audio_transcription" in session:
-            self.input_audio_transcription = session["input_audio_transcription"]
-        if "turn_detection" in session:
-            td = session["turn_detection"]
-            if td is None:
-                self.turn_detection = None
-            else:
-                if self.turn_detection is None:
-                    self.turn_detection = TurnDetectionConfig()
-                for key, cast in (
-                    ("type", str),
-                    ("threshold", float),
-                    ("prefix_padding_ms", int),
-                    ("silence_duration_ms", int),
-                    ("create_response", bool),
-                ):
-                    if key in td:
-                        setattr(self.turn_detection, key, cast(td[key]))
+        payload = data.get("session", data)
 
-    @property
-    def vad_enabled(self) -> bool:
-        return (
-            self.turn_detection is not None
-            and self.turn_detection.type == "server_vad"
-        )
+        if payload.get("model"):
+            self.model = str(payload["model"])
+        if "voice" in payload:
+            self.voice = payload["voice"]
+        for fmt_field in ("input_audio_format", "output_audio_format"):
+            candidate = payload.get(fmt_field)
+            if candidate in VALID_AUDIO_FORMATS:
+                setattr(self, fmt_field, candidate)
+        if "input_audio_transcription" in payload:
+            self.input_audio_transcription = payload["input_audio_transcription"]
+
+        if "turn_detection" not in payload:
+            return
+        td_update = payload["turn_detection"]
+        if td_update is None:
+            self.turn_detection = None
+        else:
+            if self.turn_detection is None:
+                self.turn_detection = TurnDetectionConfig()
+            self.turn_detection.apply(td_update)

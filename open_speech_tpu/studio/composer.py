@@ -37,6 +37,25 @@ class MultiTrackComposer:
 
     # ── rendering ─────────────────────────────────────────────────────
 
+    def _prepare_track(self, track: dict, sample_rate: int) -> tuple[dict, np.ndarray]:
+        """Validate, load, apply effects/volume, resample to the mix rate."""
+        source_path = self._validate_source_path(track.get("source_path", ""))
+        src_rate, samples = self._load_audio(source_path)
+        samples = apply_chain(samples, src_rate, track.get("effects") or [])
+        volume = float(track.get("volume", 1.0))
+        samples = (samples * volume).astype(np.float32, copy=False)
+        if int(src_rate) != int(sample_rate):
+            samples = self._resample(samples, int(src_rate), int(sample_rate))
+        meta = {
+            "offset_s": float(track.get("offset_s", 0.0)),
+            "source_path": str(source_path),
+            "volume": volume,
+            "muted": bool(track.get("muted", False)),
+            "solo": bool(track.get("solo", False)),
+            "effects": track.get("effects") or [],
+        }
+        return meta, samples
+
     def render(
         self, tracks: list[dict], format: str = "wav",
         sample_rate: int = 24000, name: str | None = None,
@@ -45,25 +64,12 @@ class MultiTrackComposer:
         if not active:
             raise ValueError("No active tracks to render")
 
-        prepared, persisted = [], []
+        persisted: list[dict] = []
+        prepared: list[dict] = []
         for track in active:
-            source_path = self._validate_source_path(track.get("source_path", ""))
-            src_rate, samples = self._load_audio(source_path)
-            samples = apply_chain(samples, src_rate, track.get("effects") or [])
-            volume = float(track.get("volume", 1.0))
-            samples = (samples * volume).astype(np.float32, copy=False)
-            if int(src_rate) != int(sample_rate):
-                samples = self._resample(samples, int(src_rate), int(sample_rate))
-            meta = {
-                "offset_s": float(track.get("offset_s", 0.0)),
-                "source_path": str(source_path),
-                "volume": volume,
-                "muted": bool(track.get("muted", False)),
-                "solo": bool(track.get("solo", False)),
-                "effects": track.get("effects") or [],
-            }
-            prepared.append({**meta, "samples": samples})
+            meta, samples = self._prepare_track(track, int(sample_rate))
             persisted.append(meta)
+            prepared.append({**meta, "samples": samples})
 
         mixed = self._mix_prepared(prepared, int(sample_rate))
 
@@ -166,16 +172,18 @@ class MultiTrackComposer:
 
     @staticmethod
     def _mix_prepared(prepared: list[dict], sample_rate: int) -> np.ndarray:
-        total = 0
-        for track in prepared:
-            start = int(round(max(0.0, track["offset_s"]) * sample_rate))
-            total = max(total, start + len(track["samples"]))
+        def start_of(track: dict) -> int:
+            return int(round(max(0.0, track["offset_s"]) * sample_rate))
+
+        placements = [
+            (start_of(t), np.asarray(t["samples"], np.float32))
+            for t in prepared
+        ]
+        total = max((s + len(x) for s, x in placements), default=0)
         if total <= 0:
             return np.zeros(0, np.float32)
         mixed = np.zeros(total, np.float32)
-        for track in prepared:
-            start = int(round(max(0.0, track["offset_s"]) * sample_rate))
-            samples = np.asarray(track["samples"], np.float32)
+        for start, samples in placements:
             mixed[start : start + len(samples)] += samples
         return np.clip(mixed, -1.0, 1.0)
 

@@ -137,6 +137,41 @@ class ConversationManager:
         db.commit()
         return cur.rowcount > 0
 
+    def _resolve_turn_settings(self, turn: dict) -> tuple[str, str, float]:
+        """Profile-resolved (model, voice, speed) with config fallbacks."""
+        profile = None
+        if self.profile_manager and turn.get("profile_id"):
+            profile = self.profile_manager.get(turn["profile_id"])
+        profile = profile or {}
+        return (
+            profile.get("model") or settings.tts_model,
+            profile.get("voice") or settings.tts_voice,
+            float(profile.get("speed") or 1.0),
+        )
+
+    def _render_turn(
+        self, db, turn: dict, index: int, out_dir: Path,
+        sample_rate: int, save_turn_audio: bool,
+    ) -> np.ndarray:
+        model, voice, speed = self._resolve_turn_settings(turn)
+        samples = self._synthesize_turn(
+            text=turn["text"], model=model, voice=voice, speed=speed,
+            sample_rate=sample_rate,
+        )
+        if turn.get("effects"):
+            samples = apply_chain(samples, sample_rate, turn["effects"])
+        turn_path = None
+        if save_turn_audio:
+            turn_path = str(out_dir / f"turn_{index}.wav")
+            Path(turn_path).write_bytes(write_wav(samples, sample_rate))
+        duration_ms = int(1000 * len(samples) / sample_rate) if len(samples) else 0
+        db.execute(
+            "UPDATE conversation_turns SET audio_path = ?, duration_ms = ?"
+            " WHERE id = ?",
+            (turn_path, duration_ms, turn["id"]),
+        )
+        return samples
+
     def render(
         self, conversation_id: str, format="wav", sample_rate=24000,
         save_turn_audio=True,
@@ -146,47 +181,30 @@ class ConversationManager:
             "SELECT * FROM conversations WHERE id = ?", (conversation_id,)
         ).fetchone():
             raise KeyError(conversation_id)
-        turns = db.execute(
-            "SELECT * FROM conversation_turns WHERE conversation_id = ?"
-            " ORDER BY turn_index ASC",
-            (conversation_id,),
-        ).fetchall()
+        turns = [
+            self._turn_row(r)
+            for r in db.execute(
+                "SELECT * FROM conversation_turns WHERE conversation_id = ?"
+                " ORDER BY turn_index ASC",
+                (conversation_id,),
+            ).fetchall()
+        ]
         if not turns:
             raise ValueError("Conversation has no turns")
 
         out_dir = Path(settings.os_conversations_dir) / conversation_id
         out_dir.mkdir(parents=True, exist_ok=True)
 
+        gap = np.zeros(int(sample_rate * SILENCE_MS / 1000), np.float32)
         pieces: list[np.ndarray] = []
-        silence = np.zeros(int(sample_rate * SILENCE_MS / 1000), np.float32)
-        for n, row in enumerate(turns, start=1):
-            turn = self._turn_row(row)
-            profile = (
-                self.profile_manager.get(turn["profile_id"])
-                if self.profile_manager and turn.get("profile_id")
-                else None
+        for index, turn in enumerate(turns, start=1):
+            if pieces:
+                pieces.append(gap)  # 500 ms between turns
+            pieces.append(
+                self._render_turn(
+                    db, turn, index, out_dir, sample_rate, save_turn_audio
+                )
             )
-            model = (profile or {}).get("model") or settings.tts_model
-            voice = (profile or {}).get("voice") or settings.tts_voice
-            speed = float((profile or {}).get("speed") or 1.0)
-            samples = self._synthesize_turn(
-                text=turn["text"], model=model, voice=voice, speed=speed,
-                sample_rate=sample_rate,
-            )
-            if turn.get("effects"):
-                samples = apply_chain(samples, sample_rate, turn["effects"])
-            duration_ms = int(1000 * len(samples) / sample_rate) if len(samples) else 0
-            turn_path = str(out_dir / f"turn_{n}.wav") if save_turn_audio else None
-            if save_turn_audio:
-                Path(turn_path).write_bytes(write_wav(samples, sample_rate))
-            db.execute(
-                "UPDATE conversation_turns SET audio_path = ?, duration_ms = ?"
-                " WHERE id = ?",
-                (turn_path, duration_ms, turn["id"]),
-            )
-            pieces.append(samples)
-            if n < len(turns):
-                pieces.append(silence)
 
         merged = (
             np.concatenate(pieces) if pieces else np.zeros(0, np.float32)

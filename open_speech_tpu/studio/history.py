@@ -1,4 +1,10 @@
-"""Generation history (reference: src/history.py): auto-log, prune by count/MB."""
+"""Generation history: auto-logged TTS/STT records with pruning.
+
+Reference behavior (src/history.py): every synthesis/transcription gets a
+row; pruning enforces OS_HISTORY_MAX_ENTRIES (newest kept) and
+OS_HISTORY_MAX_MB of stored audio (oldest audio-bearing rows dropped first);
+deleting a row removes its audio file.
+"""
 
 from __future__ import annotations
 
@@ -11,14 +17,24 @@ from uuid import uuid4
 from open_speech_tpu.config import settings
 from open_speech_tpu.studio.storage import get_db
 
-
-def _now_iso() -> str:
-    return datetime.now(timezone.utc).isoformat()
+_PREVIEW_CHARS = 180
 
 
-def _preview(text: str, n: int = 180) -> str:
-    t = (text or "").strip()
-    return t if len(t) <= n else t[: n - 1] + "…"
+def _clip_preview(text: str) -> str:
+    cleaned = (text or "").strip()
+    if len(cleaned) <= _PREVIEW_CHARS:
+        return cleaned
+    return cleaned[: _PREVIEW_CHARS - 1] + "…"
+
+
+def _insert(db, columns: dict) -> None:
+    names = ", ".join(columns)
+    marks = ", ".join("?" * len(columns))
+    db.execute(
+        f"INSERT INTO history_entries ({names}) VALUES ({marks})",
+        tuple(columns.values()),
+    )
+    db.commit()
 
 
 class HistoryManager:
@@ -27,126 +43,137 @@ class HistoryManager:
         streamed=False,
     ) -> str:
         entry_id = str(uuid4())
-        path_value = (
-            None
-            if streamed or not settings.os_history_retain_audio
-            else output_path
+        keep_audio = not streamed and settings.os_history_retain_audio
+        _insert(
+            get_db(),
+            {
+                "id": entry_id,
+                "type": "tts",
+                "created_at": datetime.now(timezone.utc).isoformat(),
+                "model": model,
+                "voice": voice,
+                "speed": speed,
+                "format": format,
+                "text_preview": _clip_preview(text),
+                "full_text": text,
+                "output_path": output_path if keep_audio else None,
+                "output_bytes": None if streamed else output_bytes,
+                "streamed": 1 if streamed else 0,
+                "meta_json": "{}",
+            },
         )
-        bytes_value = None if streamed else output_bytes
-        db = get_db()
-        db.execute(
-            "INSERT INTO history_entries (id, type, created_at, model, voice,"
-            " speed, format, text_preview, full_text, output_path,"
-            " output_bytes, streamed, meta_json)"
-            " VALUES (?, 'tts', ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
-            (
-                entry_id, _now_iso(), model, voice, speed, format,
-                _preview(text), text, path_value, bytes_value,
-                1 if streamed else 0, json.dumps({}),
-            ),
-        )
-        db.commit()
         self.prune()
         return entry_id
 
     def log_stt(self, model, input_filename, result_text) -> str:
         entry_id = str(uuid4())
-        db = get_db()
-        db.execute(
-            "INSERT INTO history_entries (id, type, created_at, model,"
-            " text_preview, full_text, input_filename, streamed, meta_json)"
-            " VALUES (?, 'stt', ?, ?, ?, ?, ?, 0, ?)",
-            (
-                entry_id, _now_iso(), model, _preview(result_text),
-                result_text, input_filename, json.dumps({}),
-            ),
+        _insert(
+            get_db(),
+            {
+                "id": entry_id,
+                "type": "stt",
+                "created_at": datetime.now(timezone.utc).isoformat(),
+                "model": model,
+                "text_preview": _clip_preview(result_text),
+                "full_text": result_text,
+                "input_filename": input_filename,
+                "streamed": 0,
+                "meta_json": "{}",
+            },
         )
-        db.commit()
         self.prune()
         return entry_id
 
     def list_entries(self, type_filter=None, limit=50, offset=0) -> dict:
         db = get_db()
-        where, params = "", []
+        condition, args = "", []
         if type_filter in {"tts", "stt"}:
-            where = "WHERE type = ?"
-            params.append(type_filter)
+            condition = "WHERE type = ?"
+            args = [type_filter]
         total = db.execute(
-            f"SELECT COUNT(*) FROM history_entries {where}", tuple(params)
+            f"SELECT COUNT(*) FROM history_entries {condition}", args
         ).fetchone()[0]
         rows = db.execute(
-            f"SELECT * FROM history_entries {where}"
-            " ORDER BY created_at DESC LIMIT ? OFFSET ?",
-            tuple([*params, int(limit), int(offset)]),
+            f"SELECT * FROM history_entries {condition} "
+            "ORDER BY created_at DESC LIMIT ? OFFSET ?",
+            [*args, int(limit), int(offset)],
         ).fetchall()
-        items = [dict(r) for r in rows]
-        for item in items:
+        items = []
+        for row in rows:
+            item = dict(row)
             item["streamed"] = bool(item.get("streamed"))
+            items.append(item)
         return {
-            "items": items,
-            "total": total,
-            "limit": int(limit),
-            "offset": int(offset),
+            "items": items, "total": total,
+            "limit": int(limit), "offset": int(offset),
         }
 
     def delete_entry(self, entry_id: str) -> bool:
         db = get_db()
         row = db.execute(
-            "SELECT output_path FROM history_entries WHERE id = ?", (entry_id,)
+            "SELECT output_path FROM history_entries WHERE id = ?",
+            (entry_id,),
         ).fetchone()
-        if not row:
+        if row is None:
             return False
         db.execute("DELETE FROM history_entries WHERE id = ?", (entry_id,))
         db.commit()
-        if row["output_path"]:
-            self._delete_file_if_exists(row["output_path"])
+        self._remove_file(row["output_path"])
         return True
 
     def clear_all(self) -> int:
         db = get_db()
-        rows = db.execute(
-            "SELECT output_path FROM history_entries WHERE output_path IS NOT NULL"
-        ).fetchall()
+        paths = [
+            row["output_path"]
+            for row in db.execute(
+                "SELECT output_path FROM history_entries "
+                "WHERE output_path IS NOT NULL"
+            ).fetchall()
+        ]
         count = db.execute("SELECT COUNT(*) FROM history_entries").fetchone()[0]
         db.execute("DELETE FROM history_entries")
         db.commit()
-        for row in rows:
-            self._delete_file_if_exists(row["output_path"])
+        for path in paths:
+            self._remove_file(path)
         return count
 
     def prune(self) -> int:
-        deleted = 0
-        db = get_db()
-        max_entries = max(0, int(settings.os_history_max_entries))
-        if max_entries > 0:
-            overflow = db.execute(
-                "SELECT id FROM history_entries ORDER BY created_at DESC"
-                " LIMIT -1 OFFSET ?",
-                (max_entries,),
-            ).fetchall()
-            for row in overflow:
-                if self.delete_entry(row["id"]):
-                    deleted += 1
+        removed = self._prune_by_count()
+        removed += self._prune_by_audio_bytes()
+        return removed
 
-        max_bytes = max(0, int(settings.os_history_max_mb)) * 1024 * 1024
-        if max_bytes > 0:
-            while True:
-                rows = db.execute(
-                    "SELECT id, output_path FROM history_entries"
-                    " WHERE output_path IS NOT NULL ORDER BY created_at DESC"
-                ).fetchall()
-                sizes = [
-                    (r["id"], r["output_path"], self._file_size(r["output_path"]))
-                    for r in rows
-                    if r["output_path"]
-                ]
-                if sum(s for _, _, s in sizes) <= max_bytes or not sizes:
-                    break
-                oldest = sizes[-1]
-                if not self.delete_entry(oldest[0]):
-                    break
-                deleted += 1
-        return deleted
+    def _prune_by_count(self) -> int:
+        cap = max(0, int(settings.os_history_max_entries))
+        if cap == 0:
+            return 0
+        overflow = get_db().execute(
+            "SELECT id FROM history_entries ORDER BY created_at DESC "
+            "LIMIT -1 OFFSET ?",
+            (cap,),
+        ).fetchall()
+        return sum(1 for row in overflow if self.delete_entry(row["id"]))
+
+    def _prune_by_audio_bytes(self) -> int:
+        cap_bytes = max(0, int(settings.os_history_max_mb)) * 1024 * 1024
+        if cap_bytes == 0:
+            return 0
+        removed = 0
+        while True:
+            rows = get_db().execute(
+                "SELECT id, output_path FROM history_entries "
+                "WHERE output_path IS NOT NULL ORDER BY created_at DESC"
+            ).fetchall()
+            sized = [
+                (row["id"], self._file_size(row["output_path"]))
+                for row in rows
+                if row["output_path"]
+            ]
+            if not sized or sum(size for _eid, size in sized) <= cap_bytes:
+                return removed
+            oldest_id = sized[-1][0]
+            if not self.delete_entry(oldest_id):
+                return removed
+            removed += 1
 
     @staticmethod
     def _file_size(path: str) -> int:
@@ -156,10 +183,12 @@ class HistoryManager:
             return 0
 
     @staticmethod
-    def _delete_file_if_exists(path: str) -> None:
+    def _remove_file(path: str | None) -> None:
+        if not path:
+            return
         try:
-            p = Path(path)
-            if p.exists() and p.is_file():
-                p.unlink()
+            target = Path(path)
+            if target.is_file():
+                target.unlink()
         except OSError:
             pass

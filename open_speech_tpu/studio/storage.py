@@ -1,8 +1,8 @@
-"""Shared SQLite storage (reference: src/storage.py).
+"""Studio persistence: a single shared SQLite connection + schema.
 
-One WAL-mode connection guarded by a lock; DDL for profiles, history,
-conversations/turns, compositions — identical schema so studio data is
-portable between the reference and this server.
+Table layout is kept column-compatible with the reference server
+(src/storage.py DDL) so studio databases are portable between the two; the
+connection/bootstrap plumbing is this module's own.
 """
 
 from __future__ import annotations
@@ -13,106 +13,136 @@ from pathlib import Path
 
 from open_speech_tpu.config import settings
 
-_lock = threading.Lock()
-_conn: sqlite3.Connection | None = None
+
+class _Store:
+    """Lazily-opened process-wide SQLite handle (WAL, FKs, row factory)."""
+
+    def __init__(self) -> None:
+        self._guard = threading.Lock()
+        self._conn: sqlite3.Connection | None = None
+
+    def connection(self) -> sqlite3.Connection:
+        with self._guard:
+            if self._conn is None:
+                target = Path(settings.os_studio_db_path)
+                target.parent.mkdir(parents=True, exist_ok=True)
+                conn = sqlite3.connect(str(target), check_same_thread=False)
+                conn.row_factory = sqlite3.Row
+                for pragma in ("journal_mode=WAL", "foreign_keys=ON"):
+                    conn.execute(f"PRAGMA {pragma}")
+                self._conn = conn
+            return self._conn
+
+    def bootstrap(self) -> None:
+        conn = self.connection()
+        with self._guard:
+            for ddl in _TABLES:
+                conn.executescript(ddl)
+            conn.commit()
+
+    def close(self) -> None:
+        with self._guard:
+            if self._conn is not None:
+                self._conn.close()
+                self._conn = None
+
+
+_store = _Store()
 
 
 def get_db() -> sqlite3.Connection:
-    global _conn
-    with _lock:
-        if _conn is None:
-            db_path = Path(settings.os_studio_db_path)
-            db_path.parent.mkdir(parents=True, exist_ok=True)
-            _conn = sqlite3.connect(str(db_path), check_same_thread=False)
-            _conn.row_factory = sqlite3.Row
-            _conn.execute("PRAGMA journal_mode=WAL")
-            _conn.execute("PRAGMA foreign_keys=ON")
-        return _conn
+    return _store.connection()
+
+
+def init_db() -> None:
+    _store.bootstrap()
 
 
 def reset_db() -> None:
     """Close the shared connection (tests switch DB paths between cases)."""
-    global _conn
-    with _lock:
-        if _conn is not None:
-            _conn.close()
-            _conn = None
+    _store.close()
 
 
-def init_db() -> None:
-    db = get_db()
-    with _lock:
-        db.executescript(SCHEMA_SQL)
-        db.commit()
+# Column-compatible with the reference schema; one statement per table.
+_TABLES = (
+    """
+    create table if not exists profiles (
+        id text primary key,
+        name text not null unique,
+        backend text not null,
+        model text,
+        voice text not null,
+        speed real not null default 1.0,
+        format text not null default 'mp3',
+        blend text,
+        reference_audio_id text,
+        effects_json text,
+        is_default integer not null default 0,
+        created_at text not null,
+        updated_at text not null
+    );
+    """,
+    """
+    create table if not exists history_entries (
+        id text primary key,
+        type text not null check(type in ('tts','stt')),
+        created_at text not null,
+        model text,
+        voice text,
+        speed real,
+        format text,
+        text_preview text,
+        full_text text,
+        input_filename text,
+        output_path text,
+        output_bytes integer,
+        streamed integer not null default 0,
+        meta_json text
+    );
+    create index if not exists idx_history_type_created
+        on history_entries(type, created_at desc);
+    """,
+    """
+    create table if not exists conversations (
+        id text primary key,
+        name text,
+        created_at text not null,
+        updated_at text not null,
+        render_output_path text,
+        meta_json text
+    );
+    """,
+    """
+    create table if not exists conversation_turns (
+        id text primary key,
+        conversation_id text not null,
+        turn_index integer not null,
+        speaker text not null,
+        profile_id text,
+        text text not null,
+        audio_path text,
+        duration_ms integer,
+        effects_json text,
+        created_at text not null,
+        foreign key(conversation_id)
+            references conversations(id) on delete cascade
+    );
+    create index if not exists idx_turns_conv
+        on conversation_turns(conversation_id, turn_index);
+    """,
+    """
+    create table if not exists compositions (
+        id text primary key,
+        name text,
+        sample_rate integer not null default 24000,
+        created_at text not null,
+        updated_at text not null,
+        render_output_path text,
+        tracks_json text,
+        meta_json text
+    );
+    """,
+)
 
-
-SCHEMA_SQL = """
-CREATE TABLE IF NOT EXISTS profiles (
-  id TEXT PRIMARY KEY,
-  name TEXT NOT NULL UNIQUE,
-  backend TEXT NOT NULL,
-  model TEXT,
-  voice TEXT NOT NULL,
-  speed REAL NOT NULL DEFAULT 1.0,
-  format TEXT NOT NULL DEFAULT 'mp3',
-  blend TEXT,
-  reference_audio_id TEXT,
-  effects_json TEXT,
-  is_default INTEGER NOT NULL DEFAULT 0,
-  created_at TEXT NOT NULL,
-  updated_at TEXT NOT NULL
-);
-
-CREATE TABLE IF NOT EXISTS history_entries (
-  id TEXT PRIMARY KEY,
-  type TEXT NOT NULL CHECK(type IN ('tts','stt')),
-  created_at TEXT NOT NULL,
-  model TEXT,
-  voice TEXT,
-  speed REAL,
-  format TEXT,
-  text_preview TEXT,
-  full_text TEXT,
-  input_filename TEXT,
-  output_path TEXT,
-  output_bytes INTEGER,
-  streamed INTEGER NOT NULL DEFAULT 0,
-  meta_json TEXT
-);
-CREATE INDEX IF NOT EXISTS idx_history_type_created ON history_entries(type, created_at DESC);
-
-CREATE TABLE IF NOT EXISTS conversations (
-  id TEXT PRIMARY KEY,
-  name TEXT,
-  created_at TEXT NOT NULL,
-  updated_at TEXT NOT NULL,
-  render_output_path TEXT,
-  meta_json TEXT
-);
-
-CREATE TABLE IF NOT EXISTS conversation_turns (
-  id TEXT PRIMARY KEY,
-  conversation_id TEXT NOT NULL,
-  turn_index INTEGER NOT NULL,
-  speaker TEXT NOT NULL,
-  profile_id TEXT,
-  text TEXT NOT NULL,
-  audio_path TEXT,
-  duration_ms INTEGER,
-  effects_json TEXT,
-  created_at TEXT NOT NULL,
-  FOREIGN KEY(conversation_id) REFERENCES conversations(id) ON DELETE CASCADE
-);
-CREATE INDEX IF NOT EXISTS idx_turns_conv ON conversation_turns(conversation_id, turn_index);
-
-CREATE TABLE IF NOT EXISTS compositions (
-  id TEXT PRIMARY KEY,
-  name TEXT,
-  sample_rate INTEGER NOT NULL DEFAULT 24000,
-  created_at TEXT NOT NULL,
-  updated_at TEXT NOT NULL,
-  render_output_path TEXT,
-  tracks_json TEXT,
-  meta_json TEXT
-);
-"""
+# kept for callers/tests that want the full DDL in one string
+SCHEMA_SQL = "\n".join(_TABLES)

@@ -1,7 +1,9 @@
-"""Named WAV reference store for voice cloning (reference: src/voice_library.py).
+"""Named WAV reference store for voice cloning.
 
-RIFF header validation (:19-21), name sanitization (:130-137), max-count cap
-(:56-62), JSON metadata sidecars.
+Behavior matches the reference's voice library (src/voice_library.py): only
+RIFF/WAVE uploads are accepted, names are sanitized to a lowercase slug,
+entries are ``<name>.audio.<ext>`` files with ``<name>.meta.json`` sidecars,
+and a configurable cap limits how many voices may be stored.
 """
 
 from __future__ import annotations
@@ -15,16 +17,9 @@ from pathlib import Path
 
 logger = logging.getLogger(__name__)
 
+_SLUG_STRIP = re.compile(r"[^a-z0-9_]")
 
-class VoiceNotFoundError(KeyError):
-    """Raised when a named voice entry does not exist."""
-
-
-def _is_wav_bytes(data: bytes) -> bool:
-    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
-
-
-_EXT_FOR_CONTENT_TYPE = {
+_CONTENT_TYPE_EXT = {
     "audio/wav": "wav",
     "audio/x-wav": "wav",
     "audio/mp3": "mp3",
@@ -32,6 +27,28 @@ _EXT_FOR_CONTENT_TYPE = {
     "audio/ogg": "ogg",
     "audio/flac": "flac",
 }
+
+
+class VoiceNotFoundError(KeyError):
+    """Raised when a named voice entry does not exist."""
+
+
+def _slug(name: str) -> str:
+    slug = _SLUG_STRIP.sub("", name.strip().lower().replace(" ", "_").replace("-", "_"))
+    slug = slug[:64]
+    if not slug:
+        raise ValueError(
+            "Voice name must contain at least one alphanumeric character"
+        )
+    return slug
+
+
+def _ext_for(content_type: str) -> str:
+    return _CONTENT_TYPE_EXT.get(content_type.lower().strip(), "wav")
+
+
+def _looks_like_wav(data: bytes) -> bool:
+    return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
 
 
 class VoiceLibraryManager:
@@ -42,110 +59,103 @@ class VoiceLibraryManager:
         with self._lock:
             self.library_path.mkdir(parents=True, exist_ok=True)
 
+    # ── paths ─────────────────────────────────────────────────────────
+
+    def _meta_path(self, slug: str) -> Path:
+        return self.library_path / f"{slug}.meta.json"
+
+    def _audio_path(self, slug: str, ext: str) -> Path:
+        return self.library_path / f"{slug}.audio.{ext}"
+
+    def _audio_glob(self, slug: str):
+        return self.library_path.glob(f"{slug}.audio.*")
+
+    # ── operations ────────────────────────────────────────────────────
+
     def save(
         self, name: str, audio_bytes: bytes, content_type: str = "audio/wav"
     ) -> dict:
-        safe_name = self._sanitize_name(name)
+        slug = _slug(name)
         if not audio_bytes:
             raise ValueError("Audio data is empty")
-        if not _is_wav_bytes(audio_bytes):
+        if not _looks_like_wav(audio_bytes):
             raise ValueError(
                 "Reference audio must be WAV format (RIFF/WAVE header "
                 "required). Convert MP3/OGG/FLAC to WAV before uploading."
             )
-        ext = self._ext(content_type)
-        metadata = {
-            "name": safe_name,
+        meta = {
+            "name": slug,
             "size_bytes": len(audio_bytes),
             "content_type": content_type,
             "created_at": datetime.now(timezone.utc).isoformat(),
         }
-        meta_path = self._meta_path(safe_name)
-        audio_path = self.library_path / f"{safe_name}.audio.{ext}"
+        target = self._audio_path(slug, _ext_for(content_type))
         with self._lock:
             self.library_path.mkdir(parents=True, exist_ok=True)
-            if self.max_count > 0 and not meta_path.exists():
-                count = sum(1 for _ in self.library_path.glob("*.meta.json"))
-                if count >= self.max_count:
+            if self.max_count > 0 and not self._meta_path(slug).exists():
+                stored = sum(1 for _ in self.library_path.glob("*.meta.json"))
+                if stored >= self.max_count:
                     raise ValueError(
-                        f"Voice library is full ({self.max_count} voices max). "
-                        "Delete a voice before adding more."
+                        f"Voice library is full ({self.max_count} voices "
+                        "max). Delete a voice before adding more."
                     )
-            for existing in self.library_path.glob(f"{safe_name}.audio.*"):
-                if existing != audio_path:
-                    existing.unlink(missing_ok=True)
-            audio_path.write_bytes(audio_bytes)
-            meta_path.write_text(json.dumps(metadata), encoding="utf-8")
-        return metadata
+            for old in self._audio_glob(slug):
+                if old != target:
+                    old.unlink(missing_ok=True)
+            target.write_bytes(audio_bytes)
+            self._meta_path(slug).write_text(json.dumps(meta), encoding="utf-8")
+        return meta
 
     def list_voices(self) -> list[dict]:
+        entries: list[dict] = []
         with self._lock:
-            voices: list[dict] = []
             for meta_path in self.library_path.glob("*.meta.json"):
                 try:
-                    item = json.loads(meta_path.read_text(encoding="utf-8"))
-                    if not isinstance(item, dict):
-                        continue
-                    ext = self._ext(item.get("content_type", "audio/wav"))
-                    audio_path = (
-                        self.library_path / f"{item.get('name', '')}.audio.{ext}"
-                    )
-                    if not audio_path.exists():
-                        logger.warning(
-                            "Voice library: audio missing for '%s' — skipping",
-                            item.get("name"),
-                        )
-                        continue
-                    voices.append(item)
+                    meta = json.loads(meta_path.read_text(encoding="utf-8"))
                 except Exception as exc:  # noqa: BLE001
                     logger.warning(
                         "Voice library: skipping corrupted metadata %s (%s)",
                         meta_path, exc,
                     )
-            voices.sort(key=lambda x: x.get("name", ""))
-            return voices
+                    continue
+                if not isinstance(meta, dict):
+                    continue
+                ext = _ext_for(meta.get("content_type", "audio/wav"))
+                if not self._audio_path(meta.get("name", ""), ext).exists():
+                    logger.warning(
+                        "Voice library: audio missing for '%s' — skipping",
+                        meta.get("name"),
+                    )
+                    continue
+                entries.append(meta)
+        entries.sort(key=lambda item: item.get("name", ""))
+        return entries
 
     def get(self, name: str) -> tuple[bytes, dict]:
-        safe_name = self._sanitize_name(name)
+        slug = _slug(name)
         with self._lock:
-            meta_path = self._meta_path(safe_name)
+            meta_path = self._meta_path(slug)
             if not meta_path.exists():
                 raise VoiceNotFoundError(name)
-            metadata = json.loads(meta_path.read_text(encoding="utf-8"))
-            ext = self._ext(metadata.get("content_type", "audio/wav"))
-            audio_path = self.library_path / f"{safe_name}.audio.{ext}"
+            meta = json.loads(meta_path.read_text(encoding="utf-8"))
+            audio_path = self._audio_path(
+                slug, _ext_for(meta.get("content_type", "audio/wav"))
+            )
             if not audio_path.exists():
                 raise VoiceNotFoundError(name)
-            return audio_path.read_bytes(), metadata
+            return audio_path.read_bytes(), meta
 
     def delete(self, name: str) -> None:
-        safe_name = self._sanitize_name(name)
+        slug = _slug(name)
         with self._lock:
-            meta_path = self._meta_path(safe_name)
-            matched = list(self.library_path.glob(f"{safe_name}.audio.*"))
-            if not meta_path.exists() and not matched:
+            meta_path = self._meta_path(slug)
+            audio_files = list(self._audio_glob(slug))
+            if not meta_path.exists() and not audio_files:
                 raise VoiceNotFoundError(name)
             meta_path.unlink(missing_ok=True)
-            for p in matched:
-                p.unlink(missing_ok=True)
+            for audio_file in audio_files:
+                audio_file.unlink(missing_ok=True)
 
     def exists(self, name: str) -> bool:
         with self._lock:
-            return self._meta_path(self._sanitize_name(name)).exists()
-
-    def _meta_path(self, safe_name: str) -> Path:
-        return self.library_path / f"{safe_name}.meta.json"
-
-    @staticmethod
-    def _sanitize_name(name: str) -> str:
-        safe = name.strip().lower().replace(" ", "_").replace("-", "_")
-        safe = re.sub(r"[^a-z0-9_]", "", safe)[:64]
-        if not safe:
-            raise ValueError(
-                "Voice name must contain at least one alphanumeric character"
-            )
-        return safe
-
-    @staticmethod
-    def _ext(content_type: str) -> str:
-        return _EXT_FOR_CONTENT_TYPE.get(content_type.lower().strip(), "wav")
+            return self._meta_path(_slug(name)).exists()
