@@ -58,8 +58,11 @@ def istft(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int) -> jax.Array:
 
     b, t, _ = frames.shape
     # OLA as conv_transpose: treat n_fft as input channels, kernel places each
-    # channel at its tap offset.
-    kernel = jnp.asarray(np.eye(n_fft, dtype=np.float32)[:, :, None])  # [W, I, O]
+    # channel at its tap offset. conv_transpose applies the kernel spatially
+    # flipped, so the anti-diagonal identity puts channel i at offset i.
+    kernel = jnp.asarray(
+        np.eye(n_fft, dtype=np.float32)[::-1].copy()[:, :, None]
+    )  # [W, I, O]
     out = jax.lax.conv_transpose(
         frames, kernel, strides=(hop,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"),
@@ -72,7 +75,9 @@ def istft(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int) -> jax.Array:
         dimension_numbers=("NWC", "WIO", "NWC"),
     )[..., 0]
     out = out / jnp.maximum(norm, 1e-6)
-    pad = (n_fft - hop) // 2
+    # center-trim: frame i begins at i*hop in the padded signal, so sample m
+    # of the original lives at OLA index m + n_fft//2
+    pad = n_fft // 2
     return out[:, pad : pad + t * hop]
 
 
