@@ -8,6 +8,12 @@ change FLOPs/bandwidth, so RTFx is representative; the decode budget is
 fixed at 96 tokens/window (the dense-speech average for 30 s audio) because
 random weights never emit EOT.
 
+Runs the production int8 path by default (weight-only int8 matmuls +
+int8 cross-attention KV caches with scales folded into the attention
+math) — the analogue of the reference's CT2 int8 compute type
+(reference: src/backends/faster_whisper.py compute_type). Set
+BENCH_COMPUTE=bf16 for the pure-bf16 number.
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is the ratio against the 50x real-time north-star target
 (BASELINE.md; the reference publishes no RTFx of its own).
@@ -33,6 +39,7 @@ from open_speech_tpu.models.whisper.tokenizer import get_tokenizer
 from open_speech_tpu.ops.mel import log_mel_spectrogram
 
 MODEL = os.environ.get("BENCH_MODEL", "large-v3-turbo")
+COMPUTE = os.environ.get("BENCH_COMPUTE", "int8")
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 TOKENS_PER_WINDOW = int(os.environ.get("BENCH_TOKENS", "96"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
@@ -44,6 +51,10 @@ def main() -> None:
     tok = get_tokenizer(n_vocab=cfg.n_vocab, n_langs=cfg.n_langs)
     sp = tok.special
     params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if COMPUTE == "int8":
+        from open_speech_tpu.models.whisper.quantize import quantize_whisper_params
+
+        params = quantize_whisper_params(params)
 
     window_samples = cfg.n_audio_ctx * 2 * 160  # 480000 = 30 s
     rng = np.random.default_rng(0)
@@ -92,7 +103,7 @@ def main() -> None:
     rtfx = audio_seconds / wall
 
     result = {
-        "metric": f"ASR RTFx whisper-{MODEL} (batch={BATCH}, greedy {TOKENS_PER_WINDOW} tok/30s)",
+        "metric": f"ASR RTFx whisper-{MODEL} ({COMPUTE}, batch={BATCH}, greedy {TOKENS_PER_WINDOW} tok/30s)",
         "value": round(rtfx, 1),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtfx / TARGET_RTFX, 3),

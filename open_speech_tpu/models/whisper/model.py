@@ -346,12 +346,46 @@ def _precompute_cross_kv_impl(params, enc_out, n_head):
     return jax.vmap(per_layer)(params["decoder"]["blocks"])
 
 
-def precompute_cross_kv(params, enc_out, cfg: WhisperConfig):
-    """Cross-attention K/V for all layers: [L, 2, B, H, T_enc, Dh].
+@partial(jax.jit, static_argnames=("n_head",))
+def _precompute_cross_kv_int8(params, enc_out, n_head):
+    from open_speech_tpu.models.whisper.quantize import quantize_tensor
 
-    Computed once per encoded segment; every decode step reuses it.
+    def per_layer(bp):
+        k = _split_heads(linear(enc_out, bp["cross"]["k"]), n_head)
+        v = _split_heads(linear(enc_out, bp["cross"]["v"]), n_head)
+        kq = quantize_tensor(k, axis=-1)
+        vq = quantize_tensor(v, axis=-1)
+        return {
+            "k": kq["q"], "k_s": kq["s"],
+            "v": vq["q"], "v_s": vq["s"],
+        }
+
+    return jax.vmap(per_layer)(params["decoder"]["blocks"])
+
+
+def precompute_cross_kv(params, enc_out, cfg: WhisperConfig):
+    """Cross-attention K/V for all layers.
+
+    bf16 models: stacked [L, 2, B, H, T_enc, Dh]. int8 models: per-position
+    int8 packs {"k","k_s","v","v_s"} — decode re-reads this entire buffer
+    every step, so halving its bytes converts directly into decode speed.
     """
+    if isinstance(params["decoder"]["tok_emb"], dict):  # int8-packed model
+        return _precompute_cross_kv_int8(params, enc_out, cfg.n_text_head)
     return _precompute_cross_kv_impl(params, enc_out, cfg.n_text_head)
+
+
+def cross_attend(qc, ckv, batch: int):
+    """Cross-attention against a per-layer cross-KV slice (either form)."""
+    if isinstance(ckv, dict):
+        t_enc = ckv["k"].shape[2]
+        enc_len = jnp.full((batch,), t_enc, jnp.int32)
+        return decode_attention(
+            qc, ckv["k"], ckv["v"], enc_len,
+            k_scale=ckv["k_s"], v_scale=ckv["v_s"],
+        )
+    enc_len = jnp.full((batch,), ckv.shape[3], jnp.int32)
+    return decode_attention(qc, ckv[0], ckv[1], enc_len)
 
 
 @partial(jax.jit, static_argnames=("n_head",), donate_argnums=(3,))
@@ -378,11 +412,10 @@ def _decode_step_impl(params, tokens, pos, self_kv, cross_kv, n_head):
         length = jnp.full((b,), pos + 1, jnp.int32)
         attn = decode_attention(q, k_cache, v_cache, length)
         h = h + linear(_merge_heads(attn), bp["attn"]["o"])
-        # cross-attn against precomputed enc K/V
+        # cross-attn against precomputed enc K/V (bf16 or int8 packed)
         hc = layer_norm(h, bp["ln_cross"])
         qc = _split_heads(linear(hc, bp["cross"]["q"]), n_head)
-        enc_len = jnp.full((b,), ckv.shape[3], jnp.int32)  # ckv: [2,B,H,T,Dh]
-        attn_c = decode_attention(qc, ckv[0], ckv[1], enc_len)
+        attn_c = cross_attend(qc, ckv, b)
         h = h + linear(_merge_heads(attn_c), bp["cross"]["o"])
         h = h + mlp(layer_norm(h, bp["ln_mlp"]), bp)
         return h, jnp.stack([k_cache, v_cache])

@@ -243,26 +243,37 @@ def decode_attention(
     length: jax.Array,
     *,
     scale: float | None = None,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ) -> jax.Array:
     """One-position attention over a padded KV cache.
 
     q: [B, H, 1, D]; caches: [B, H, T_max, D]; length: [B] int32 (valid
     prefix per batch row). Bandwidth-bound: XLA emits a fused
-    masked-softmax-matvec reading each cache entry once, which is already
-    speed-of-light on HBM; a Pallas variant adds nothing until heads are
-    quantized.
+    masked-softmax-matvec reading each cache entry once.
+
+    int8 caches: pass per-position ``k_scale``/``v_scale`` [B, H, T_max, 1];
+    the scales fold into the attention math (logits *= k_scale on the kv
+    axis; v_scale folds into the probabilities), so the matmuls read int8
+    straight from HBM — half the bandwidth of bf16 caches.
     """
     d = q.shape[-1]
     scale = (d**-0.5) if scale is None else scale
+    k_mat = k_cache.astype(q.dtype) if k_cache.dtype == jnp.int8 else k_cache
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", q, k_mat, preferred_element_type=jnp.float32
     ) * scale
+    if k_scale is not None:
+        logits = logits * k_scale[..., 0][:, :, None, :].astype(jnp.float32)
     t_k = k_cache.shape[2]
     mask = jnp.arange(t_k)[None, None, None, :] < length[:, None, None, None]
     logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
+    v_mat = v_cache.astype(q.dtype) if v_cache.dtype == jnp.int8 else v_cache
+    if v_scale is not None:
+        probs = probs * v_scale[..., 0][:, :, None, :].astype(jnp.float32)
     out = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(v_cache.dtype), v_cache,
+        "bhqk,bhkd->bhqd", probs.astype(v_mat.dtype), v_mat,
         preferred_element_type=jnp.float32,
     )
     return out.astype(q.dtype)

@@ -37,6 +37,7 @@ from open_speech_tpu.models.whisper.model import (
     WhisperConfig,
     _merge_heads,
     _split_heads,
+    cross_attend,
     decode_attention,
     embed_tokens,
     layer_norm,
@@ -44,7 +45,9 @@ from open_speech_tpu.models.whisper.model import (
     mlp,
     output_logits,
     encode,
-    precompute_cross_kv,
+)
+from open_speech_tpu.models.whisper.model import (
+    _precompute_cross_kv_impl as _dense_cross_kv,
 )
 from open_speech_tpu.models.whisper.tokenizer import SpecialTokens
 
@@ -86,8 +89,7 @@ def _slot_decode_step(params, tokens, pos, self_kv, cross_kv, n_head):
         h = h + linear(_merge_heads(attn), bp["attn"]["o"])
         hc = layer_norm(h, bp["ln_cross"])
         qc = _split_heads(linear(hc, bp["cross"]["q"]), n_head)
-        enc_len = jnp.full((s,), ckv.shape[3], jnp.int32)
-        attn_c = decode_attention(qc, ckv[0], ckv[1], enc_len)
+        attn_c = cross_attend(qc, ckv, s)
         h = h + linear(_merge_heads(attn_c), bp["cross"]["o"])
         h = h + mlp(layer_norm(h, bp["ln_mlp"]), bp)
         return h, jnp.stack([k_cache, v_cache])
@@ -271,7 +273,9 @@ class ContinuousBatcher:
         enc_out = await loop.run_in_executor(
             None, lambda: encode(self.params, mels, self.cfg)
         )
-        cross = precompute_cross_kv(self.params, enc_out, self.cfg)
+        # dense cross-KV: the batcher's pooled buffer stores bf16 rows
+        cross = _dense_cross_kv(self.params, enc_out, self.cfg.n_text_head)
+        cross = cross.astype(self._cross_kv.dtype)
         # prefill the prompt into each claimed slot
         prompt = np.array(self._prompt, np.int32)
         for row, (slot, _mel, max_new, future) in enumerate(batch):
