@@ -93,3 +93,43 @@ def test_backend_int8_compute_type(monkeypatch):
     entry = backend._models["test-tiny"]
     assert entry["params"]["decoder"]["tok_emb"]["q"].dtype == jnp.int8
     assert backend.loaded_models()[0].compute_type == "int8"
+
+
+def test_int8_cross_kv_matches_dense():
+    """Dict-form int8 cross-KV decodes within quantization error of dense."""
+    from open_speech_tpu.models.whisper.model import (
+        _precompute_cross_kv_impl,
+        _precompute_cross_kv_int8,
+        decode_step,
+        init_self_kv,
+    )
+
+    params = init_params(jax.random.PRNGKey(3), CFG, dtype=jnp.float32)
+    mel = jax.random.normal(jax.random.PRNGKey(4), (2, CFG.n_mels, CFG.n_audio_ctx * 2))
+    enc_out = encode(params, mel, CFG)
+    dense = _precompute_cross_kv_impl(params, enc_out, CFG.n_text_head)
+    packed = _precompute_cross_kv_int8(params, enc_out, CFG.n_text_head)
+    assert packed["k"].dtype == jnp.int8 and packed["v"].dtype == jnp.int8
+    # per-position scales: [L, B, H, T_enc, 1]
+    assert packed["k_s"].shape == dense[:, 0].shape[:-1] + (1,)
+
+    tok = jnp.array([[5], [7]], jnp.int32)
+    ld, _ = decode_step(params, tok, jnp.int32(0), init_self_kv(CFG, 2, 16), dense, CFG)
+    lq, _ = decode_step(params, tok, jnp.int32(0), init_self_kv(CFG, 2, 16), packed, CFG)
+    scale = float(jnp.abs(ld).max())
+    assert float(jnp.abs(lq - ld).max()) / scale < 0.05
+    # greedy choice unaffected by int8 KV noise on this input
+    assert bool(jnp.all(jnp.argmax(lq, -1) == jnp.argmax(ld, -1)))
+
+
+def test_precompute_cross_kv_dispatch():
+    """precompute_cross_kv returns packed form iff the params are int8."""
+    from open_speech_tpu.models.whisper.model import precompute_cross_kv
+
+    params = init_params(jax.random.PRNGKey(5), CFG, dtype=jnp.bfloat16)
+    mel = jax.random.normal(jax.random.PRNGKey(6), (1, CFG.n_mels, CFG.n_audio_ctx * 2))
+    enc = encode(params, mel, CFG)
+    assert not isinstance(precompute_cross_kv(params, enc, CFG), dict)
+    qp = quantize_whisper_params(params)
+    out = precompute_cross_kv(qp, encode(qp, mel, CFG), CFG)
+    assert isinstance(out, dict) and set(out) == {"k", "k_s", "v", "v_s"}
