@@ -214,3 +214,59 @@ def test_lifecycle_error_shape():
     )
     d = err.to_dict()
     assert d["code"] == "load_failed" and d["model"] == "x"
+
+
+def test_unload_stt_and_tts(manager):
+    manager.load("whisper-tiny")
+    manager.unload("whisper-tiny")
+    assert all(m.id != "whisper-tiny" for m in manager.list_loaded())
+    manager.load("kokoro")
+    manager.unload("kokoro")
+    assert manager.list_loaded() == []
+
+
+def test_status_not_loaded_tts(manager):
+    info = manager.status("pocket-tts")
+    assert info.state in (ModelState.AVAILABLE, ModelState.PROVIDER_MISSING)
+    assert info.type == "tts"
+
+
+def test_status_default_flag(manager, monkeypatch):
+    monkeypatch.setattr(settings, "stt_model", "whisper-tiny")
+    info = manager.status("whisper-tiny")
+    assert info.is_default
+
+
+def test_provider_missing_marked(manager):
+    """A TTS model whose provider isn't registered reports provider_missing
+    (reference: tests/test_model_manager.py provider-missing cases)."""
+    manager._tts._backends.pop("piper", None)
+    info = manager.status("piper/en_US-lessac-medium")
+    assert info.state == ModelState.PROVIDER_MISSING
+    assert info.provider_available is False
+    with pytest.raises(ModelLifecycleError):
+        manager.load("piper/en_US-lessac-medium")
+
+
+def test_load_missing_provider_does_not_evict(manager):
+    manager.load("kokoro")
+    manager._tts._backends.pop("piper", None)
+    with pytest.raises(ModelLifecycleError):
+        manager.load("piper/en_US-lessac-medium")
+    # the already-loaded model survived the failed load
+    assert any(m.id == "kokoro" for m in manager.list_loaded())
+
+
+def test_evict_lru_skips_default(manager, monkeypatch):
+    monkeypatch.setattr(settings, "stt_model", "whisper-tiny")
+    manager.load("whisper-tiny")
+    assert manager.list_loaded()[0].is_default
+    manager.evict_lru()  # nothing evictable: only the default is loaded
+    assert any(m.id == "whisper-tiny" for m in manager.list_loaded())
+
+
+def test_model_info_to_dict_shape(manager):
+    d = manager.load("whisper-tiny").to_dict()
+    for key in ("id", "type", "provider", "state", "is_default"):
+        assert key in d
+    assert d["state"] == "loaded"
