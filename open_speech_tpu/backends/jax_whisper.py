@@ -166,6 +166,7 @@ class JaxWhisperBackend:
 
             params = quantize_whisper_params(params)
             logger.info("Quantized %s weights to int8 (per-channel)", model_id)
+        params = self._maybe_shard(params)
         self._models[model_id] = {"params": params, "cfg": cfg, "tok": tok}
         now = time.time()
         self._loaded_at[model_id] = now
@@ -173,6 +174,33 @@ class JaxWhisperBackend:
         logger.info("Loaded %s (%s) in %.1fs", model_id, preset, now - t0)
         if settings.os_precompile_on_load:
             self._warmup(model_id)
+
+    def _maybe_shard(self, params):
+        """Tensor-parallel placement when OS_TPU_MESH asks for a model axis.
+
+        GSPMD propagates the param shardings through every jitted entry
+        point (encode/decode/transcribe), inserting ICI collectives — the
+        serving-side counterpart of the reference's single-GPU CT2 engine
+        (reference: src/backends/faster_whisper.py:40 device selection).
+        """
+        spec = (settings.os_tpu_mesh or "").strip()
+        if not spec:
+            return params
+        try:
+            from open_speech_tpu.parallel.mesh import mesh_from_settings, shard_params
+
+            mesh = mesh_from_settings()
+            if mesh.shape.get("model", 1) <= 1 and mesh.shape.get("data", 1) <= 1:
+                return params
+            params = shard_params(params, mesh)
+            logger.info(
+                "Sharded whisper params over mesh %s (tensor parallel)",
+                dict(mesh.shape),
+            )
+            return params
+        except Exception:  # noqa: BLE001 — never let TP placement break serving
+            logger.exception("OS_TPU_MESH sharding failed; serving unsharded")
+            return params
 
     def _warmup(self, model_id: str) -> None:
         """Precompile the encoder for the hot window shape."""

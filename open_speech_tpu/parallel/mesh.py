@@ -66,6 +66,15 @@ def _spec_for_path(path: str) -> P:
     """
     col_sharded = ("'q'", "'k'", "'v'", "'mlp_in'")
     row_sharded = ("'o'", "'mlp_out'")
+    # int8 packs nest as ['w']['q'] (int8 matrix, same shape as w) and
+    # ['w']['s'] (per-output-channel scale [1, out]): q follows the w rule;
+    # s shards with the output dim for col-sharded weights, else replicates.
+    if path.endswith("['w']['q']"):
+        path = path[: -len("['q']")]
+    elif path.endswith("['w']['s']"):
+        if any(f"{k}" in path[: -len("['s']")] for k in col_sharded):
+            return P(None, None, "model") if "blocks" in path else P(None, "model")
+        return P()
     if path.endswith("['w']"):
         if any(f"{k}" in path for k in col_sharded):
             return P(None, None, "model") if "blocks" in path else P(None, "model")

@@ -1,0 +1,101 @@
+"""Tensor-parallel serving: mesh build, whisper sharding rules, TP parity.
+
+The reference is single-device (SURVEY §2.8: no parallelism) — this layer is
+TPU-native-only. Runs on the 8-virtual-device CPU mesh from conftest.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from open_speech_tpu.models.whisper.decode import DecodeOptions, greedy_decode
+from open_speech_tpu.models.whisper.model import PRESETS, encode, init_params
+from open_speech_tpu.models.whisper.quantize import quantize_whisper_params
+from open_speech_tpu.models.whisper.tokenizer import FallbackTokenizer
+from open_speech_tpu.parallel.mesh import (
+    _spec_for_path,
+    build_mesh,
+    shard_params,
+    whisper_param_sharding,
+)
+
+CFG = PRESETS["test-tiny"]
+
+
+def test_build_mesh_shapes():
+    mesh = build_mesh(data=2, model=4)
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    mesh = build_mesh()  # default: all devices data-parallel
+    assert mesh.shape["model"] == 1
+    with pytest.raises(ValueError):
+        build_mesh(data=3, model=3)  # 9 != 8 devices
+
+
+@pytest.mark.parametrize(
+    "path,expected",
+    [
+        ("['decoder']['blocks']['attn']['q']['w']", P(None, None, "model")),
+        ("['decoder']['blocks']['attn']['o']['w']", P(None, "model", None)),
+        ("['encoder']['blocks']['mlp_in']['w']", P(None, None, "model")),
+        ("['encoder']['blocks']['mlp_out']['w']", P(None, "model", None)),
+        ("['encoder']['blocks']['mlp_in']['b']", P(None, "model")),
+        ("['encoder']['conv1']['w']", P()),
+        ("['decoder']['blocks']['ln1']['g']", P()),
+        # int8 packs: q follows the weight rule, s follows the output dim
+        ("['decoder']['blocks']['attn']['q']['w']['q']", P(None, None, "model")),
+        ("['decoder']['blocks']['attn']['q']['w']['s']", P(None, None, "model")),
+        ("['decoder']['blocks']['attn']['o']['w']['q']", P(None, "model", None)),
+        ("['decoder']['blocks']['attn']['o']['w']['s']", P()),
+    ],
+)
+def test_sharding_rules(path, expected):
+    assert _spec_for_path(path) == expected
+
+
+def test_param_sharding_tree_covers_all_leaves():
+    params = init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.bfloat16)
+    shardings = whisper_param_sharding(params, build_mesh(data=2, model=4))
+    n_params = len(jax.tree_util.tree_leaves(params))
+    n_shardings = len(jax.tree_util.tree_leaves(shardings, is_leaf=lambda x: x is None))
+    assert n_params == n_shardings
+
+
+@pytest.mark.parametrize("quantized", [False, True], ids=["bf16", "int8"])
+def test_tp_decode_matches_unsharded(quantized):
+    """TP-sharded greedy decode emits the same tokens as single-device."""
+    params = init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.bfloat16)
+    if quantized:
+        params = quantize_whisper_params(params)
+    tok = FallbackTokenizer(n_vocab=CFG.n_vocab, n_langs=CFG.n_langs)
+    sp = tok.special
+    mesh = build_mesh(data=2, model=4)
+    mel = jax.random.normal(
+        jax.random.PRNGKey(1), (2, CFG.n_mels, CFG.n_audio_ctx * 2)
+    )
+    prompt = np.array([sp.sot_sequence("en")] * 2, np.int32)
+
+    ref_enc = encode(params, mel, CFG)
+    ref = greedy_decode(params, CFG, sp, ref_enc, prompt, DecodeOptions(max_new_tokens=4))
+
+    tp_params = shard_params(params, mesh)
+    enc = encode(tp_params, mel, CFG)
+    err = float(jnp.abs(enc.astype(jnp.float32) - ref_enc.astype(jnp.float32)).max())
+    assert err < 0.1  # bf16 accumulation-order noise only
+    res = greedy_decode(tp_params, CFG, sp, enc, prompt, DecodeOptions(max_new_tokens=4))
+    assert (np.asarray(res.tokens) == np.asarray(ref.tokens)).all()
+
+
+def test_backend_shards_when_mesh_configured(monkeypatch):
+    from open_speech_tpu.backends.jax_whisper import JaxWhisperBackend
+    from open_speech_tpu.config import settings
+
+    monkeypatch.setattr(settings, "os_tpu_mesh", "2,4")
+    monkeypatch.setattr(settings, "os_precompile_on_load", False)
+    backend = JaxWhisperBackend()
+    backend.load_model("test-tiny")
+    params = backend._models["test-tiny"]["params"]
+    w = params["decoder"]["blocks"]["attn"]["q"]["w"]
+    assert "model" in str(w.sharding.spec)
