@@ -181,6 +181,8 @@ _DEFAULTS: dict[str, object] = {
     "os_batch_max_tokens": 448,
     # jit warmup on model load (precompile hot shapes).
     "os_precompile_on_load": True,
+    # jax.profiler trace output dir for /api/profiler/start|stop
+    "os_profile_dir": "/tmp/open-speech-profile",
 }
 
 _OPTIONAL_STR = {"stt_model_dir", "tts_device"}

@@ -58,3 +58,16 @@ async def shutdown_batchers() -> None:
 def reset_pool() -> None:
     """Test hook: drop batchers without awaiting (fresh event loops)."""
     _batchers.clear()
+
+
+def pool_stats() -> dict:
+    """Per-batcher occupancy/throughput for /metrics and /api/stats
+    (SURVEY §5: batch occupancy is a first-class observability surface)."""
+    out = {}
+    for (model_id, lang, task), b in _batchers.items():
+        out[f"{model_id}/{lang}/{task}"] = {
+            **b.stats,
+            "occupancy": b.occupancy,
+            "slots": b.n_slots,
+        }
+    return out

@@ -558,20 +558,59 @@ async def health(request: web.Request) -> web.Response:
 
 
 async def metrics_route(request: web.Request) -> web.Response:
+    from open_speech_tpu.runtime.batcher_pool import pool_stats
     from open_speech_tpu.server.streaming import _active_sessions
 
     metrics.set_gauge("streaming_sessions_active", len(_active_sessions))
+    for key, stats in pool_stats().items():
+        metrics.set_gauge(f'batch_occupancy{{batcher="{key}"}}', stats["occupancy"])
     return web.Response(
         text=metrics.prometheus(), content_type="text/plain"
     )
 
 
 async def stats_route(request: web.Request) -> web.Response:
+    from open_speech_tpu.runtime.batcher_pool import pool_stats
     from open_speech_tpu.server.streaming import _active_sessions
 
     snap = metrics.snapshot()
     snap["gauges"]["streaming_sessions_active"] = len(_active_sessions)
+    snap["batchers"] = pool_stats()
     return web.json_response(snap)
+
+
+# device trace capture (SURVEY §5: the reference has no profiling surface;
+# on TPU a jax.profiler trace is the observability primitive — XLA op
+# timelines, HBM usage, ICI collectives — viewable in TensorBoard/xprof)
+_profiler_active: dict[str, str] = {}
+
+
+async def profiler_start(request: web.Request) -> web.Response:
+    if _profiler_active:
+        raise ApiError(409, "A profiler trace is already running")
+    body = await request.json() if request.can_read_body else {}
+    trace_dir = body.get("dir") or settings.os_profile_dir
+    try:
+        import jax
+
+        jax.profiler.start_trace(trace_dir)
+    except Exception as e:  # noqa: BLE001
+        raise ApiError(500, f"Failed to start trace: {e}")
+    _profiler_active["dir"] = trace_dir
+    return web.json_response({"status": "tracing", "dir": trace_dir})
+
+
+async def profiler_stop(request: web.Request) -> web.Response:
+    if not _profiler_active:
+        raise ApiError(409, "No profiler trace is running")
+    trace_dir = _profiler_active.pop("dir")
+    try:
+        import jax
+
+        jax.profiler.stop_trace()
+    except Exception as e:  # noqa: BLE001
+        raise ApiError(500, f"Failed to stop trace: {e}")
+    return web.json_response({"status": "stopped", "dir": trace_dir})
 
 
 # ── WebSockets (reference :623-691) ───────────────────────────────────
@@ -1473,6 +1512,8 @@ def create_app() -> web.Application:
     r.add_get("/health", health)
     r.add_get("/metrics", metrics_route)
     r.add_get("/api/stats", stats_route)
+    r.add_post("/api/profiler/start", profiler_start)
+    r.add_post("/api/profiler/stop", profiler_stop)
     # WebSockets
     r.add_get("/v1/audio/stream", ws_stream)
     r.add_get("/v1/realtime", ws_realtime)

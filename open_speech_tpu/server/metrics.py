@@ -99,8 +99,12 @@ class Metrics:
         for name, value in snap["counters"].items():
             lines.append(f"# TYPE open_speech_{name} counter")
             lines.append(f"open_speech_{name} {value}")
+        typed: set[str] = set()
         for name, value in snap["gauges"].items():
-            lines.append(f"# TYPE open_speech_{name} gauge")
+            base = name.split("{", 1)[0]  # labeled gauges share one TYPE line
+            if base not in typed:
+                typed.add(base)
+                lines.append(f"# TYPE open_speech_{base} gauge")
             lines.append(f"open_speech_{name} {value}")
         for name, summary in snap["histograms"].items():
             base = f"open_speech_{name}"

@@ -165,3 +165,34 @@ def test_translations_raw_text(monkeypatch):
         client_test(body)
     finally:
         router._default_backend = original
+
+
+def test_labeled_gauge_prometheus_format():
+    from open_speech_tpu.server.metrics import Metrics
+
+    m = Metrics()
+    m.set_gauge('batch_occupancy{batcher="a/en/t"}', 3)
+    m.set_gauge('batch_occupancy{batcher="b/en/t"}', 5)
+    text = m.prometheus()
+    assert text.count("# TYPE open_speech_batch_occupancy gauge") == 1
+    assert 'open_speech_batch_occupancy{batcher="a/en/t"} 3' in text
+    assert 'open_speech_batch_occupancy{batcher="b/en/t"} 5' in text
+
+
+def test_profiler_routes_guarded():
+    """start twice -> 409; stop without start -> 409 (jax.profiler lifecycle)."""
+
+    async def body(client):
+        resp = await client.post("/api/profiler/stop")
+        assert resp.status == 409
+        resp = await client.post(
+            "/api/profiler/start", json={"dir": "/tmp/os_trace_test"}
+        )
+        assert resp.status == 200
+        assert (await resp.json())["status"] == "tracing"
+        resp = await client.post("/api/profiler/start")
+        assert resp.status == 409
+        resp = await client.post("/api/profiler/stop")
+        assert resp.status == 200
+
+    client_test(body)
