@@ -20,7 +20,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from open_speech_tpu.models.whisper.model import PRESETS, WhisperConfig, sinusoids
+from open_speech_tpu.models.whisper.model import WhisperConfig, sinusoids
 
 
 def _t(w: np.ndarray) -> np.ndarray:

@@ -16,7 +16,7 @@ through the loop so decode is pure HBM-bandwidth on the cache.
 from __future__ import annotations
 
 import zlib
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax

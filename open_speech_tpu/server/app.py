@@ -47,7 +47,7 @@ from open_speech_tpu.schemas import (
     PullResponse,
     TTSSpeechRequest,
 )
-from open_speech_tpu.server.errors import ApiError, error_middleware, error_response
+from open_speech_tpu.server.errors import ApiError, error_middleware
 from open_speech_tpu.server.metrics import metrics
 from open_speech_tpu.server.middleware import (
     security_middleware,
