@@ -150,8 +150,8 @@ def _flash_attention_tpu(
     v: jax.Array,
     causal: bool = False,
     scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1536,
 ) -> jax.Array:
     b, h, t_q, d = q.shape
     t_k = k.shape[2]
@@ -216,10 +216,15 @@ def flash_attention(
     causal: bool = False,
     kv_length: jax.Array | None = None,
     scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1536,
 ) -> jax.Array:
     """Multi-head attention, [B, H, T, D] layout.
+
+    Default blocks (512, 1536) are tuned for whisper's encoder (T=1500 pads
+    to one kv block, so the online-softmax loop collapses to a single step;
+    measured 2.9 ms vs 4.5 ms with (256, 512) at [8,20,1500,64] on v5e).
+    VMEM per grid step stays ~3.5 MB.
 
     TPU: Pallas flash kernel (no materialized [T,T] matrix). Elsewhere, or
     when per-example kv_length masking is needed, the jnp reference.
