@@ -251,7 +251,7 @@ def _greedy_impl(
 ):
     b, p_len = prompt.shape
     cross_kv = precompute_cross_kv(params, enc_out, cfg)
-    self_kv = init_self_kv(cfg, b, dtype=enc_out.dtype)
+    self_kv = init_self_kv(cfg, b, _cache_len(cfg, p_len, max_new), enc_out.dtype)
     prefill_logits, self_kv = _prefill(params, prompt, cross_kv, self_kv, cfg)
     # no_speech prob: measured at the logits following the <|sot|> input
     sot_pos = jnp.argmax((prompt == special.sot).astype(jnp.int32), axis=1)  # [B]
@@ -423,7 +423,9 @@ def _beam_impl(
     enc_rep = jnp.repeat(enc_out, k, axis=0)  # [B*K, T, D]
     prompt_rep = jnp.repeat(prompt, k, axis=0)
     cross_kv = precompute_cross_kv(params, enc_rep, cfg)
-    self_kv = init_self_kv(cfg, b * k, dtype=enc_out.dtype)
+    self_kv = init_self_kv(
+        cfg, b * k, _cache_len(cfg, prompt.shape[1], max_new), enc_out.dtype
+    )
     prefill_logits, self_kv = _prefill(params, prompt_rep, cross_kv, self_kv, cfg)
     sot_pos = jnp.argmax((prompt == special.sot).astype(jnp.int32), axis=1)
     sot_logits = jnp.take_along_axis(
@@ -543,6 +545,14 @@ def detect_language(
     idx = probs.argmax(axis=-1)
     codes = [special.lang_code(special.lang_begin + int(i)) for i in idx]
     return codes, probs.max(axis=-1)
+
+
+def _cache_len(cfg: WhisperConfig, p_len: int, max_new: int) -> int:
+    """Self-KV length bucketed to 64: decode re-reads this cache every step,
+    so sizing it to the token budget (not n_text_ctx=448) trims HBM traffic
+    ~4x for typical 96-token windows."""
+    need = p_len + max_new + 1
+    return min(cfg.n_text_ctx, -(-need // 64) * 64)
 
 
 @partial(jax.jit, static_argnames=("cfg", "special"))
