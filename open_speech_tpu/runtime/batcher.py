@@ -184,9 +184,14 @@ class ContinuousBatcher:
         dh = cfg.n_text_state // cfg.n_text_head
 
         # bf16 caches: the KV pool is the memory hog (cross-KV is
-        # L*2*slots*H*1500*Dh); halving it costs nothing at decode precision
+        # L*2*slots*H*1500*Dh); halving it costs nothing at decode precision.
+        # Self-KV length follows the token budget (bucketed to 64), not
+        # n_text_ctx — every tick re-reads the whole pool.
+        prompt_len = len(special.sot_sequence(language, task, timestamps=timestamps))
+        need = prompt_len + max_new_tokens + 1
+        self._cache_len = min(cfg.n_text_ctx, -(-need // 64) * 64)
         self._self_kv = jnp.zeros(
-            (cfg.n_text_layer, 2, slots, cfg.n_text_head, cfg.n_text_ctx, dh),
+            (cfg.n_text_layer, 2, slots, cfg.n_text_head, self._cache_len, dh),
             cache_dtype,
         )
         self._cross_kv = jnp.zeros(
