@@ -1,4 +1,11 @@
-"""STT backend protocol (reference: src/backends/base.py:11-38)."""
+"""STT backend contract.
+
+Any object the router serves must satisfy this runtime-checkable protocol
+(behavioral parity with the reference's backend interface —
+reference: src/backends/base.py:11-38). The JAX backend is the only in-tree
+implementation; tests substitute MagicMock/fake backends, which is why this
+is a Protocol rather than an ABC.
+"""
 
 from __future__ import annotations
 
@@ -6,16 +13,33 @@ from typing import Any, Protocol, runtime_checkable
 
 from open_speech_tpu.schemas import LoadedModelInfo
 
+# kwargs accepted by transcribe() beyond the positional (audio, model) pair;
+# translate() takes the same set minus `language` (output is always English).
+_DECODE_KWARGS = ("language", "response_format", "temperature", "prompt")
+
 
 @runtime_checkable
 class STTBackend(Protocol):
+    """Duck type for speech-to-text engines.
+
+    Lifecycle: ``load_model`` / ``unload_model`` / ``is_model_loaded`` /
+    ``loaded_models``. Inference: ``transcribe`` / ``translate``, both
+    returning a response dict already shaped for the requested
+    ``response_format`` (json / verbose_json / text / srt / vtt).
+    """
+
     name: str
 
+    # ── lifecycle ────────────────────────────────────────────────────
     def load_model(self, model_id: str) -> None: ...
+
     def unload_model(self, model_id: str) -> None: ...
-    def loaded_models(self) -> list[LoadedModelInfo]: ...
+
     def is_model_loaded(self, model_id: str) -> bool: ...
 
+    def loaded_models(self) -> list[LoadedModelInfo]: ...
+
+    # ── inference ────────────────────────────────────────────────────
     def transcribe(
         self,
         audio: bytes,

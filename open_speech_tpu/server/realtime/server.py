@@ -1,9 +1,16 @@
-"""OpenAI Realtime API WebSocket session (reference: src/realtime/server.py).
+"""OpenAI Realtime API over an aiohttp WebSocket.
 
-STT + TTS only, no LLM. Event dispatch table, session.update rebuilding the
-VAD/buffer, base64 append -> VAD events -> auto-commit on speech_stopped,
-commit -> WAV wrap -> STT, response.create -> TTS -> 3 KB base64 delta
-chunks, response.cancel, idle timeout, "realtime" subprotocol.
+Audio-only (STT in, TTS out — no LLM), matching the reference's scope
+(reference: src/realtime/server.py). Protocol flow:
+
+    session.update            -> rebuild VAD/input buffer, session.updated
+    input_audio_buffer.append -> base64 decode -> format decode -> VAD events
+                                 (auto-commit when server VAD sees turn end)
+    input_audio_buffer.commit -> WAV wrap -> STT (greedy latency path)
+    response.create           -> TTS -> base64 audio deltas (~3 KB each)
+    response.cancel           -> drop the in-flight response's deltas
+
+Inference runs on a small thread pool; the event loop only shuffles JSON.
 """
 
 from __future__ import annotations
@@ -38,6 +45,54 @@ _executor = concurrent.futures.ThreadPoolExecutor(
     max_workers=4, thread_name_prefix="realtime"
 )
 
+_MIN_COMMIT_BYTES = 1600  # 50 ms @ 16 kHz pcm16 — shorter commits are noise
+_DELTA_BYTES = 3000  # ~4 KB of base64 per response.audio.delta
+
+
+# ── blocking inference (thread pool) ────────────────────────────────────
+
+
+def _run_stt(audio_pcm16: bytes, model: str) -> dict[str, Any]:
+    """Transcribe one committed turn. Greedy, no fallback sweep — this is
+    the latency path (reference commits run beam-5; see DESIGN.md)."""
+    return stt_router.transcribe(
+        audio=pcm16_to_wav(audio_pcm16, 16000),
+        model=model,
+        language=None,
+        response_format="json",
+        temperature=0.0,
+        beam_size=1,
+        fallback=False,
+    )
+
+
+def _run_tts(tts_router, text: str, model: str, voice: str, out_format: str) -> bytes:
+    """Synthesize the full reply and encode to the session's output format."""
+    chunks = list(
+        tts_router.synthesize(text=text, model=model, voice=voice, speed=1.0)
+    )
+    if not chunks:
+        return b""
+    combined = np.concatenate([np.asarray(c, np.float32) for c in chunks])
+    backend = tts_router.get_backend(model)
+    native_rate = getattr(backend, "sample_rate", 24000)
+    return encode_pcm16_to_format(float_to_pcm16(combined), native_rate, out_format)
+
+
+def _pick_response_text(response_data: dict[str, Any]) -> str:
+    """instructions wins; otherwise the first input_text content item."""
+    text = response_data.get("instructions", "")
+    if text:
+        return text
+    for item in response_data.get("input", []):
+        for c in item.get("content", []):
+            if c.get("type") == "input_text" and c.get("text"):
+                return c["text"]
+    return ""
+
+
+# ── session ─────────────────────────────────────────────────────────────
+
 
 class RealtimeSession:
     def __init__(self, websocket, tts_router, model: str = ""):
@@ -51,10 +106,16 @@ class RealtimeSession:
         self._last_commit_at = time.monotonic()
 
     async def initialize(self) -> None:
-        await self._rebuild_buffer()
+        await self._make_input_buffer()
         await self._send(events.session_created(self.config.to_dict()))
 
-    async def _rebuild_buffer(self) -> None:
+    async def _send(self, event: dict[str, Any]) -> None:
+        try:
+            await self.ws.send_str(json.dumps(event))
+        except Exception:  # noqa: BLE001
+            pass  # connection may be closed
+
+    async def _make_input_buffer(self) -> None:
         vad = None
         if self.config.vad_enabled:
             try:
@@ -73,11 +134,7 @@ class RealtimeSession:
             max_buffer_bytes=settings.os_realtime_max_buffer_mb * 1024 * 1024,
         )
 
-    async def _send(self, event: dict[str, Any]) -> None:
-        try:
-            await self.ws.send_str(json.dumps(event))
-        except Exception:  # noqa: BLE001
-            pass  # connection may be closed
+    # dispatch
 
     async def handle_event(self, data: dict[str, Any]) -> None:
         event_type = data.get("type", "")
@@ -101,17 +158,18 @@ class RealtimeSession:
                 )
             )
 
-    # ── client event handlers ─────────────────────────────────────────
+    # session.update
 
-    async def _handle_session_update(self, data: dict[str, Any]) -> None:
+    async def _on_session_update(self, data: dict[str, Any]) -> None:
         self.config.update_from(data)
-        await self._rebuild_buffer()
+        await self._make_input_buffer()
         await self._send(events.session_updated(self.config.to_dict()))
 
-    async def _handle_input_audio_buffer_append(self, data: dict[str, Any]) -> None:
-        if (
-            time.monotonic() - self._last_commit_at
-        ) > settings.os_realtime_idle_timeout_s:
+    # input_audio_buffer.*
+
+    async def _on_append(self, data: dict[str, Any]) -> None:
+        idle = time.monotonic() - self._last_commit_at
+        if idle > settings.os_realtime_idle_timeout_s:
             await self._send(
                 events.error(
                     "Session idle timeout waiting for commit", code="idle_timeout"
@@ -158,17 +216,63 @@ class RealtimeSession:
                         evt["audio_end_ms"], events._item_id()
                     )
                 )
-                await self._commit_and_transcribe()
+                await self._finalize_turn()
 
-    async def _handle_input_audio_buffer_commit(self, data: dict[str, Any]) -> None:
-        await self._commit_and_transcribe()
+    async def _on_commit(self, data: dict[str, Any]) -> None:
+        await self._finalize_turn()
 
-    async def _handle_input_audio_buffer_clear(self, data: dict[str, Any]) -> None:
+    async def _on_clear(self, data: dict[str, Any]) -> None:
         if self.audio_buffer:
             self.audio_buffer.clear()
         await self._send(events.input_audio_buffer_cleared())
 
-    async def _handle_response_create(self, data: dict[str, Any]) -> None:
+    async def _finalize_turn(self) -> None:
+        """Commit the buffer and run STT; emit item + transcription events."""
+        if self.audio_buffer is None:
+            return
+        audio_data = self.audio_buffer.commit()
+        self._last_commit_at = time.monotonic()
+        if not audio_data or len(audio_data) < _MIN_COMMIT_BYTES:
+            return
+
+        item_id = events._item_id()
+        self._last_item_id = item_id
+        await self._send(events.input_audio_buffer_committed(item_id, None))
+        await self._send(
+            events.conversation_item_created(
+                {
+                    "id": item_id,
+                    "object": "realtime.item",
+                    "type": "message",
+                    "role": "user",
+                    "content": [{"type": "input_audio", "transcript": None}],
+                }
+            )
+        )
+
+        loop = asyncio.get_running_loop()
+        model = self.config.model or settings.stt_model
+        try:
+            result = await loop.run_in_executor(
+                _executor, _run_stt, audio_data, model
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.exception("Transcription failed in realtime session")
+            await self._send(events.error(str(e), code="transcription_error"))
+            return
+
+        transcript = (
+            result.get("text", "") if isinstance(result, dict) else str(result)
+        )
+        await self._send(
+            events.conversation_item_input_audio_transcription_completed(
+                item_id, 0, transcript
+            )
+        )
+
+    # response.*
+
+    async def _on_response_create(self, data: dict[str, Any]) -> None:
         response_data = data.get("response", {})
         modalities = response_data.get("modalities", ["audio", "text"])
         if modalities == ["text"]:
@@ -181,15 +285,7 @@ class RealtimeSession:
             )
             return
 
-        text_to_speak = response_data.get("instructions", "")
-        if not text_to_speak:
-            for item in response_data.get("input", []):
-                for c in item.get("content", []):
-                    if c.get("type") == "input_text" and c.get("text"):
-                        text_to_speak = c["text"]
-                        break
-                if text_to_speak:
-                    break
+        text_to_speak = _pick_response_text(response_data)
         if not text_to_speak:
             await self._send(
                 events.error(
@@ -212,31 +308,19 @@ class RealtimeSession:
         await self._send(events.response_created(response_obj))
 
         loop = asyncio.get_running_loop()
-        voice = self.config.voice
-        output_format = self.config.output_audio_format
         tts_model = (
             response_data.get("model") or self.config.model or settings.tts_model
         )
-
         try:
-
-            def _synthesize() -> bytes:
-                chunks = list(
-                    self.tts_router.synthesize(
-                        text=text_to_speak, model=tts_model, voice=voice, speed=1.0
-                    )
-                )
-                if not chunks:
-                    return b""
-                combined = np.concatenate(
-                    [np.asarray(c, np.float32) for c in chunks]
-                )
-                backend = self.tts_router.get_backend(tts_model)
-                native_rate = getattr(backend, "sample_rate", 24000)
-                pcm16 = float_to_pcm16(combined)
-                return encode_pcm16_to_format(pcm16, native_rate, output_format)
-
-            audio_data = await loop.run_in_executor(_executor, _synthesize)
+            audio_data = await loop.run_in_executor(
+                _executor,
+                _run_tts,
+                self.tts_router,
+                text_to_speak,
+                tts_model,
+                self.config.voice,
+                self.config.output_audio_format,
+            )
         except Exception as e:  # noqa: BLE001
             logger.exception("TTS synthesis failed in realtime session")
             await self._send(events.error(str(e), code="tts_error"))
@@ -250,14 +334,7 @@ class RealtimeSession:
             self._current_response_id = None
             return
 
-        CHUNK_SIZE = 3000  # ~4 KB of base64 per delta
-        for i in range(0, len(audio_data), CHUNK_SIZE):
-            if resp_id in self._cancelled_responses:
-                break
-            delta = base64.b64encode(audio_data[i : i + CHUNK_SIZE]).decode("ascii")
-            await self._send(
-                events.response_audio_delta(resp_id, item_id, 0, 0, delta)
-            )
+        await self._stream_audio_deltas(resp_id, item_id, audio_data)
 
         self._cancelled_responses.discard(resp_id)
         await self._send(events.response_audio_done(resp_id, item_id, 0, 0))
@@ -274,74 +351,41 @@ class RealtimeSession:
         await self._send(events.response_done(response_obj))
         self._current_response_id = None
 
-    async def _handle_response_cancel(self, data: dict[str, Any]) -> None:
+    async def _stream_audio_deltas(
+        self, resp_id: str, item_id: str, audio_data: bytes
+    ) -> None:
+        for i in range(0, len(audio_data), _DELTA_BYTES):
+            if resp_id in self._cancelled_responses:
+                break
+            delta = base64.b64encode(audio_data[i : i + _DELTA_BYTES]).decode("ascii")
+            await self._send(
+                events.response_audio_delta(resp_id, item_id, 0, 0, delta)
+            )
+
+    async def _on_response_cancel(self, data: dict[str, Any]) -> None:
         if self._current_response_id:
             self._cancelled_responses.add(self._current_response_id)
 
-    # ── internal ──────────────────────────────────────────────────────
-
-    async def _commit_and_transcribe(self) -> None:
-        if self.audio_buffer is None:
-            return
-        audio_data = self.audio_buffer.commit()
-        self._last_commit_at = time.monotonic()
-        if not audio_data or len(audio_data) < 1600:  # <50 ms @16 kHz
-            return
-
-        item_id = events._item_id()
-        self._last_item_id = item_id
-        await self._send(events.input_audio_buffer_committed(item_id, None))
-        await self._send(
-            events.conversation_item_created(
-                {
-                    "id": item_id,
-                    "object": "realtime.item",
-                    "type": "message",
-                    "role": "user",
-                    "content": [{"type": "input_audio", "transcript": None}],
-                }
-            )
-        )
-
-        loop = asyncio.get_running_loop()
-        model = self.config.model or settings.stt_model
-        try:
-            result = await loop.run_in_executor(
-                _executor,
-                lambda: stt_router.transcribe(
-                    audio=pcm16_to_wav(audio_data, 16000),
-                    model=model,
-                    language=None,
-                    response_format="json",
-                    temperature=0.0,
-                    # latency path: greedy, no temperature-fallback sweep
-                    beam_size=1,
-                    fallback=False,
-                ),
-            )
-        except Exception as e:  # noqa: BLE001
-            logger.exception("Transcription failed in realtime session")
-            await self._send(events.error(str(e), code="transcription_error"))
-            return
-
-        transcript = (
-            result.get("text", "") if isinstance(result, dict) else str(result)
-        )
-        await self._send(
-            events.conversation_item_input_audio_transcription_completed(
-                item_id, 0, transcript
-            )
-        )
-
 
 _CLIENT_HANDLERS: dict[str, Any] = {
-    "session.update": RealtimeSession._handle_session_update,
-    "input_audio_buffer.append": RealtimeSession._handle_input_audio_buffer_append,
-    "input_audio_buffer.commit": RealtimeSession._handle_input_audio_buffer_commit,
-    "input_audio_buffer.clear": RealtimeSession._handle_input_audio_buffer_clear,
-    "response.create": RealtimeSession._handle_response_create,
-    "response.cancel": RealtimeSession._handle_response_cancel,
+    "session.update": RealtimeSession._on_session_update,
+    "input_audio_buffer.append": RealtimeSession._on_append,
+    "input_audio_buffer.commit": RealtimeSession._on_commit,
+    "input_audio_buffer.clear": RealtimeSession._on_clear,
+    "response.create": RealtimeSession._on_response_create,
+    "response.cancel": RealtimeSession._on_response_cancel,
 }
+
+
+def _parse_client_event(raw: str) -> dict[str, Any] | str:
+    """Returns the event dict, or an error message string."""
+    try:
+        data = json.loads(raw)
+    except json.JSONDecodeError:
+        return "Invalid JSON"
+    if not isinstance(data, dict) or "type" not in data:
+        return "Event must be a JSON object with a 'type' field"
+    return data
 
 
 async def realtime_endpoint(ws, tts_router, model: str = "") -> None:
@@ -362,19 +406,10 @@ async def realtime_endpoint(ws, tts_router, model: str = "") -> None:
                 break
             if msg.type != WSMsgType.TEXT:
                 continue
-            try:
-                data = json.loads(msg.data)
-            except json.JSONDecodeError:
-                await session._send(events.error("Invalid JSON", code="invalid_json"))
+            parsed = _parse_client_event(msg.data)
+            if isinstance(parsed, str):
+                await session._send(events.error(parsed, code="invalid_event"))
                 continue
-            if not isinstance(data, dict) or "type" not in data:
-                await session._send(
-                    events.error(
-                        "Event must be a JSON object with a 'type' field",
-                        code="invalid_event",
-                    )
-                )
-                continue
-            await session.handle_event(data)
+            await session.handle_event(parsed)
     except Exception:  # noqa: BLE001
-        logger.exception("Realtime session error")
+        logger.exception("Realtime session crashed")

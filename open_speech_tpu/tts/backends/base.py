@@ -1,20 +1,46 @@
-"""TTS backend protocol (reference: src/tts/backends/base.py).
+"""TTS backend contract.
 
-``synthesize`` is a generator of float32 chunks at the backend's native
-sample rate; ``capabilities`` gates API features per backend;
-``is_available`` lets the router skip backends whose deps are missing.
+Behavioral parity with the reference's TTS interface
+(reference: src/tts/backends/base.py:32-76):
+
+- ``synthesize`` is a *generator* of float32 chunks at the backend's native
+  sample rate — the streaming unit the encode pipeline consumes.
+- ``capabilities`` gates per-backend API features (blend/design/clone/...)
+  so the HTTP layer can reject unsupported request fields with a clear 400.
+- ``is_available`` lets the router's discovery scan skip backends whose
+  optional dependencies are absent (all in-tree backends are pure JAX, so
+  they are always available here).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Iterator, Protocol, runtime_checkable
 
 import numpy as np
 
+# every capability key the API layer may consult, with its conservative
+# default; backends override the ones they actually support
+_CAPABILITY_DEFAULTS: tuple[tuple[str, Any], ...] = (
+    ("voice_blend", False),
+    ("voice_design", False),
+    ("voice_clone", False),
+    ("streaming", False),
+    ("instructions", False),
+    ("speakers", []),
+    ("languages", ["en"]),
+    ("speed_control", True),
+    ("ssml", False),
+    ("batch", False),
+)
+
+DEFAULT_TTS_CAPABILITIES: dict[str, Any] = dict(_CAPABILITY_DEFAULTS)
+
 
 @dataclass
 class VoiceInfo:
+    """One selectable voice as surfaced by /v1/audio/voices."""
+
     id: str
     name: str
     language: str = "en-us"
@@ -23,6 +49,8 @@ class VoiceInfo:
 
 @dataclass
 class TTSLoadedModelInfo:
+    """Row in the loaded-TTS-models listing (mirrors the STT shape)."""
+
     model: str
     backend: str
     device: str
@@ -30,22 +58,10 @@ class TTSLoadedModelInfo:
     last_used_at: float | None = None
 
 
-DEFAULT_TTS_CAPABILITIES: dict[str, Any] = {
-    "voice_blend": False,
-    "voice_design": False,
-    "voice_clone": False,
-    "streaming": False,
-    "instructions": False,
-    "speakers": [],
-    "languages": ["en"],
-    "speed_control": True,
-    "ssml": False,
-    "batch": False,
-}
-
-
 @runtime_checkable
 class TTSBackend(Protocol):
+    """Duck type for text-to-speech engines."""
+
     name: str
     sample_rate: int
     capabilities: dict[str, Any]
@@ -54,11 +70,16 @@ class TTSBackend(Protocol):
     def is_available(cls) -> bool:
         return True
 
+    # lifecycle — mirrors STTBackend
     def load_model(self, model_id: str) -> None: ...
+
     def unload_model(self, model_id: str) -> None: ...
+
     def is_model_loaded(self, model_id: str) -> bool: ...
+
     def loaded_models(self) -> list[TTSLoadedModelInfo]: ...
 
+    # synthesis
     def synthesize(
         self,
         text: str,
