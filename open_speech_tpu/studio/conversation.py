@@ -22,6 +22,23 @@ from open_speech_tpu.studio.storage import get_db
 
 SILENCE_MS = 500
 
+# SQL statements, hoisted so the manager methods read as control flow
+_SQL_NEW_CONV = (
+    "INSERT INTO conversations (id, name, created_at, updated_at,"
+    " render_output_path, meta_json) VALUES (?, ?, ?, ?, NULL, ?)"
+)
+_SQL_TURNS_FOR = (
+    "SELECT * FROM conversation_turns WHERE conversation_id = ?"
+    " ORDER BY turn_index ASC"
+)
+_SQL_TOUCH = "UPDATE conversations SET updated_at = ? WHERE id = ?"
+_SQL_NEW_TURN = (
+    "INSERT INTO conversation_turns (id, conversation_id, turn_index,"
+    " speaker, profile_id, text, audio_path, duration_ms,"
+    " effects_json, created_at)"
+    " VALUES (?, ?, ?, ?, ?, ?, NULL, NULL, ?, ?)"
+)
+
 
 def _now_iso() -> str:
     return datetime.now(timezone.utc).isoformat()
@@ -36,11 +53,7 @@ class ConversationManager:
         db = get_db()
         cid = str(uuid4())
         now = _now_iso()
-        db.execute(
-            "INSERT INTO conversations (id, name, created_at, updated_at,"
-            " render_output_path, meta_json) VALUES (?, ?, ?, ?, NULL, ?)",
-            (cid, name, now, now, json.dumps({})),
-        )
+        db.execute(_SQL_NEW_CONV, (cid, name, now, now, json.dumps({})))
         for idx, turn in enumerate(turns or []):
             self._insert_turn(
                 db, cid, idx,
@@ -69,11 +82,7 @@ class ConversationManager:
         if not row:
             return None
         conv = dict(row)
-        turns = db.execute(
-            "SELECT * FROM conversation_turns WHERE conversation_id = ?"
-            " ORDER BY turn_index ASC",
-            (conversation_id,),
-        ).fetchall()
+        turns = db.execute(_SQL_TURNS_FOR, (conversation_id,)).fetchall()
         conv["turns"] = [self._turn_row(r) for r in turns]
         return conv
 
@@ -94,10 +103,7 @@ class ConversationManager:
         turn_id = self._insert_turn(
             db, conversation_id, idx, speaker, text, profile_id, effects
         )
-        db.execute(
-            "UPDATE conversations SET updated_at = ? WHERE id = ?",
-            (_now_iso(), conversation_id),
-        )
+        db.execute(_SQL_TOUCH, (_now_iso(), conversation_id))
         db.commit()
         row = db.execute(
             "SELECT * FROM conversation_turns WHERE id = ?", (turn_id,)
@@ -113,19 +119,14 @@ class ConversationManager:
         if cur.rowcount <= 0:
             return False
         turns = db.execute(
-            "SELECT id FROM conversation_turns WHERE conversation_id = ?"
-            " ORDER BY turn_index ASC",
-            (conversation_id,),
+            _SQL_TURNS_FOR.replace("SELECT *", "SELECT id"), (conversation_id,)
         ).fetchall()
         for idx, row in enumerate(turns):
             db.execute(
                 "UPDATE conversation_turns SET turn_index = ? WHERE id = ?",
                 (idx, row["id"]),
             )
-        db.execute(
-            "UPDATE conversations SET updated_at = ? WHERE id = ?",
-            (_now_iso(), conversation_id),
-        )
+        db.execute(_SQL_TOUCH, (_now_iso(), conversation_id))
         db.commit()
         return True
 
@@ -183,11 +184,7 @@ class ConversationManager:
             raise KeyError(conversation_id)
         turns = [
             self._turn_row(r)
-            for r in db.execute(
-                "SELECT * FROM conversation_turns WHERE conversation_id = ?"
-                " ORDER BY turn_index ASC",
-                (conversation_id,),
-            ).fetchall()
+            for r in db.execute(_SQL_TURNS_FOR, (conversation_id,)).fetchall()
         ]
         if not turns:
             raise ValueError("Conversation has no turns")
@@ -243,10 +240,7 @@ class ConversationManager:
     ) -> str:
         turn_id = str(uuid4())
         db.execute(
-            "INSERT INTO conversation_turns (id, conversation_id, turn_index,"
-            " speaker, profile_id, text, audio_path, duration_ms,"
-            " effects_json, created_at)"
-            " VALUES (?, ?, ?, ?, ?, ?, NULL, NULL, ?, ?)",
+            _SQL_NEW_TURN,
             (
                 turn_id, conversation_id, idx, speaker, profile_id, text,
                 json.dumps(effects or []), _now_iso(),
