@@ -177,6 +177,8 @@ _DEFAULTS: dict[str, object] = {
     "os_batcher_enabled": False,
     # Max concurrent sessions per continuous-batch decode step.
     "os_batch_max_sessions": 8,
+    # Decode positions generated per host sync (fused on-device sub-steps).
+    "os_batch_steps_per_tick": 4,
     # Decode-side KV cache length bucket (tokens).
     "os_batch_max_tokens": 448,
     # jit warmup on model load (precompile hot shapes).
