@@ -258,3 +258,35 @@ def test_kokoro_backend_streams_blocks(router):
     chunks = list(router.synthesize(long_text, "kokoro", "af_heart"))
     assert len(chunks) >= 2  # blocked vocoder emits multiple chunks
     assert all(c.dtype == np.float32 for c in chunks)
+
+
+def test_number_expansion_edge_cases():
+    n = g2p._number_to_words
+    assert n("0") == "zero"
+    assert n("13") == "thirteen"
+    assert n("40") == "forty"
+    assert n("99") == "ninety nine"
+    assert n("100") == "one hundred"
+    assert n("101") == "one hundred one"
+    assert n("1000") == "one thousand"
+    assert n("1234") == "one thousand two hundred thirty four"
+    assert n("1000000") == "one million"
+    assert n("2500000") == "two million five hundred thousand"
+    assert n("3.14") == "three point fourteen"
+    assert n("-7") == "minus seven"
+
+
+def test_normalize_decimals_and_mixed():
+    out = g2p.normalize_text("Pi is 3.14, not 3")
+    assert "three point" in out and "not three" in out
+    out = g2p.normalize_text("  Multiple   spaces\tand\nnewlines ")
+    assert "  " not in out
+    assert g2p.normalize_text("HELLO World") == "hello world"
+
+
+def test_phonemizer_id_roundtrip_stable():
+    p = g2p.get_g2p()
+    a = p.to_ids("hello world")
+    b = p.to_ids("hello world")
+    assert a == b and len(a) > 2  # deterministic, non-trivial
+    assert p.to_ids("hello world") != p.to_ids("goodbye world")
