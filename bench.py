@@ -40,7 +40,7 @@ from open_speech_tpu.ops.mel import log_mel_spectrogram
 
 MODEL = os.environ.get("BENCH_MODEL", "large-v3-turbo")
 COMPUTE = os.environ.get("BENCH_COMPUTE", "int8")
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 TOKENS_PER_WINDOW = int(os.environ.get("BENCH_TOKENS", "96"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
 TARGET_RTFX = 50.0  # north star: >=50x real-time per v5e chip
