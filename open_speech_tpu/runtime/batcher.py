@@ -336,7 +336,14 @@ class ContinuousBatcher:
         if self._task is None:
             self.start()
         future: asyncio.Future = asyncio.get_running_loop().create_future()
-        await self._queue.put((mel, max_new_tokens or self.max_new_tokens, future))
+        # clamp to the slot pool's KV capacity: the self-KV buffer is sized
+        # to the construction-time budget, and an out-of-range position would
+        # silently clamp inside dynamic_update_slice
+        budget = min(
+            max_new_tokens or self.max_new_tokens,
+            self._cache_len - len(self._prompt) - 1,
+        )
+        await self._queue.put((mel, budget, future))
         return await future
 
     @property

@@ -145,3 +145,24 @@ def test_slot_reuse_beyond_pool_size(setup):
     results, occupancy = _run(go())
     assert len(results) == 5
     assert occupancy == 0  # all slots retired
+
+
+def test_oversized_budget_clamped_to_pool_capacity(setup):
+    """A request asking for more tokens than the slot pool's KV capacity is
+    clamped (the pool's self-KV is sized to the construction-time budget)."""
+    params, tok = setup
+    sp = tok.special
+
+    async def go():
+        b = ContinuousBatcher(params, CFG, sp, slots=1, max_new_tokens=4)
+        b.start()
+        try:
+            out = await asyncio.wait_for(
+                b.transcribe_window(_mel(0), max_new_tokens=10_000), 300
+            )
+        finally:
+            await b.stop()
+        return out, b._cache_len
+
+    out, cache_len = _run(go())
+    assert len(out) <= cache_len  # never exceeds the pool's KV positions
