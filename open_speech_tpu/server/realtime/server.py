@@ -66,17 +66,18 @@ def _run_stt(audio_pcm16: bytes, model: str) -> dict[str, Any]:
     )
 
 
-def _run_tts(tts_router, text: str, model: str, voice: str, out_format: str) -> bytes:
-    """Synthesize the full reply and encode to the session's output format."""
-    chunks = list(
-        tts_router.synthesize(text=text, model=model, voice=voice, speed=1.0)
-    )
-    if not chunks:
-        return b""
-    combined = np.concatenate([np.asarray(c, np.float32) for c in chunks])
-    backend = tts_router.get_backend(model)
-    native_rate = getattr(backend, "sample_rate", 24000)
-    return encode_pcm16_to_format(float_to_pcm16(combined), native_rate, out_format)
+def _tts_chunk_producer(tts_router, text, model, voice, loop, queue) -> None:
+    """Run the TTS generator on the pool, handing chunks to the event loop
+    as they are produced. The in-tree backends stream true generation
+    (blocked ISTFTNet vocoding), so the first chunk arrives long before the
+    utterance finishes — unlike the reference, which synthesizes fully
+    before chunking (src/realtime/server.py:180-291)."""
+    try:
+        for c in tts_router.synthesize(text=text, model=model, voice=voice, speed=1.0):
+            loop.call_soon_threadsafe(queue.put_nowait, np.asarray(c, np.float32))
+        loop.call_soon_threadsafe(queue.put_nowait, None)
+    except Exception as e:  # noqa: BLE001
+        loop.call_soon_threadsafe(queue.put_nowait, e)
 
 
 def _pick_response_text(response_data: dict[str, Any]) -> str:
@@ -311,16 +312,31 @@ class RealtimeSession:
         tts_model = (
             response_data.get("model") or self.config.model or settings.tts_model
         )
+        backend = self.tts_router.get_backend(tts_model)
+        native_rate = getattr(backend, "sample_rate", 24000)
+        out_format = self.config.output_audio_format
+        # stream deltas as vocoder blocks complete: first audio leaves in
+        # ~one block rather than after the full utterance
+        queue: asyncio.Queue = asyncio.Queue()
+        producer = loop.run_in_executor(
+            _executor, _tts_chunk_producer,
+            self.tts_router, text_to_speak, tts_model, self.config.voice,
+            loop, queue,
+        )
+        failed = False
         try:
-            audio_data = await loop.run_in_executor(
-                _executor,
-                _run_tts,
-                self.tts_router,
-                text_to_speak,
-                tts_model,
-                self.config.voice,
-                self.config.output_audio_format,
-            )
+            while True:
+                item = await queue.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                if resp_id in self._cancelled_responses:
+                    continue  # drain the producer, drop the audio
+                audio_data = encode_pcm16_to_format(
+                    float_to_pcm16(item), native_rate, out_format
+                )
+                await self._stream_audio_deltas(resp_id, item_id, audio_data)
         except Exception as e:  # noqa: BLE001
             logger.exception("TTS synthesis failed in realtime session")
             await self._send(events.error(str(e), code="tts_error"))
@@ -328,13 +344,13 @@ class RealtimeSession:
             await self._send(events.response_done(response_obj))
             self._current_response_id = None
             return
+        finally:
+            await asyncio.wait([producer])
 
         if resp_id in self._cancelled_responses:
             self._cancelled_responses.discard(resp_id)
             self._current_response_id = None
             return
-
-        await self._stream_audio_deltas(resp_id, item_id, audio_data)
 
         self._cancelled_responses.discard(resp_id)
         await self._send(events.response_audio_done(resp_id, item_id, 0, 0))
