@@ -132,3 +132,54 @@ def test_timestamp_truncation():
     # reference truncates rather than rounds
     assert formatters._fmt_time_srt(1.9999) == "00:00:01,999"
     assert formatters._fmt_time_vtt(3600 + 60 + 1.5) == "01:01:01.500"
+
+
+def test_multi_window_covers_full_duration(setup):
+    """Audio longer than one window produces segments from every window and
+    a correct duration (reference seek loop: src/backends/faster_whisper.py
+    delegates to CT2's internal 30s windows)."""
+    params, tok = setup
+    window_s = CFG.n_audio_ctx * 2 * 160 / 16000
+    rng = np.random.default_rng(3)
+    audio = (rng.uniform(-0.3, 0.3, int(16000 * window_s * 2.5))).astype(np.float32)
+    opts = TranscribeOptions(
+        language="en", temperature=(0.0,), beam_size=1,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None, max_new_tokens=8,
+    )
+    segments, info = transcribe(params, CFG, tok, audio, opts)
+    assert abs(info.duration - window_s * 2.5) < 0.1
+    # seek advanced through all windows: last segment starts in the last one
+    assert segments, "random weights with no-speech gate off must emit text"
+    assert segments[-1].seek >= CFG.n_audio_ctx * 2  # beyond first window
+
+
+def test_no_speech_gate_skips_windows(setup):
+    params, tok = setup
+    audio = np.zeros(16000, np.float32)
+    opts = TranscribeOptions(
+        language="en", temperature=(0.0,), beam_size=1,
+        no_speech_threshold=1e-9, logprob_threshold=None,
+        compression_ratio_threshold=None, max_new_tokens=8,
+    )
+    # threshold ~0 means every window "is silence" -> no segments
+    segments, info = transcribe(params, CFG, tok, audio, opts)
+    assert segments == []
+    assert info.duration == 1.0
+
+
+def test_initial_prompt_conditions_decode(setup):
+    params, tok = setup
+    audio = np.random.default_rng(4).uniform(-0.3, 0.3, 16000).astype(np.float32)
+    base = TranscribeOptions(
+        language="en", temperature=(0.0,), beam_size=1,
+        no_speech_threshold=None, logprob_threshold=None,
+        compression_ratio_threshold=None, max_new_tokens=8,
+    )
+    import dataclasses
+    primed = dataclasses.replace(base, initial_prompt="hello world")
+    seg_a, _ = transcribe(params, CFG, tok, audio, base)
+    seg_b, _ = transcribe(params, CFG, tok, audio, primed)
+    # both decode; the prompt reaches the model (text may or may not differ
+    # with random weights, but the call path must not error)
+    assert isinstance(seg_a, list) and isinstance(seg_b, list)
