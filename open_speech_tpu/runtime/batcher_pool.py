@@ -1,9 +1,11 @@
 """Shared batcher pool: one ContinuousBatcher per (model, language, task).
 
 Streaming/realtime sessions submit mel windows here instead of running whole
-model invocations on executor threads — every live session's decode advances
-in one device step per tick. Opt-in via OS_BATCHER_ENABLED; keyed per prompt
-configuration because a batcher's slots share their prompt prefill.
+model invocations on executor threads (the reference's per-request model:
+src/streaming.py:50 4-thread executor + full re-transcription per chunk) —
+every live session's decode advances in one device step per tick. Opt-in via
+OS_BATCHER_ENABLED; keyed per prompt configuration because a batcher's slots
+share their prompt prefill. No reference counterpart (SURVEY §2.8).
 """
 
 from __future__ import annotations

@@ -1,4 +1,5 @@
-"""``python -m open_speech_tpu.server`` — start the speech server."""
+"""``python -m open_speech_tpu.server`` — start the speech server
+(reference: src/main.py:1410-1426 uvicorn runner; here aiohttp)."""
 
 import os
 
