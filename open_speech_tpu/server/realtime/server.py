@@ -323,7 +323,6 @@ class RealtimeSession:
             self.tts_router, text_to_speak, tts_model, self.config.voice,
             loop, queue,
         )
-        failed = False
         try:
             while True:
                 item = await queue.get()
