@@ -201,6 +201,25 @@ class StreamingSession:
             return
         if data.get("type") == "stop":
             self._running = False
+        elif data.get("type") == "config":
+            # mid-session reconfiguration. The reference documents this
+            # message but never implemented it (src/streaming.py:266-273);
+            # here it works: sample_rate retunes the resampler/chunking,
+            # language/interim_results apply to subsequent utterances.
+            rate = data.get("sample_rate")
+            if rate:
+                self.client_sample_rate = int(rate)
+                self.needs_resample = (
+                    self.client_sample_rate != INTERNAL_SAMPLE_RATE
+                )
+                self.chunk_samples = int(
+                    self.client_sample_rate * settings.stt_stream_chunk_ms / 1000
+                )
+                self.chunk_bytes = self.chunk_samples * 2
+            if "language" in data:
+                self.language = data["language"] or None
+            if "interim_results" in data:
+                self.interim_results = bool(data["interim_results"])
 
     async def _handle_audio(self, data: bytes):
         if len(data) % 2 != 0:

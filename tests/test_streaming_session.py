@@ -248,3 +248,26 @@ def test_session_resamples_other_rates(monkeypatch):
     wav = mock.transcribe.call_args.kwargs["audio"]
     assert wav[:4] == b"RIFF"
     assert int.from_bytes(wav[24:28], "little") == INTERNAL_SAMPLE_RATE
+
+
+def test_config_message_retunes_session(monkeypatch):
+    """{"type":"config"} updates sample_rate/language/interim mid-session
+    (documented in the reference protocol but unimplemented there —
+    reference: src/streaming.py:266-273)."""
+    _patch_router(monkeypatch)
+    ws = DummyWS([])
+    session = StreamingSession(
+        ws, model="m", language=None, sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(
+        session._handle_text(
+            '{"type":"config","sample_rate":8000,"language":"de",'
+            '"interim_results":false}'
+        )
+    )
+    assert session.client_sample_rate == 8000
+    assert session.needs_resample is True
+    assert session.chunk_bytes == int(8000 * 0.1) * 2  # 100ms default chunk
+    assert session.language == "de"
+    assert session.interim_results is False
