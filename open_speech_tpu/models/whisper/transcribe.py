@@ -79,6 +79,23 @@ class TranscribeOptions:
     max_new_tokens: int = 224
 
 
+def _bucket_prev(prev: list[int], room: int) -> list[int]:
+    """Trim previous-text conditioning to a bucketed length.
+
+    The decode programs are compiled per prompt shape; an arbitrary-length
+    conditioning prefix would mean one XLA compile per window of a long
+    file. Trimming to the largest bucket that fits bounds the compile set
+    to a handful of shapes (conditioning is a soft prior — dropping a few
+    of its oldest tokens does not change semantics).
+    """
+    prev = prev[-room:]
+    keep = 0
+    for b in (16, 32, 64, 128, room):
+        if b <= len(prev) and b <= room:
+            keep = b
+    return prev[len(prev) - keep :] if keep else []
+
+
 def transcribe(
     params,
     cfg: WhisperConfig,
@@ -135,9 +152,11 @@ def transcribe(
         # build prompt: optional previous-text conditioning
         prompt: list[int] = []
         if opts.condition_on_previous_text and all_tokens[prompt_reset_since:]:
-            prev = all_tokens[prompt_reset_since:]
-            room = cfg.n_text_ctx // 2 - 1
-            prompt = [sp.startofprev] + prev[-room:]
+            prev = _bucket_prev(
+                all_tokens[prompt_reset_since:], cfg.n_text_ctx // 2 - 1
+            )
+            if prev:
+                prompt = [sp.startofprev] + prev
         prompt += sp.sot_sequence(
             language or "en", opts.task, timestamps=opts.timestamps
         )

@@ -183,3 +183,19 @@ def test_initial_prompt_conditions_decode(setup):
     # both decode; the prompt reaches the model (text may or may not differ
     # with random weights, but the call path must not error)
     assert isinstance(seg_a, list) and isinstance(seg_b, list)
+
+
+def test_bucket_prev_bounds_prompt_shapes():
+    from open_speech_tpu.models.whisper.transcribe import _bucket_prev
+
+    room = 223
+    lengths = set()
+    for n in range(0, 400, 7):
+        out = _bucket_prev(list(range(n)), room)
+        lengths.add(len(out))
+        if out:
+            assert out[-1] == min(n, 400) - 1 or out[-1] == n - 1  # newest kept
+    assert lengths <= {0, 16, 32, 64, 128, room}  # bounded compile set
+    # conditioning keeps the most recent tokens
+    assert _bucket_prev([1, 2, 3, 4, 5, 6, 7, 8], room) == []  # < smallest bucket
+    assert _bucket_prev(list(range(40)), room) == list(range(8, 40))  # last 32
