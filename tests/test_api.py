@@ -487,3 +487,51 @@ def test_stream_endpoint_upgrade_required(mock_stt):
         assert data["error"]["code"] == "websocket_upgrade_required"
 
     client_test(body)
+
+
+def test_ui_orchestration_cycle(mock_stt):
+    """The web UI's ensureModelReady flow: status -> load -> status(loaded)
+    -> unload (reference: tests/test_ui_model_orchestration.py shape)."""
+    from open_speech_tpu.schemas import LoadedModelInfo
+
+    loaded: list[str] = []
+    mock_stt.is_model_loaded.side_effect = lambda m: m in loaded
+    mock_stt.load_model.side_effect = lambda m: loaded.append(m)
+    mock_stt.unload_model.side_effect = lambda m: loaded.remove(m)
+    mock_stt.loaded_models.side_effect = lambda: [
+        LoadedModelInfo(
+            model=m, backend="jax-whisper", device="tpu",
+            compute_type="int8", loaded_at=0.0,
+        )
+        for m in loaded
+    ]
+
+    async def body(client):
+        resp = await client.get("/api/models/whisper-tiny/status")
+        assert (await resp.json())["state"] != "loaded"
+        resp = await client.post("/api/models/whisper-tiny/load")
+        assert resp.status == 200
+        resp = await client.get("/api/models/whisper-tiny/status")
+        assert (await resp.json())["state"] == "loaded"
+        resp = await client.delete("/api/models/whisper-tiny")
+        assert resp.status == 200
+        resp = await client.get("/api/models/whisper-tiny/status")
+        assert (await resp.json())["state"] != "loaded"
+
+    client_test(body)
+
+
+def test_download_endpoint_marks_downloaded(mock_stt):
+    loaded: list[str] = []
+    mock_stt.is_model_loaded.side_effect = lambda m: m in loaded
+    mock_stt.load_model.side_effect = lambda m: loaded.append(m)
+    mock_stt.unload_model.side_effect = lambda m: loaded.remove(m)
+    mock_stt.loaded_models.side_effect = lambda: []
+
+    async def body(client):
+        resp = await client.post("/api/models/whisper-tiny/download")
+        assert resp.status == 200
+        # download = load + unload: model ends NOT loaded
+        assert loaded == []
+
+    client_test(body)
