@@ -242,6 +242,11 @@ async def transcribe(request: web.Request) -> web.Response:
                 prompt=prompt,
             ),
         )
+    except ValueError as e:
+        # unknown model id: 404 with a stable code (the reference 500s here
+        # — src/main.py:316-318 — but the failure is client-addressable)
+        metrics.inc("stt_errors_total")
+        raise ApiError(404, str(e), "model_not_found")
     except Exception as e:  # noqa: BLE001
         metrics.inc("stt_errors_total")
         logger.exception("Transcription failed")
@@ -323,6 +328,8 @@ async def translate(request: web.Request) -> web.Response:
                 prompt=prompt,
             ),
         )
+    except ValueError as e:
+        raise ApiError(404, str(e), "model_not_found")
     except Exception as e:  # noqa: BLE001
         logger.exception("Translation failed")
         raise ApiError(500, str(e))

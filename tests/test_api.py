@@ -535,3 +535,17 @@ def test_download_endpoint_marks_downloaded(mock_stt):
         assert loaded == []
 
     client_test(body)
+
+
+def test_unknown_model_404(mock_stt):
+    mock_stt.transcribe.side_effect = ValueError("Unknown whisper model id: x")
+
+    async def body(client):
+        resp = await client.post(
+            "/v1/audio/transcriptions",
+            data={"file": _wav_bytes(), "model": "nonexistent-model-xyz"},
+        )
+        assert resp.status == 404
+        assert (await resp.json())["error"]["code"] == "model_not_found"
+
+    client_test(body)
