@@ -18,15 +18,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def build_mesh(
-    n_devices: int | None = None, data: int | None = None, model: int | None = None
+    n_devices: int | None = None,
+    data: int | None = None,
+    model: int | None = None,
+    devices: list | None = None,
+    platform: str | None = None,
 ) -> Mesh:
     """Create a ("data", "model") mesh.
 
     Defaults: all devices on the data axis (pure DP). OS_TPU_MESH="d,m" (via
-    config) or explicit args pick a TP split.
+    config) or explicit args pick a TP split. Pass ``devices`` to build over
+    an explicit device list, or ``platform`` (e.g. "cpu") to pick a backend —
+    useful for virtual-device dry runs while a real TPU is also attached.
     """
-    devices = jax.devices()
+    if devices is None:
+        devices = jax.devices(platform) if platform else jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested n_devices={n_devices} but only {len(devices)} "
+                f"device(s) available ({[d.platform for d in devices[:4]]}...); "
+                "set XLA_FLAGS=--xla_force_host_platform_device_count=N for "
+                "virtual CPU meshes"
+            )
         devices = devices[:n_devices]
     n = len(devices)
     if data is None and model is None:
