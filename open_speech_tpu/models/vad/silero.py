@@ -1,4 +1,4 @@
-"""Silero-style VAD in JAX: spectral conv front-end + LSTM + sigmoid head.
+"""Silero VAD v5 in JAX: STFT conv front-end + conv encoder + LSTM head.
 
 TPU-native replacement for the reference's ONNX Silero wrapper
 (src/vad/silero.py). Contract preserved exactly:
@@ -7,25 +7,32 @@ TPU-native replacement for the reference's ONNX Silero wrapper
   - per-stream recurrent state of shape [2, 1, 128] (h and c of the LSTM),
   - ``__call__`` returns the max window probability over a chunk
     (src/vad/silero.py:63-91),
-  - ``is_speech`` (:93) and ``get_speech_segments`` with min-speech /
-    silence-window hysteresis (:109-177) keep identical thresholds,
-    window math, and segment-closing behavior.
+  - ``is_speech`` (:93) and ``get_speech_segments`` keep identical
+    thresholds, window math, and segment semantics (re-derived here as a
+    pure run-length pass over a probability track).
+
+The graph mirrors the silero-vad v5 ONNX model the reference downloads
+(src/vad/silero.py:196-204): windowed-DFT magnitude via a fixed conv basis
+(``stft.forward_basis_buffer`` [258, 1, 256], hop 128, reflect pad 64),
+four ReLU conv1d blocks (129→128→64→64→128, strides 1/2/2/1, k=3, pad 1),
+an LSTMCell(128), then ReLU → 1x1 conv → sigmoid. ``convert_silero`` maps
+the ONNX initializers (parsed without onnxruntime via models/onnx_io.py)
+onto the JAX pytree; tests/test_vad_convert.py proves output parity against
+a torch replica of the same graph at 1e-5.
 
 TPU-first difference: the model step is a single jitted function over a
 *batch* of windows ([B, 512] x [2, B, 128] state), so the serving layer can
 run every live streaming session's VAD tick as one device call instead of
-one ONNX session.run per session. Architecture mirrors silero-vad v5
-(129-bin magnitude STFT -> 4 conv blocks -> LSTM(128) -> dense sigmoid); a
-weight converter can populate it from the ONNX file when one is present
-(no network in this deployment, so random-init + scripted-probability test
-fakes mirror the reference's MockOrtSession strategy, tests/test_vad.py).
+one ONNX session.run per session.
 """
 
 from __future__ import annotations
 
 import asyncio
 import logging
+import os
 from dataclasses import dataclass
+from pathlib import Path
 
 import numpy as np
 
@@ -38,6 +45,7 @@ VAD_SAMPLE_RATE = 16000
 WINDOW = 512  # 32 ms
 _N_FFT = 256
 _HOP = 128
+_PAD = 64  # reflect pad, both sides
 _N_BINS = _N_FFT // 2 + 1  # 129
 _HIDDEN = 128
 
@@ -68,37 +76,90 @@ def init_vad_params(key=None, dtype=jnp.float32) -> VADParams:
             "b": jnp.zeros((cout,), dtype),
         }
 
-    def dense(k, cin, cout):
-        return {
-            "w": jax.random.normal(k, (cin, cout), dtype) * cin**-0.5,
-            "b": jnp.zeros((cout,), dtype),
-        }
-
-    # DFT basis for the magnitude STFT front-end (fixed, not trained)
+    # DFT basis (Hann-windowed), the shape silero's stft conv basis has
     n = np.arange(_N_FFT)[:, None]
     kk = np.arange(_N_BINS)[None, :]
     ang = 2.0 * np.pi * n * kk / _N_FFT
     window = np.hanning(_N_FFT + 1)[:-1]
     return {
-        "stft_cos": jnp.asarray(np.cos(ang) * window[:, None], dtype),
-        "stft_sin": jnp.asarray(-np.sin(ang) * window[:, None], dtype),
-        "conv1": conv(ks[0], 3, _N_BINS, 128),
-        "conv2": conv(ks[1], 3, 128, 64),
-        "conv3": conv(ks[2], 3, 64, 64),
-        "conv4": conv(ks[3], 3, 64, 128),
+        "stft_re": jnp.asarray(np.cos(ang) * window[:, None], dtype),  # [256,129]
+        "stft_im": jnp.asarray(-np.sin(ang) * window[:, None], dtype),
+        "enc0": conv(ks[0], 3, _N_BINS, 128),
+        "enc1": conv(ks[1], 3, 128, 64),
+        "enc2": conv(ks[2], 3, 64, 64),
+        "enc3": conv(ks[3], 3, 64, 128),
         "lstm": {
-            "wi": dense(ks[4], 128, 4 * _HIDDEN)["w"],
-            "wh": dense(ks[5], _HIDDEN, 4 * _HIDDEN)["w"],
+            "wi": jax.random.normal(ks[4], (_HIDDEN, 4 * _HIDDEN), dtype)
+            * _HIDDEN**-0.5,
+            "wh": jax.random.normal(ks[5], (_HIDDEN, 4 * _HIDDEN), dtype)
+            * _HIDDEN**-0.5,
             "b": jnp.zeros((4 * _HIDDEN,), dtype),
         },
-        "head": dense(ks[6], _HIDDEN, 1),
+        "head": {
+            "w": jax.random.normal(ks[6], (_HIDDEN, 1), dtype) * _HIDDEN**-0.5,
+            "b": jnp.zeros((1,), dtype),
+        },
     }
 
 
-def _conv1d(x, p):
+def convert_silero(src: str | Path | bytes | dict) -> VADParams:
+    """Silero VAD v5 ONNX weights → JAX pytree.
+
+    ``src`` is an ONNX file path/bytes (reference downloads this file,
+    src/vad/silero.py:196-204) or an already-parsed name→array mapping.
+    Names are matched by suffix so both ``_model.stft...`` (jit export) and
+    ``stft...`` (onnx) prefixes work.
+    """
+    from open_speech_tpu.models.onnx_io import read_onnx_initializers
+
+    raw = src if isinstance(src, dict) else read_onnx_initializers(src)
+
+    def find(suffix: str) -> np.ndarray:
+        matches = [v for k, v in raw.items() if k.endswith(suffix)]
+        if not matches:
+            raise KeyError(
+                f"silero checkpoint missing tensor *{suffix} "
+                f"(have: {sorted(raw)[:8]}...)"
+            )
+        return np.asarray(matches[0], dtype=np.float32)
+
+    basis = find("stft.forward_basis_buffer")  # [258, 1, 256]
+    basis = basis.reshape(2 * _N_BINS, _N_FFT)
+
+    def conv(prefix: str) -> dict:
+        w = find(f"{prefix}.weight")  # torch [cout, cin, k]
+        b = find(f"{prefix}.bias")
+        return {"w": jnp.asarray(w.transpose(2, 1, 0)), "b": jnp.asarray(b)}
+
+    w_ih = find("rnn.weight_ih")  # [4H, H], torch gate order i,f,g,o
+    w_hh = find("rnn.weight_hh")
+    b_ih = find("rnn.bias_ih")
+    b_hh = find("rnn.bias_hh")
+    head_w = find("decoder.2.weight")  # [1, 128, 1]
+    head_b = find("decoder.2.bias")
+    return {
+        "stft_re": jnp.asarray(basis[:_N_BINS].T),  # [256, 129]
+        "stft_im": jnp.asarray(basis[_N_BINS:].T),
+        "enc0": conv("encoder.0.reparam_conv"),
+        "enc1": conv("encoder.1.reparam_conv"),
+        "enc2": conv("encoder.2.reparam_conv"),
+        "enc3": conv("encoder.3.reparam_conv"),
+        "lstm": {
+            "wi": jnp.asarray(w_ih.T),
+            "wh": jnp.asarray(w_hh.T),
+            "b": jnp.asarray(b_ih + b_hh),
+        },
+        "head": {
+            "w": jnp.asarray(head_w[:, :, 0].T),  # [128, 1]
+            "b": jnp.asarray(head_b),
+        },
+    }
+
+
+def _conv1d(x, p, stride: int = 1):
     return (
         jax.lax.conv_general_dilated(
-            x, p["w"], window_strides=(1,), padding=[(1, 1)],
+            x, p["w"], window_strides=(stride,), padding=[(1, 1)],
             dimension_numbers=("NWC", "WIO", "NWC"),
         )
         + p["b"]
@@ -112,32 +173,81 @@ def vad_step(params, audio: jax.Array, state: jax.Array):
     audio: [B, 512] float32; state: [2, B, 128] (h, c).
     Returns (probs [B], new_state [2, B, 128]).
     """
-    b = audio.shape[0]
-    # magnitude STFT: 4 hops of 256-sample frames over the 512 window
-    # (reflect-pad so frame count is window//hop)
-    pad = _N_FFT // 2
-    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
-    idx = jnp.arange(WINDOW // _HOP)[:, None] * _HOP + jnp.arange(_N_FFT)[None, :]
-    frames = x[:, idx]  # [B, 4, 256]
-    re = frames @ params["stft_cos"]
-    im = frames @ params["stft_sin"]
-    mag = jnp.sqrt(re * re + im * im + 1e-9)  # [B, 4, 129]
+    # magnitude STFT: reflect pad 64, 256-sample frames, hop 128 → 4 frames
+    x = jnp.pad(audio, ((0, 0), (_PAD, _PAD)), mode="reflect")
+    n_frames = (x.shape[1] - _N_FFT) // _HOP + 1
+    idx = jnp.arange(n_frames)[:, None] * _HOP + jnp.arange(_N_FFT)[None, :]
+    frames = x[:, idx]  # [B, F, 256]
+    re = frames @ params["stft_re"]
+    im = frames @ params["stft_im"]
+    mag = jnp.sqrt(re * re + im * im + 1e-12)  # [B, F, 129]
 
-    h = jax.nn.relu(_conv1d(mag, params["conv1"]))
-    h = jax.nn.relu(_conv1d(h, params["conv2"]))
-    h = jax.nn.relu(_conv1d(h, params["conv3"]))
-    h = jax.nn.relu(_conv1d(h, params["conv4"]))
-    feat = h.mean(axis=1)  # [B, 128]
+    h = jax.nn.relu(_conv1d(mag, params["enc0"], 1))
+    h = jax.nn.relu(_conv1d(h, params["enc1"], 2))
+    h = jax.nn.relu(_conv1d(h, params["enc2"], 2))
+    h = jax.nn.relu(_conv1d(h, params["enc3"], 1))  # [B, F', 128]
 
     hx, cx = state[0], state[1]
-    gates = feat @ params["lstm"]["wi"] + hx @ params["lstm"]["wh"] + params["lstm"]["b"]
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
-    c_new = jax.nn.sigmoid(f) * cx + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-    prob = jax.nn.sigmoid(
-        h_new @ params["head"]["w"] + params["head"]["b"]
-    )[:, 0]
+
+    def lstm_cell(carry, feat_t):
+        hx, cx = carry
+        gates = feat_t @ params["lstm"]["wi"] + hx @ params["lstm"]["wh"] + params["lstm"]["b"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * cx + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    feat_seq = jnp.swapaxes(h, 0, 1)  # [F', B, 128]
+    (h_new, c_new), _ = jax.lax.scan(lstm_cell, (hx, cx), feat_seq)
+    out = jax.nn.relu(h_new)
+    prob = jax.nn.sigmoid(out @ params["head"]["w"] + params["head"]["b"])[:, 0]
     return prob, jnp.stack([h_new, c_new])
+
+
+def segments_from_probs(
+    probs: np.ndarray,
+    *,
+    threshold: float,
+    window_ms: int,
+    min_speech_ms: int,
+    silence_ms: int,
+    total_ms: int,
+) -> list[Segment]:
+    """Turn a per-window probability track into speech segments.
+
+    Semantics (matching the reference wrapper, src/vad/silero.py:109-177):
+    a segment opens at the first window ≥ threshold; it closes once
+    ``silence_ms`` of consecutive sub-threshold windows accumulate, ending
+    at the first window of that silence run; segments shorter than
+    ``min_speech_ms`` of accumulated speech windows are dropped; a segment
+    still open at the end of the track is closed at ``total_ms``.
+    """
+    need_silence = max(1, silence_ms // window_ms)
+    need_speech = max(1, min_speech_ms // window_ms)
+
+    out: list[Segment] = []
+    open_at: int | None = None  # ms where the current segment began
+    voiced = 0  # speech windows inside the current segment
+    quiet_run = 0  # trailing sub-threshold windows
+
+    for w, p in enumerate(np.asarray(probs)):
+        t_ms = w * window_ms
+        if p >= threshold:
+            if open_at is None:
+                open_at = t_ms
+                voiced = 0
+            voiced += 1
+            quiet_run = 0
+        elif open_at is not None:
+            quiet_run += 1
+            if quiet_run >= need_silence:
+                if voiced >= need_speech:
+                    out.append(Segment(start_ms=open_at, end_ms=t_ms))
+                open_at, voiced, quiet_run = None, 0, 0
+
+    if open_at is not None and voiced >= need_speech:
+        out.append(Segment(start_ms=open_at, end_ms=total_ms))
+    return out
 
 
 class SileroVAD:
@@ -169,15 +279,20 @@ class SileroVAD:
         self._state = np.asarray(state)
         return float(probs[0])
 
+    def _prob_track(self, audio: np.ndarray) -> np.ndarray:
+        """Per-window probabilities over consecutive 512-sample windows."""
+        probs = [
+            self._step(audio[s : s + WINDOW].astype(np.float32))
+            for s in range(0, len(audio) - WINDOW + 1, WINDOW)
+        ]
+        return np.asarray(probs, dtype=np.float32)
+
     def __call__(self, audio: np.ndarray) -> float:
         """Max speech probability over consecutive 512-sample windows."""
         if len(audio) == 0:
             return 0.0
-        max_prob = 0.0
-        for start in range(0, len(audio) - WINDOW + 1, WINDOW):
-            prob = self._step(audio[start : start + WINDOW].astype(np.float32))
-            max_prob = max(max_prob, prob)
-        return max_prob
+        track = self._prob_track(audio)
+        return float(track.max()) if track.size else 0.0
 
     def is_speech(self, pcm16_bytes: bytes, threshold: float | None = None) -> bool:
         if not pcm16_bytes:
@@ -197,53 +312,37 @@ class SileroVAD:
         """Hysteresis segmentation, reference semantics (src/vad/silero.py:109)."""
         if not pcm16_bytes:
             return []
-        thresh = threshold if threshold is not None else self.threshold
         audio = (
             np.frombuffer(pcm16_bytes, dtype=np.int16).astype(np.float32) / 32768.0
         )
-        window_ms = WINDOW * 1000 // self.sample_rate
-        silence_windows = max(1, silence_ms // window_ms)
-        min_speech_windows = max(1, min_speech_ms // window_ms)
+        return segments_from_probs(
+            self._prob_track(audio),
+            threshold=threshold if threshold is not None else self.threshold,
+            window_ms=WINDOW * 1000 // self.sample_rate,
+            min_speech_ms=min_speech_ms,
+            silence_ms=silence_ms,
+            total_ms=len(audio) * 1000 // self.sample_rate,
+        )
 
-        segments: list[Segment] = []
-        in_speech = False
-        speech_start = 0
-        silence_count = 0
-        speech_windows = 0
 
-        for start in range(0, len(audio) - WINDOW + 1, WINDOW):
-            prob = self._step(audio[start : start + WINDOW])
-            current_ms = start * 1000 // self.sample_rate
-            if prob >= thresh:
-                silence_count = 0
-                if not in_speech:
-                    in_speech = True
-                    speech_start = current_ms
-                    speech_windows = 0
-                speech_windows += 1
-            else:
-                if in_speech:
-                    silence_count += 1
-                    if silence_count >= silence_windows:
-                        if speech_windows >= min_speech_windows:
-                            segments.append(
-                                Segment(start_ms=speech_start, end_ms=current_ms)
-                            )
-                        in_speech = False
-                        silence_count = 0
-                        speech_windows = 0
-
-        if in_speech and speech_windows >= min_speech_windows:
-            end_ms = len(audio) * 1000 // self.sample_rate
-            segments.append(Segment(start_ms=speech_start, end_ms=end_ms))
-        return segments
+def _find_vad_checkpoint() -> Path | None:
+    """Locate a silero ONNX file: OS_VAD_ONNX_PATH, then the reference's
+    cache dir (~/.cache/silero-vad/silero_vad.onnx)."""
+    env = os.environ.get("OS_VAD_ONNX_PATH", "")
+    candidates = [Path(env)] if env else []
+    candidates.append(Path.home() / ".cache" / "silero-vad" / "silero_vad.onnx")
+    for c in candidates:
+        if c.is_file():
+            return c
+    return None
 
 
 async def get_vad_model() -> SileroVAD:
     """Singleton VAD (reference: src/vad/silero.py:180-209).
 
-    Initializes params on device once; per-stream instances share them via
-    ``SileroVAD(model.session)``.
+    Loads converted silero weights when a checkpoint is present (no network
+    egress in this deployment); falls back to random init with a warning so
+    the serving stack stays functional for shape/flow testing.
     """
     global _vad_model
     if _vad_model is not None:
@@ -251,9 +350,18 @@ async def get_vad_model() -> SileroVAD:
     async with _vad_lock:
         if _vad_model is not None:
             return _vad_model
-        params = init_vad_params()
+        ckpt = _find_vad_checkpoint()
+        if ckpt is not None:
+            params = convert_silero(ckpt)
+            logger.info("JAX VAD model loaded from %s", ckpt)
+        else:
+            params = init_vad_params()
+            logger.warning(
+                "No silero checkpoint found (OS_VAD_ONNX_PATH unset); "
+                "VAD running with random weights — speech probabilities "
+                "are not meaningful"
+            )
         # jit warmup so the first streaming chunk isn't a compile stall
         vad_step(params, jnp.zeros((1, WINDOW)), jnp.zeros((2, 1, _HIDDEN)))
         _vad_model = SileroVAD(params)
-        logger.info("JAX VAD model initialized")
         return _vad_model
