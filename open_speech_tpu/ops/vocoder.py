@@ -109,8 +109,10 @@ def style_mod(x: jax.Array, style: jax.Array, p) -> jax.Array:
     return x * (1.0 + gamma[:, None, :]) + beta[:, None, :]
 
 
-def conv1d(x: jax.Array, p, stride: int = 1, dilation: int = 1) -> jax.Array:
-    """x [B, T, C_in], p["w"] [K, C_in, C_out] — 'same' padding."""
+def conv1d(
+    x: jax.Array, p, stride: int = 1, dilation: int = 1, groups: int = 1
+) -> jax.Array:
+    """x [B, T, C_in], p["w"] [K, C_in/groups, C_out] — 'same' padding."""
     k = p["w"].shape[0]
     pad = (k - 1) * dilation // 2
     out = jax.lax.conv_general_dilated(
@@ -118,15 +120,27 @@ def conv1d(x: jax.Array, p, stride: int = 1, dilation: int = 1) -> jax.Array:
         padding=[(pad, (k - 1) * dilation - pad)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
     )
     return out + p["b"] if "b" in p else out
 
 
-def conv_transpose1d(x: jax.Array, p, stride: int) -> jax.Array:
-    """Upsampling transposed conv, HiFiGAN-style (kernel = 2*stride)."""
+def conv_transpose1d(x: jax.Array, p, stride: int, pad: int | None = None) -> jax.Array:
+    """Upsampling transposed conv matching torch ``ConvTranspose1d`` semantics.
+
+    x [B, T, C_in] → [B, (T-1)*stride - 2*pad + K, C_out]. With the HiFiGAN
+    convention pad=(K-stride)//2 and even K-stride this is exactly T*stride.
+    p["w"] is [K, C_in, C_out] *kernel-flipped* relative to the torch
+    ConvTranspose1d weight (converters store ``w.transpose(2,0,1)[::-1]``),
+    so the transposed conv runs as one input-dilated correlation.
+    """
     k = p["w"].shape[0]
-    out = jax.lax.conv_transpose(
-        x, p["w"], strides=(stride,), padding=[((k - stride) // 2, (k - stride + 1) // 2)],
+    if pad is None:
+        pad = (k - stride) // 2
+    edge = k - 1 - pad
+    out = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1,), padding=[(edge, edge)],
+        lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
     )
     return out + p["b"] if "b" in p else out

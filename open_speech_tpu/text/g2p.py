@@ -163,10 +163,31 @@ def word_to_phonemes(word: str) -> list[str]:
     return phones
 
 
+def piper_phoneme_ids(phones: list[str], id_map: dict) -> list[int]:
+    """Encode IPA phonemes with a piper voice's phoneme_id_map.
+
+    Piper framing: BOS "^", pad "_" interspersed after every phoneme,
+    EOS "$" (piper-phonemize convention; map values are id lists).
+    """
+    ids = list(id_map.get("^", [1]))
+    pad = list(id_map.get("_", [0]))
+    ids.extend(pad)
+    for p in phones:
+        if p in id_map:
+            ids.extend(id_map[p])
+            ids.extend(pad)
+    ids.extend(id_map.get("$", [2]))
+    return ids
+
+
 class RuleG2P:
     """Self-contained normalizer + lexicon + LTS G2P."""
 
     name = "rule"
+
+    def phonemize_ipa(self, text: str, voice: str = "en-us") -> list[str] | None:
+        """IPA phoneme characters (espeak-backed G2P only)."""
+        return None
 
     def phonemize(self, text: str) -> list[str]:
         text = normalize_text(text)
@@ -180,7 +201,19 @@ class RuleG2P:
                 out.extend(word_to_phonemes(token.replace("'", "")))
         return out
 
-    def to_ids(self, text: str, bos_eos: bool = True) -> list[int]:
+    def to_ids(
+        self,
+        text: str,
+        bos_eos: bool = True,
+        id_map: dict | None = None,
+        voice: str = "en-us",
+    ) -> list[int]:
+        """Phoneme ids. With a piper ``phoneme_id_map`` (converted voices),
+        encode espeak IPA through it; otherwise the built-in ARPAbet space."""
+        if id_map:
+            phones = self.phonemize_ipa(text, voice=voice)
+            if phones is not None:
+                return piper_phoneme_ids(phones, id_map)
         ids = [PHONEME_TO_ID[p] for p in self.phonemize(text) if p in PHONEME_TO_ID]
         if bos_eos:
             return [PHONEME_TO_ID["<bos>"]] + ids + [PHONEME_TO_ID["<eos>"]]
@@ -195,6 +228,16 @@ class EspeakG2P(RuleG2P):
     @staticmethod
     def available() -> bool:
         return shutil.which("espeak-ng") is not None
+
+    def phonemize_ipa(self, text: str, voice: str = "en-us") -> list[str] | None:
+        try:
+            out = subprocess.run(
+                ["espeak-ng", "-q", "--ipa", "-v", voice, text],
+                capture_output=True, text=True, timeout=10, check=True,
+            ).stdout
+            return [ch for ch in out.strip() if not ch.isspace()]
+        except Exception:  # noqa: BLE001
+            return None
 
     def phonemize(self, text: str) -> list[str]:
         try:

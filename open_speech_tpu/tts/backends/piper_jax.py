@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import hashlib
 import logging
+import os
 import time
+from pathlib import Path
 from typing import Any, Iterator
 
 import numpy as np
@@ -26,6 +28,7 @@ from open_speech_tpu.models.piper import (
     init_piper_params,
     synthesize_vits,
 )
+from open_speech_tpu.models.piper.convert import convert_piper_onnx
 from open_speech_tpu.models.piper.model import SAMPLE_RATE
 from open_speech_tpu.text.g2p import get_g2p, split_sentences
 from open_speech_tpu.tts.backends.base import (
@@ -113,6 +116,27 @@ class PiperBackend:
 
     # ── lifecycle ─────────────────────────────────────────────────────
 
+    @staticmethod
+    def _find_voice_file(short: str) -> Path | None:
+        """Locate a piper ONNX voice checkpoint on disk.
+
+        Search order: OS_PIPER_VOICES_DIR, then the conventional local
+        caches the piper ecosystem uses.
+        """
+        roots = []
+        env = os.environ.get("OS_PIPER_VOICES_DIR", "")
+        if env:
+            roots.append(Path(env))
+        roots += [
+            Path.home() / ".cache" / "piper-voices",
+            Path.home() / ".local" / "share" / "piper",
+        ]
+        for root in roots:
+            cand = root / f"{short}.onnx"
+            if cand.is_file():
+                return cand
+        return None
+
     def load_model(self, model_id: str) -> None:
         mid = self._canonical(model_id)
         if mid in self._models:
@@ -120,14 +144,34 @@ class PiperBackend:
             return
         if mid not in PIPER_VOICES:
             raise ValueError(f"Unknown piper voice: {model_id}")
-        seed = int.from_bytes(hashlib.sha256(mid.encode()).digest()[:4], "little")
         t0 = time.time()
-        # TODO(weights): convert rhasspy piper ONNX graphs when present
-        self._models[mid] = init_piper_params(jax.random.PRNGKey(seed), self._cfg)
+        short = mid.removeprefix("piper/")
+        ckpt = self._find_voice_file(short)
+        if ckpt is not None:
+            params, cfg, meta = convert_piper_onnx(ckpt)
+            cfg = PiperConfig(
+                **{
+                    **cfg.__dict__,
+                    "max_phonemes": self._cfg.max_phonemes,
+                    "max_frames": self._cfg.max_frames,
+                }
+            )
+            self._models[mid] = (params, cfg, meta)
+            logger.info("piper voice %s converted from %s", mid, ckpt)
+        else:
+            seed = int.from_bytes(
+                hashlib.sha256(mid.encode()).digest()[:4], "little"
+            )
+            params = init_piper_params(jax.random.PRNGKey(seed), self._cfg)
+            self._models[mid] = (params, self._cfg, {})
+            logger.warning(
+                "piper voice %s running with random weights (no checkpoint "
+                "under OS_PIPER_VOICES_DIR)", mid
+            )
         now = time.time()
         self._loaded_at[mid] = now
         self._last_used[mid] = now
-        logger.info("piper voice %s initialized in %.1fs", mid, now - t0)
+        logger.info("piper voice %s ready in %.1fs", mid, now - t0)
 
     def unload_model(self, model_id: str) -> None:
         mid = self._canonical(model_id)
@@ -178,23 +222,24 @@ class PiperBackend:
         if mid not in self._models:
             self.load_model(mid)  # auto-load fallback (reference :350-373)
         self._last_used[mid] = time.time()
-        params = self._models[mid]
+        params, cfg, meta = self._models[mid]
         speed = speed if speed and speed > 0 else 1.0
         for si, sentence in enumerate(split_sentences(text) or [text]):
-            ids = self._g2p.to_ids(sentence)[: self._cfg.max_phonemes]
+            ids = self._g2p.to_ids(sentence, id_map=meta.get("phoneme_id_map"))
+            ids = ids[: cfg.max_phonemes]
             n = len(ids)
-            phonemes = np.zeros((1, self._cfg.max_phonemes), np.int32)
+            phonemes = np.zeros((1, cfg.max_phonemes), np.int32)
             phonemes[0, :n] = ids
             audio, n_frames = synthesize_vits(
                 params,
-                self._cfg,
+                cfg,
                 jnp.asarray(phonemes),
                 jnp.asarray([n], jnp.int32),
                 jnp.asarray([0], jnp.int32),
                 jnp.asarray([speed], jnp.float32),
                 jax.random.PRNGKey(si),
             )
-            samples = int(n_frames[0]) * self._cfg.samples_per_frame
+            samples = int(n_frames[0]) * cfg.samples_per_frame
             chunk = np.asarray(audio[0, :samples], np.float32)
             if chunk.size:
                 yield chunk
