@@ -1,26 +1,38 @@
-"""Kokoro-style TTS in JAX: StyleTTS2-lite architecture, ISTFTNet decoder.
+"""Kokoro-82M in JAX — the actual KModel graph, weight-loadable.
 
 TPU-native counterpart of the reference's torch Kokoro backend
-(src/tts/backends/kokoro.py:207 loads KPipeline on CUDA). Pipeline:
+(src/tts/backends/kokoro.py:194-212 loads hexgrad KPipeline). This is the
+real kokoro architecture (StyleTTS2-derived), not a sketch, so converted
+checkpoints (models/kokoro/convert.py) reproduce the shipped voices:
 
-  phoneme ids -> conv+biLSTM text encoder -> style-conditioned duration
-  predictor -> length regulation (searchsorted gather, static frame bucket)
-  -> F0/energy predictors -> ISTFTNet generator (2 transposed-conv upsample
-  stages x (10,6), multi-receptive-field resblocks, AdaIN style conditioning)
-  -> magnitude+phase -> ISTFT (n_fft 20, hop 5) -> 24 kHz waveform.
+  phoneme ids
+    → PL-BERT (ALBERT: factorized 128-dim embeddings, one shared
+      768-wide transformer layer iterated 12×) → linear to 512
+    → prosody predictor: style-conditioned DurationEncoder (biLSTM +
+      AdaLayerNorm pairs), duration head (sigmoid-sum over 50 bins),
+      shared biLSTM + AdaIN residual stacks for F0/energy at 2× frames
+    → text encoder (emb + 3 weight-normed convs + biLSTM)
+    → hard alignment expansion (repeat-interleave durations)
+    → ISTFTNet decoder: AdaIN residual encode/decode with F0/N/asr
+      residual injection, then a harmonic-source generator (sine
+      harmonics from F0 → STFT features summed into upsample stages,
+      snake activations) → exp/sin spectrum → inverse STFT.
 
-Matches kokoro-82M's generator geometry (24 kHz, 300 samples/frame) so
-converted weights drop into the same shapes; random init keeps every code
-path exercisable without weights (none are downloadable in this deployment).
+Voice identity is a 256-dim reference vector (first 128 decoder style,
+last 128 prosody style), selected per utterance length from the voice
+pack — blending stays a weighted vector average (reference
+src/tts/backends/kokoro.py:289-308).
 
-Voice identity is a 256-d style vector; blending is the weighted average of
-vectors on device — the semantics of the reference's tensor-pack blend
-(src/tts/backends/kokoro.py:289-308).
+TPU-first shape discipline: phoneme/frame axes are padded to static
+buckets; every time-dependent statistic (instance norms, LSTM reversal,
+ISTFT normalization) is computed under an explicit validity mask so one
+compiled program serves all lengths and matches the reference's
+exact-length math on the valid prefix.
 """
 
 from __future__ import annotations
 
-import hashlib
+import math
 from dataclasses import dataclass
 from functools import partial
 
@@ -29,319 +41,884 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from open_speech_tpu.ops.vocoder import (
-    conv1d,
-    conv_transpose1d,
-    init_resblock1,
-    istft,
-    resblock1,
-    style_mod,
-)
-from open_speech_tpu.text.g2p import N_PHONEMES
+from open_speech_tpu.ops.vocoder import conv1d, conv_transpose1d
 
 SAMPLE_RATE = 24_000
 
 
 @dataclass(frozen=True)
 class KokoroConfig:
-    n_phonemes: int = N_PHONEMES
+    n_symbols: int = 178
+    # PL-BERT (ALBERT)
+    plbert_emb: int = 128
+    plbert_hidden: int = 768
+    plbert_heads: int = 12
+    plbert_interm: int = 2048
+    plbert_layers: int = 12
+    max_positions: int = 512
+    # prosody predictor / text encoder
     hidden: int = 512
-    style_dim: int = 256
-    # generator geometry (kokoro-82M ISTFTNet): 10*6 upsample, istft hop 5
+    style_dim: int = 128  # per-component; the full voice vector is 2×this
+    max_dur: int = 50
+    text_kernel: int = 5
+    text_depth: int = 3
+    dur_layers: int = 3
+    # istftnet decoder
+    dec_mid: int = 1024
+    dec_blocks: int = 4  # decode stack depth (last block upsamples)
+    asr_res_dim: int = 64
     upsample_rates: tuple[int, ...] = (10, 6)
-    istft_n_fft: int = 20
-    istft_hop: int = 5
+    upsample_kernels: tuple[int, ...] = (20, 12)
     resblock_kernels: tuple[int, ...] = (3, 7, 11)
-    max_frames: int = 512  # static frame bucket (512 frames = 6.4 s @ 80 Hz)
-    max_phonemes: int = 128
+    resblock_dilations: tuple[tuple[int, ...], ...] = ((1, 3, 5),) * 3
+    noise_res_kernels: tuple[int, ...] = (7, 11)
+    gen_n_fft: int = 20
+    gen_hop: int = 5
+    harmonics: int = 8
+    sine_amp: float = 0.1
+    noise_std: float = 0.003
+    voiced_threshold: float = 10.0
+    sample_rate: int = SAMPLE_RATE
+    # serving buckets (alignment frames; 1 frame = 25 ms at 24 kHz)
+    max_phonemes: int = 256
+    max_frames: int = 480
+
+    @property
+    def upsample_total(self) -> int:
+        r = 2  # predictor F0 path runs at 2× alignment frames
+        for u in self.upsample_rates:
+            r *= u
+        return r * self.gen_hop
 
     @property
     def samples_per_frame(self) -> int:
-        r = self.istft_hop
-        for u in self.upsample_rates:
-            r *= u
-        return r  # 300 -> 80 frames/s at 24 kHz
+        return self.upsample_total  # 600 for (10,6)×5
+
+    @property
+    def voice_dim(self) -> int:
+        return 2 * self.style_dim
 
 
-def _lin(key, d_in, d_out, dtype):
+# ──────────────────────────────────────────────────────────────────────
+# shared primitives
+# ──────────────────────────────────────────────────────────────────────
+
+
+def _ln(x, p, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    return (((x32 - mean) * jax.lax.rsqrt(var + eps)) * p["g"] + p["b"]).astype(
+        x.dtype
+    )
+
+
+def _linear(x, p):
+    return x @ p["w"] + p["b"]
+
+
+def _masked_instance_norm(x, mask, eps=1e-5):
+    """InstanceNorm1d statistics over valid time positions only.
+
+    x [B, T, C]; mask [B, T, 1]. Matches torch's exact-length instance norm
+    on the valid prefix.
+    """
+    cnt = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+    mean = (x * mask).sum(axis=1, keepdims=True) / cnt
+    var = (((x - mean) * mask) ** 2).sum(axis=1, keepdims=True) / cnt
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _adain(x, style, p, mask):
+    """AdaIN1d: masked instance norm + style affine; output re-masked."""
+    gb = _linear(style, p)  # [B, 2C]
+    c = x.shape[-1]
+    gamma, beta = gb[:, None, :c], gb[:, None, c:]
+    xn = _masked_instance_norm(x, mask)
+    return ((1.0 + gamma) * xn + beta) * mask
+
+
+def _snake(x, alpha):
+    """Snake activation x + sin²(αx)/α (istftnet AdaINResBlock1)."""
+    return x + (1.0 / alpha) * jnp.sin(alpha * x) ** 2
+
+
+def _lstm_scan(p, x):
+    """Unidirectional LSTM over [B, T, In] → [B, T, H] (torch gate order)."""
+    b, _, _ = x.shape
+    hdim = p["wh"].shape[0]
+    h0 = jnp.zeros((b, hdim), x.dtype)
+    c0 = jnp.zeros((b, hdim), x.dtype)
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt @ p["wi"] + h @ p["wh"] + p["b"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    _, hs = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x, 0, 1))
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def bilstm(p, x, lengths):
+    """Bidirectional LSTM with per-row valid lengths (pack_padded semantics).
+
+    x [B, T, In]; lengths [B] → [B, T, 2H], zero beyond each row's length.
+    """
+    t = x.shape[1]
+    mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(x.dtype)[..., None]
+    fwd = _lstm_scan(p["fw"], x * mask)
+    # reverse each row within its valid length, scan, un-reverse
+    idx = jnp.clip(lengths[:, None] - 1 - jnp.arange(t)[None, :], 0, t - 1)
+    xr = jnp.take_along_axis(x * mask, idx[..., None], axis=1)
+    bwd_r = _lstm_scan(p["bw"], xr)
+    bwd = jnp.take_along_axis(bwd_r, idx[..., None], axis=1)
+    return jnp.concatenate([fwd, bwd], axis=-1) * mask
+
+
+# ──────────────────────────────────────────────────────────────────────
+# PL-BERT (ALBERT)
+# ──────────────────────────────────────────────────────────────────────
+
+
+def albert_encode(params, cfg: KokoroConfig, tokens, mask):
+    """ALBERT last hidden state. tokens [B, T]; mask [B, T, 1] → [B, T, 768]."""
+    bp = params["bert"]
+    t = tokens.shape[1]
+    emb = (
+        bp["word_emb"][tokens]
+        + bp["pos_emb"][jnp.arange(t)][None]
+        + bp["type_emb"][0][None, None]
+    )
+    h = _ln(emb, bp["emb_ln"], eps=1e-12)
+    h = _linear(h, bp["emb_map"])  # [B, T, 768]
+
+    nh = cfg.plbert_heads
+    hd = cfg.plbert_hidden // nh
+    add_mask = (1.0 - mask[..., 0])[:, None, None, :] * -1e9  # [B,1,1,T]
+
+    for _ in range(cfg.plbert_layers):  # one shared layer, iterated
+        b = h.shape[0]
+        q = _linear(h, bp["q"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = _linear(h, bp["k"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        v = _linear(h, bp["v"]).reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhld,bhmd->bhlm", q, k) * hd**-0.5 + add_mask
+        ctx = jnp.einsum("bhlm,bhmd->bhld", jax.nn.softmax(scores, -1), v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, t, cfg.plbert_hidden)
+        h = _ln(h + _linear(ctx, bp["att_o"]), bp["att_ln"], eps=1e-12)
+        f = jax.nn.gelu(_linear(h, bp["ffn"]), approximate=True)  # gelu_new
+        h = _ln(h + _linear(f, bp["ffn_o"]), bp["out_ln"], eps=1e-12)
+    return h
+
+
+# ──────────────────────────────────────────────────────────────────────
+# text encoder (StyleTTS2 TextEncoder)
+# ──────────────────────────────────────────────────────────────────────
+
+
+def text_encode(params, cfg: KokoroConfig, tokens, lengths, mask):
+    te = params["text_enc"]
+    x = te["emb"][tokens] * mask
+    for blk in te["cnn"]:
+        x = conv1d(x, blk["conv"])
+        x = _ln(x, blk["ln"])
+        x = jax.nn.leaky_relu(x, 0.2) * mask
+    return bilstm(te["lstm"], x, lengths)  # [B, T, 512]
+
+
+# ──────────────────────────────────────────────────────────────────────
+# prosody predictor
+# ──────────────────────────────────────────────────────────────────────
+
+
+def _adaln(x, style, p):
+    """AdaLayerNorm: LN without affine, then style-predicted (1+γ)·x+β."""
+    gb = _linear(style, p)  # [B, 2C]
+    c = x.shape[-1]
+    gamma, beta = gb[:, None, :c], gb[:, None, c:]
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    xn = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    return ((1.0 + gamma) * xn + beta).astype(x.dtype)
+
+
+def duration_encode(params, cfg: KokoroConfig, d_en, style, lengths, mask):
+    """DurationEncoder: [biLSTM(+style), AdaLayerNorm] pairs.
+
+    d_en [B, T, 512]; style [B, 128] → [B, T, 512+128].
+    """
+    pe = params["pred"]
+    t = d_en.shape[1]
+    s_seq = jnp.tile(style[:, None, :], (1, t, 1))
+    x = jnp.concatenate([d_en, s_seq], axis=-1) * mask
+    for layer in pe["dur_enc"]:
+        x = bilstm(layer["lstm"], x, lengths)  # [B, T, 512]
+        x = _adaln(x, style, layer["adaln"])
+        x = jnp.concatenate([x, s_seq], axis=-1) * mask
+    return x  # [B, T, 640]
+
+
+def _adain_res_blk(x, style, p, mask, upsample: bool = False):
+    """StyleTTS2 AdainResBlk1d (leaky-relu 0.2, /sqrt(2) merge)."""
+    # shortcut
+    sc = x
+    if upsample:
+        sc = jnp.repeat(sc, 2, axis=1)  # nearest 2× upsample
+    if "sc" in p:
+        sc = conv1d(sc, p["sc"])
+    # residual
+    h = _adain(x, style, p["n1"], mask)
+    h = jax.nn.leaky_relu(h, 0.2)
+    if upsample:
+        # depthwise ConvTranspose1d(k=3, stride=2, pad=1, output_pad=1)
+        c = h.shape[-1]
+        h = jax.lax.conv_general_dilated(
+            h, p["pool"]["w"], window_strides=(1,), padding=[(1, 2)],
+            lhs_dilation=(2,), dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=c,
+        ) + p["pool"]["b"]
+        mask = jnp.repeat(mask, 2, axis=1)
+    h = conv1d(h, p["c1"]) * mask
+    h = _adain(h, style, p["n2"], mask)
+    h = jax.nn.leaky_relu(h, 0.2)
+    h = conv1d(h, p["c2"]) * mask
+    return (h + sc * mask) / math.sqrt(2.0), mask
+
+
+def f0n_predict(params, cfg: KokoroConfig, en, style, frames):
+    """F0/energy curves at 2× alignment frames. en [B, F, 640] → two [B, 2F]."""
+    pe = params["pred"]
+    fmask = (
+        jnp.arange(en.shape[1])[None, :] < frames[:, None]
+    ).astype(jnp.float32)[..., None]
+    x = bilstm(pe["shared"], en, frames)  # [B, F, 512]
+
+    def head(blocks, proj):
+        h, m = x, fmask
+        h, m = _adain_res_blk(h, style, blocks[0], m)
+        h, m = _adain_res_blk(h, style, blocks[1], m, upsample=True)
+        h, m = _adain_res_blk(h, style, blocks[2], m)
+        return conv1d(h, proj)[..., 0] * m[..., 0]  # [B, 2F]
+
+    return head(pe["F0"], pe["F0_proj"]), head(pe["N"], pe["N_proj"])
+
+
+# ──────────────────────────────────────────────────────────────────────
+# istftnet decoder
+# ──────────────────────────────────────────────────────────────────────
+
+
+def _gen_res_block(x, style, p, mask, kernel, dilations):
+    """istftnet AdaINResBlock1 with snake activations."""
+    for i, d in enumerate(dilations):
+        h = _adain(x, style, p["ad1"][i], mask)
+        h = _snake(h, p["a1"][i]) * mask
+        h = conv1d(h, p["c1"][i], dilation=d) * mask
+        h = _adain(h, style, p["ad2"][i], mask)
+        h = _snake(h, p["a2"][i]) * mask
+        h = conv1d(h, p["c2"][i]) * mask
+        x = x + h
+    return x
+
+
+def _stft_mag_phase(x, n_fft, hop):
+    """torch.stft(center=True, reflect) magnitude+phase. x [B, S]."""
+    pad = n_fft // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = (xp.shape[1] - n_fft) // hop + 1
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    frames = xp[:, idx] * np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins)[None, :]
+    n = np.arange(n_fft)[:, None]
+    ang = 2.0 * np.pi * k * n / n_fft
+    re = frames @ jnp.asarray(np.cos(ang), jnp.float32)
+    im = frames @ jnp.asarray(-np.sin(ang), jnp.float32)
+    mag = jnp.sqrt(re * re + im * im + 1e-12)
+    phase = jnp.arctan2(im, re)
+    return mag, phase  # [B, F, bins]
+
+
+def _istft(mag, phase, n_fft, hop, frame_mask):
+    """torch.istft(center=True) with masked window normalization."""
+    window = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    n_bins = n_fft // 2 + 1
+    k = np.arange(n_bins)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    scale = np.full((n_bins, 1), 2.0 / n_fft)
+    scale[0] = scale[-1] = 1.0 / n_fft
+    cos_b = (np.cos(ang) * scale).astype(np.float32)
+    sin_b = (-np.sin(ang) * scale).astype(np.float32)
+    re = mag * jnp.cos(phase) * frame_mask
+    im = mag * jnp.sin(phase) * frame_mask
+    frames = (re @ jnp.asarray(cos_b) + im @ jnp.asarray(sin_b)) * window
+
+    b, t, _ = frames.shape
+    kernel = jnp.asarray(np.eye(n_fft, dtype=np.float32)[::-1].copy()[:, :, None])
+    ola = jax.lax.conv_transpose(
+        frames, kernel, strides=(hop,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )[..., 0]
+    wsq = (jnp.ones((b, t, 1)) * frame_mask) * (window**2)[None, None, :]
+    norm = jax.lax.conv_transpose(
+        wsq, kernel, strides=(hop,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )[..., 0]
+    out = ola / jnp.maximum(norm, 1e-9)
+    pad = n_fft // 2
+    return out[:, pad : pad + (t - 1) * hop]  # [B, (T-1)*hop]
+
+
+def harmonic_source(params, cfg: KokoroConfig, f0_curve, rand_phase, sine_noise):
+    """SourceModuleHnNSF: F0 → merged harmonic sine source [B, S].
+
+    f0_curve [B, 2F] (Hz); rand_phase [B, H+1] initial phases (0 for the
+    fundamental); sine_noise [B, S, H+1].
+    """
+    up = cfg.upsample_total // 2  # samples per 2F-frame
+    nh = cfg.harmonics + 1
+    f0 = jnp.repeat(f0_curve, up, axis=1)[..., None]  # nearest upsample [B,S,1]
+    fn = f0 * jnp.arange(1, nh + 1, dtype=jnp.float32)[None, None, :]
+    rad = (fn / cfg.sample_rate) % 1.0
+    rad = rad.at[:, 0, :].add(rand_phase)
+    # linear downsample by `up`, cumsum phase, linear upsample back
+    b, s, _ = rad.shape
+    # F.interpolate(mode='linear', align_corners=False): half-pixel linear,
+    # no antialiasing (jax.image.resize antialiases by default — disable)
+    rad_d = jax.image.resize(rad, (b, s // up, nh), method="linear", antialias=False)
+    phase = jnp.cumsum(rad_d, axis=1) * 2.0 * np.pi
+    phase = jax.image.resize(phase * up, (b, s, nh), method="linear", antialias=False)
+    sines = jnp.sin(phase)
+    uv = (f0 > cfg.voiced_threshold).astype(jnp.float32)
+    sine_waves = sines * cfg.sine_amp
+    noise_amp = uv * cfg.noise_std + (1.0 - uv) * cfg.sine_amp / 3.0
+    sine_waves = sine_waves * uv + noise_amp * sine_noise
+    merged = jnp.tanh(_linear(sine_waves, params["dec"]["gen"]["src_linear"]))
+    return merged[..., 0]  # [B, S]
+
+
+def decode_audio(params, cfg: KokoroConfig, asr, f0_curve, n_curve, style, frames):
+    """istftnet Decoder: asr [B, F, 512], curves [B, 2F], style [B, 128]."""
+    dp = params["dec"]
+    f_max = asr.shape[1]
+    amask = (jnp.arange(f_max)[None, :] < frames[:, None]).astype(jnp.float32)[
+        ..., None
+    ]
+    mask2 = jnp.repeat(amask, 2, axis=1)
+
+    f0 = conv1d(f0_curve[..., None] * mask2, dp["f0_conv"], stride=2) * amask
+    n = conv1d(n_curve[..., None] * mask2, dp["n_conv"], stride=2) * amask
+    x = jnp.concatenate([asr * amask, f0, n], axis=-1)
+    x, _ = _adain_res_blk(x, style, dp["encode"], amask)
+    asr_res = conv1d(asr * amask, dp["asr_res"]) * amask
+    res = True
+    m = amask
+    for i, blk in enumerate(dp["decode"]):
+        if res:
+            x = jnp.concatenate([x, asr_res, f0, n], axis=-1)
+        up = i == len(dp["decode"]) - 1
+        x, m = _adain_res_blk(x, style, blk, m, upsample=up)
+        if up:
+            res = False
+    return x, m  # [B, 2F, 512], mask
+
+
+def _gen_stack(params, cfg: KokoroConfig, x, style, har0, har1, m, first: bool):
+    """istftnet Generator body over an x window.
+
+    x [B, T, C] at the decode frame rate with validity mask ``m`` [B, T, 1];
+    ``har0`` is the harmonic STFT-feature window in pre-pad alignment (fed
+    to the strided intermediate noise convs), ``har1`` the window in padded
+    alignment for the final stage. ``first=True`` applies the stream-start
+    ReflectionPad1d((1,0)); interior blocks instead receive ``har1`` offset
+    by +1 frame so block outputs land on the same global sample grid.
+    """
+    gp = params["dec"]["gen"]
+    nk = len(cfg.resblock_kernels)
+    n_ups = len(cfg.upsample_rates)
+    for i, (u, kk) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernels)):
+        x = jax.nn.leaky_relu(x, 0.1) * m
+        stride_f0 = 1
+        for r in cfg.upsample_rates[i + 1 :]:
+            stride_f0 *= r
+        if i + 1 < n_ups:
+            # torch: Conv1d(22, c, k=2*stride_f0, stride=stride_f0, pad=stride_f0//2)
+            x_src = conv1d(
+                har0, gp["noise_convs"][i],
+                stride=stride_f0, pad=stride_f0 // 2,
+            )
+        else:
+            x_src = conv1d(har1, gp["noise_convs"][i])
+        x = conv_transpose1d(x, gp["ups"][i], u, pad=(kk - u) // 2)
+        m = jnp.repeat(m, u, axis=1)
+        if i == n_ups - 1 and first:
+            # ReflectionPad1d((1, 0)); har frames = samples/hop + 1
+            x = jnp.concatenate([x[:, 1:2], x], axis=1)
+            m = jnp.concatenate([m[:, :1], m], axis=1)
+        x_src = x_src[:, : x.shape[1]]
+        src_m = m[:, : x_src.shape[1]]
+        x_src = _gen_res_block(
+            x_src, style, gp["noise_res"][i], src_m,
+            cfg.noise_res_kernels[i], (1, 3, 5),
+        )
+        pad_len = x.shape[1] - x_src.shape[1]
+        if pad_len:
+            x_src = jnp.pad(x_src, ((0, 0), (0, pad_len), (0, 0)))
+        x = (x + x_src) * m
+        acc = None
+        for j, (rk, rds) in enumerate(
+            zip(cfg.resblock_kernels, cfg.resblock_dilations)
+        ):
+            r = _gen_res_block(x, style, gp["res"][i * nk + j], m, rk, rds)
+            acc = r if acc is None else acc + r
+        x = acc / nk * m
+    x = jax.nn.leaky_relu(x, 0.01) * m
+    spec_all = conv1d(x, gp["post"])
+    n_bins = cfg.gen_n_fft // 2 + 1
+    mag = jnp.exp(spec_all[..., :n_bins])
+    phase = jnp.sin(spec_all[..., n_bins:])
+    return _istft(mag, phase, cfg.gen_n_fft, cfg.gen_hop, m)
+
+
+def har_features(params, cfg: KokoroConfig, f0_curve, rand_phase, sine_noise):
+    """Harmonic source → STFT features [B, Fr, n_fft+2] (frame-rate, cheap)."""
+    har = harmonic_source(params, cfg, f0_curve, rand_phase, sine_noise)
+    har_mag, har_phase = _stft_mag_phase(har, cfg.gen_n_fft, cfg.gen_hop)
+    return jnp.concatenate([har_mag, har_phase], axis=-1)
+
+
+def generate_waveform(
+    params, cfg: KokoroConfig, x, style, f0_curve, frames, rand_phase, sine_noise,
+    har_feat=None,
+):
+    """istftnet Generator. x [B, 2F, C]; returns audio [B, 2F*up*hop].
+
+    ``har_feat`` overrides the harmonic-source STFT features (parity tests
+    inject torch's, because the ±π phase branch on symmetric bins is
+    fp-noise-dependent and phase is consumed as a raw conv feature).
+    """
+    if har_feat is None:
+        har_feat = har_features(params, cfg, f0_curve, rand_phase, sine_noise)
+    m = (
+        jnp.arange(x.shape[1])[None, :] < 2 * frames[:, None]
+    ).astype(jnp.float32)[..., None]
+    return _gen_stack(params, cfg, x, style, har_feat, har_feat, m, first=True)
+
+
+# ──────────────────────────────────────────────────────────────────────
+# full pipeline
+# ──────────────────────────────────────────────────────────────────────
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def encode_utterance(params, cfg: KokoroConfig, phonemes, ph_len, style, speed):
+    """Front half: durations, alignment, F0/N, asr frames.
+
+    style [B, 2*style_dim] (voice vector: [:128] decoder, [128:] prosody).
+    Returns ((asr, f0, n, s_dec), n_frames).
+    """
+    p_max = cfg.max_phonemes
+    mask = (jnp.arange(p_max)[None, :] < ph_len[:, None]).astype(jnp.float32)[
+        ..., None
+    ]
+    s_pred = style[:, cfg.style_dim :]
+    s_dec = style[:, : cfg.style_dim]
+
+    bert_h = albert_encode(params, cfg, phonemes, mask)
+    d_en = _linear(bert_h, params["bert_encoder"]) * mask  # [B, T, 512]
+
+    d = duration_encode(params, cfg, d_en, s_pred, ph_len, mask)  # [B,T,640]
+    x = bilstm(params["pred"]["lstm"], d, ph_len)  # [B, T, 512]
+    dur_logits = _linear(x, params["pred"]["dur_proj"])  # [B, T, max_dur]
+    duration = jax.nn.sigmoid(dur_logits).sum(-1) / speed[:, None]
+    pred_dur = jnp.maximum(jnp.round(duration), 1.0) * mask[..., 0]
+
+    ends = jnp.cumsum(pred_dur, axis=1)
+    n_frames = jnp.clip(ends[:, -1].astype(jnp.int32), 1, cfg.max_frames)
+    t_pos = jnp.arange(cfg.max_frames, dtype=jnp.float32) + 0.5
+    idx = jax.vmap(lambda e: jnp.searchsorted(e, t_pos))(ends)
+    idx = jnp.clip(idx, 0, jnp.maximum(ph_len[:, None] - 1, 0))
+
+    en = jnp.take_along_axis(d, idx[..., None], axis=1)  # [B, F, 640]
+    f0, n = f0n_predict(params, cfg, en, s_pred, n_frames)  # [B, 2F]
+
+    t_en = text_encode(params, cfg, phonemes, ph_len, mask)  # [B, T, 512]
+    asr = jnp.take_along_axis(t_en, idx[..., None], axis=1)  # [B, F, 512]
+    return (asr, f0, n, s_dec), n_frames
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def vocode(params, cfg: KokoroConfig, g, n_frames, rng):
+    """Back half: istftnet decode + harmonic-source generation."""
+    asr, f0, n, s_dec = g
+    x, _ = decode_audio(params, cfg, asr, f0, n, s_dec, n_frames)
+    b = asr.shape[0]
+    k1, k2 = jax.random.split(rng)
+    nh = cfg.harmonics + 1
+    rand_phase = jnp.concatenate(
+        [jnp.zeros((b, 1)), jax.random.uniform(k1, (b, nh - 1))], axis=1
+    )
+    s_total = cfg.max_frames * cfg.samples_per_frame
+    sine_noise = jax.random.normal(k2, (b, s_total, nh))
+    return generate_waveform(
+        params, cfg, x, s_dec, f0, n_frames, rand_phase, sine_noise
+    )
+
+
+def synthesize_frames(params, cfg: KokoroConfig, phonemes, ph_len, style, speed,
+                      rng=None):
+    """Full synthesis: (audio [B, max_frames*spf], n_frames [B])."""
+    g, n_frames = encode_utterance(params, cfg, phonemes, ph_len, style, speed)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    audio = vocode(params, cfg, g, n_frames, rng)
+    pad = cfg.max_frames * cfg.samples_per_frame - audio.shape[1]
+    if pad > 0:
+        audio = jnp.pad(audio, ((0, 0), (0, pad)))
+    return audio, n_frames
+
+
+@partial(jax.jit, static_argnames=("cfg", "nb", "h"))
+def _vocode_block_first(params, cfg: KokoroConfig, x, har, style, frames, *,
+                        nb: int, h: int):
+    """Stream-start generator block: x-frames [0, nb+h), reflect-padded."""
+    length = nb + h
+    spf2 = cfg.samples_per_frame // 2
+    hpx = spf2 // cfg.gen_hop
+    xb = x[:, :length]
+    har0 = har[:, : length * hpx]
+    har1 = har[:, : length * hpx + 1]
+    m = (
+        jnp.arange(length)[None, :] < 2 * frames[:, None]
+    ).astype(jnp.float32)[..., None]
+    return _gen_stack(params, cfg, xb, style, har0, har1, m, first=True)
+
+
+@partial(jax.jit, static_argnames=("cfg", "nb", "h"))
+def _vocode_block_interior(params, cfg: KokoroConfig, x_pad, har_pad, style,
+                           frames, a, *, nb: int, h: int):
+    """Interior generator block: core x-frames [a, a+nb) with halo h.
+
+    ``x_pad``/``har_pad`` are the utterance arrays pre-padded so a fixed
+    dynamic_slice never clamps (global x-frame g lives at index g+h; har
+    frame f at f + h*hpx). Output samples cover the global range
+    [(a-h)*spf2 + hop, (a+nb+h)*spf2) — the caller trims the halo.
+    """
+    length = nb + 2 * h
+    spf2 = cfg.samples_per_frame // 2
+    hpx = spf2 // cfg.gen_hop
+    xb = jax.lax.dynamic_slice_in_dim(x_pad, a, length, axis=1)
+    har0 = jax.lax.dynamic_slice_in_dim(har_pad, a * hpx, length * hpx, axis=1)
+    har1 = jax.lax.dynamic_slice_in_dim(
+        har_pad, a * hpx + 1, length * hpx, axis=1
+    )
+    gidx = (a - h) + jnp.arange(length)
+    m = (
+        (gidx[None, :] >= 0) & (gidx[None, :] < 2 * frames[:, None])
+    ).astype(jnp.float32)[..., None]
+    return _gen_stack(params, cfg, xb, style, har0, har1, m, first=False)
+
+
+@partial(jax.jit, static_argnames=("cfg", "nb", "h"))
+def _vocode_prelude(params, cfg: KokoroConfig, g, n_frames, rng, *,
+                    nb: int, h: int):
+    """One fused device program for everything TTFA-critical: istftnet
+    decode, harmonic source + STFT features, the first generator block,
+    and the halo-padded arrays the interior blocks slice. A single
+    dispatch instead of dozens of eager ops — through a remote device
+    relay the dispatch round-trips, not the FLOPs, dominate first-audio
+    latency at batch 1."""
+    asr, f0, n, s_dec = g
+    x, _ = decode_audio(params, cfg, asr, f0, n, s_dec, n_frames)
+    b = asr.shape[0]
+    k1, k2 = jax.random.split(rng)
+    nh = cfg.harmonics + 1
+    rand_phase = jnp.concatenate(
+        [jnp.zeros((b, 1)), jax.random.uniform(k1, (b, nh - 1))], axis=1
+    )
+    s_total = cfg.max_frames * cfg.samples_per_frame
+    sine_noise = jax.random.normal(k2, (b, s_total, nh))
+    har = har_features(params, cfg, f0, rand_phase, sine_noise)
+    spf2 = cfg.samples_per_frame // 2
+    hpx = spf2 // cfg.gen_hop
+    first = _vocode_block_first(params, cfg, x, har, s_dec, n_frames, nb=nb, h=h)
+    x_pad = jnp.pad(x, ((0, 0), (h, nb + h), (0, 0)))
+    har_pad = jnp.pad(har, ((0, 0), (h * hpx, (nb + h) * hpx + 1), (0, 0)))
+    return first, x_pad, har_pad
+
+
+def vocode_streaming(params, cfg: KokoroConfig, g, n_frames, rng=None,
+                     block_frames: int = 64, halo_frames: int = 16):
+    """Yield audio in blocks with O(block) latency and device memory.
+
+    TPU-first streaming split: the frame-rate passes (istftnet decode,
+    harmonic source + its STFT features) run once per utterance — they are
+    cheap; the sample-rate generator (the FLOPs and activation memory) runs
+    per block over a receptive-field halo, so time-to-first-audio and peak
+    memory scale with the block, not the utterance (full-utterance B=64
+    activations overflow a v5e's HBM).
+
+    Block outputs land on the exact global sample grid (the stream-start
+    ReflectionPad is compensated by a +1 har-frame offset on interior
+    blocks). The one approximation: AdaIN statistics inside the generator
+    span block+halo instead of the utterance — output is bit-exact vs
+    ``vocode`` when the utterance fits one block, and statistically close
+    beyond that (bounded in tests).
+    """
+    asr, f0, n, s_dec = g
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    spf2 = cfg.samples_per_frame // 2
+    nb = 2 * block_frames  # x-frames per block
+    h = min(2 * halo_frames, nb)
+    total_x = int(np.max(np.asarray(n_frames))) * 2
+    n2 = 2 * cfg.max_frames
+    if n2 < nb + h:  # tiny frame bucket: single full-window render
+        audio = vocode(params, cfg, g, n_frames, rng)
+        yield np.asarray(audio[:, : total_x * spf2], np.float32)
+        return
+
+    first_len = min(nb, total_x)
+    audio, x_pad, har_pad = _vocode_prelude(
+        params, cfg, g, n_frames, rng, nb=nb, h=h
+    )
+    yield np.asarray(audio[:, : first_len * spf2], np.float32)
+    if total_x <= nb:
+        return
+
+    a = nb
+    while a < total_x:
+        blk = _vocode_block_interior(
+            params, cfg, x_pad, har_pad, s_dec, n_frames,
+            jnp.int32(a), nb=nb, h=h,
+        )
+        start = h * spf2 - cfg.gen_hop
+        end = start + min(nb, total_x - a) * spf2
+        yield np.asarray(blk[:, start:end], np.float32)
+        a += nb
+
+
+def vocode_blocks(params, cfg: KokoroConfig, g, n_frames, style=None, rng=None,
+                  block_frames: int = 64):
+    """Yield the utterance in sample blocks (per-sentence streaming).
+
+    Delegates to ``vocode_streaming``: generation itself is blockwise, so
+    first-audio latency and device memory are O(block) — the property the
+    reference's stream-collapsing postprocess destroyed (SURVEY §3.3).
+    ``style`` is accepted for backward compatibility (the decoder style now
+    travels inside ``g``).
+    """
+    yield from vocode_streaming(
+        params, cfg, g, n_frames, rng=rng, block_frames=block_frames
+    )
+
+
+# ──────────────────────────────────────────────────────────────────────
+# random init (same pytree the converter emits)
+# ──────────────────────────────────────────────────────────────────────
+
+
+def _rand_lin(key, d_in, d_out, dtype):
     return {
         "w": jax.random.normal(key, (d_in, d_out), dtype) * d_in**-0.5,
         "b": jnp.zeros((d_out,), dtype),
     }
 
 
-def _conv(key, k, cin, cout, dtype):
+def _rand_conv(key, k, cin, cout, dtype, groups=1):
     return {
-        "w": jax.random.normal(key, (k, cin, cout), dtype) * (k * cin) ** -0.5,
+        "w": jax.random.normal(key, (k, cin // groups, cout), dtype)
+        * (k * cin) ** -0.5,
         "b": jnp.zeros((cout,), dtype),
     }
 
 
-def _lstm(key, d_in, hidden, dtype):
-    k1, k2 = jax.random.split(key)
-    return {
-        "wi": jax.random.normal(k1, (d_in, 4 * hidden), dtype) * d_in**-0.5,
-        "wh": jax.random.normal(k2, (hidden, 4 * hidden), dtype) * hidden**-0.5,
-        "b": jnp.zeros((4 * hidden,), dtype),
+def _rand_lstm(key, d_in, h, dtype):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    mk = lambda ka, kb: {
+        "wi": jax.random.normal(ka, (d_in, 4 * h), dtype) * d_in**-0.5,
+        "wh": jax.random.normal(kb, (h, 4 * h), dtype) * h**-0.5,
+        "b": jnp.zeros((4 * h,), dtype),
     }
+    return {"fw": mk(k1, k2), "bw": mk(k3, k4)}
 
 
 def init_kokoro_params(key, cfg: KokoroConfig, dtype=jnp.float32):
-    ks = iter(jax.random.split(key, 64))
-    h, s = cfg.hidden, cfg.style_dim
-    params = {
-        "embed": jax.random.normal(next(ks), (cfg.n_phonemes, h), dtype) * 0.02,
-        "enc_conv1": _conv(next(ks), 5, h, h, dtype),
-        "enc_conv2": _conv(next(ks), 5, h, h, dtype),
-        "enc_conv3": _conv(next(ks), 5, h, h, dtype),
-        "enc_lstm_f": _lstm(next(ks), h, h // 2, dtype),
-        "enc_lstm_b": _lstm(next(ks), h, h // 2, dtype),
-        # duration predictor (style-conditioned)
-        "dur_conv1": _conv(next(ks), 3, h + s, h // 2, dtype),
-        "dur_conv2": _conv(next(ks), 3, h // 2, h // 2, dtype),
-        "dur_out": _lin(next(ks), h // 2, 1, dtype),
-        # F0 / energy predictors over frames
-        "f0_conv1": _conv(next(ks), 3, h, h // 2, dtype),
-        "f0_adain": {"w": jax.random.normal(next(ks), (s, h), dtype) * s**-0.5,
-                     "b": jnp.zeros((h,), dtype)},
-        "f0_out": _lin(next(ks), h // 2, 1, dtype),
-        "en_out": _lin(next(ks), h // 2, 1, dtype),
-        # generator
-        "gen_pre": _conv(next(ks), 7, h + 2, h, dtype),
-    }
-    ch = h
-    for i, _u in enumerate(cfg.upsample_rates):
-        cout = ch // 2
-        params[f"up_{i}"] = _conv(next(ks), 2 * cfg.upsample_rates[i], ch, cout, dtype)
-        params[f"up_adain_{i}"] = {
-            "w": jax.random.normal(next(ks), (s, 2 * cout), dtype) * s**-0.5,
-            "b": jnp.zeros((2 * cout,), dtype),
+    ks = iter(jax.random.split(key, 512))
+    h512, sty = cfg.hidden, cfg.style_dim
+    H = cfg.plbert_hidden
+
+    def ln(c):
+        return {"g": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
+
+    def adain_blk(cin, cout, upsample=False):
+        p = {
+            "c1": _rand_conv(next(ks), 3, cin, cout, dtype),
+            "c2": _rand_conv(next(ks), 3, cout, cout, dtype),
+            "n1": _rand_lin(next(ks), sty, 2 * cin, dtype),
+            "n2": _rand_lin(next(ks), sty, 2 * cout, dtype),
         }
-        for j, kker in enumerate(cfg.resblock_kernels):
-            params[f"res_{i}_{j}"] = init_resblock1(next(ks), cout, kker, dtype=dtype)
+        if upsample:
+            p["pool"] = _rand_conv(next(ks), 3, cin, cin, dtype, groups=cin)
+        if cin != cout:
+            p["sc"] = {"w": jax.random.normal(next(ks), (1, cin, cout), dtype) * cin**-0.5}
+        return p
+
+    def gen_blk(c, n=3):
+        return {
+            "c1": [_rand_conv(next(ks), 3, c, c, dtype) for _ in range(n)],
+            "c2": [_rand_conv(next(ks), 3, c, c, dtype) for _ in range(n)],
+            "ad1": [_rand_lin(next(ks), sty, 2 * c, dtype) for _ in range(n)],
+            "ad2": [_rand_lin(next(ks), sty, 2 * c, dtype) for _ in range(n)],
+            "a1": [jnp.ones((c,), dtype) for _ in range(n)],
+            "a2": [jnp.ones((c,), dtype) for _ in range(n)],
+        }
+
+    params: dict = {
+        "bert": {
+            "word_emb": jax.random.normal(next(ks), (cfg.n_symbols, cfg.plbert_emb), dtype) * 0.02,
+            "pos_emb": jax.random.normal(next(ks), (cfg.max_positions, cfg.plbert_emb), dtype) * 0.02,
+            "type_emb": jax.random.normal(next(ks), (2, cfg.plbert_emb), dtype) * 0.02,
+            "emb_ln": ln(cfg.plbert_emb),
+            "emb_map": _rand_lin(next(ks), cfg.plbert_emb, H, dtype),
+            "q": _rand_lin(next(ks), H, H, dtype),
+            "k": _rand_lin(next(ks), H, H, dtype),
+            "v": _rand_lin(next(ks), H, H, dtype),
+            "att_o": _rand_lin(next(ks), H, H, dtype),
+            "att_ln": ln(H),
+            "ffn": _rand_lin(next(ks), H, cfg.plbert_interm, dtype),
+            "ffn_o": _rand_lin(next(ks), cfg.plbert_interm, H, dtype),
+            "out_ln": ln(H),
+        },
+        "bert_encoder": _rand_lin(next(ks), H, h512, dtype),
+        "pred": {
+            "dur_enc": [
+                {
+                    "lstm": _rand_lstm(next(ks), h512 + sty, h512 // 2, dtype),
+                    "adaln": _rand_lin(next(ks), sty, 2 * h512, dtype),
+                }
+                for _ in range(cfg.dur_layers)
+            ],
+            "lstm": _rand_lstm(next(ks), h512 + sty, h512 // 2, dtype),
+            "dur_proj": _rand_lin(next(ks), h512, cfg.max_dur, dtype),
+            "shared": _rand_lstm(next(ks), h512 + sty, h512 // 2, dtype),
+            "F0": [
+                adain_blk(h512, h512),
+                adain_blk(h512, h512 // 2, upsample=True),
+                adain_blk(h512 // 2, h512 // 2),
+            ],
+            "F0_proj": _rand_conv(next(ks), 1, h512 // 2, 1, dtype),
+            "N": [
+                adain_blk(h512, h512),
+                adain_blk(h512, h512 // 2, upsample=True),
+                adain_blk(h512 // 2, h512 // 2),
+            ],
+            "N_proj": _rand_conv(next(ks), 1, h512 // 2, 1, dtype),
+        },
+        "text_enc": {
+            "emb": jax.random.normal(next(ks), (cfg.n_symbols, h512), dtype) * h512**-0.5,
+            "cnn": [
+                {
+                    "conv": _rand_conv(next(ks), cfg.text_kernel, h512, h512, dtype),
+                    "ln": ln(h512),
+                }
+                for _ in range(cfg.text_depth)
+            ],
+            "lstm": _rand_lstm(next(ks), h512, h512 // 2, dtype),
+        },
+    }
+    mid = cfg.dec_mid
+    gen_in = h512
+    dec: dict = {
+        "encode": adain_blk(h512 + 2, mid),
+        "decode": [
+            adain_blk(mid + cfg.asr_res_dim + 2, mid)
+            for _ in range(cfg.dec_blocks - 1)
+        ]
+        + [adain_blk(mid + cfg.asr_res_dim + 2, gen_in, upsample=True)],
+        "f0_conv": _rand_conv(next(ks), 3, 1, 1, dtype),
+        "n_conv": _rand_conv(next(ks), 3, 1, 1, dtype),
+        "asr_res": _rand_conv(next(ks), 1, h512, cfg.asr_res_dim, dtype),
+    }
+    n_feat = cfg.gen_n_fft + 2
+    ch = gen_in
+    gen: dict = {
+        "src_linear": _rand_lin(next(ks), cfg.harmonics + 1, 1, dtype),
+        "ups": [],
+        "res": [],
+        "noise_convs": [],
+        "noise_res": [],
+    }
+    for i, (u, kk) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernels)):
+        cout = ch // 2
+        gen["ups"].append(_rand_conv(next(ks), kk, ch, cout, dtype))
+        for rk in cfg.resblock_kernels:
+            blk = gen_blk(cout)
+            # fix conv kernels to rk
+            blk["c1"] = [_rand_conv(next(ks), rk, cout, cout, dtype) for _ in range(3)]
+            blk["c2"] = [_rand_conv(next(ks), rk, cout, cout, dtype) for _ in range(3)]
+            gen["res"].append(blk)
+        if i + 1 < len(cfg.upsample_rates):
+            stride_f0 = 1
+            for r in cfg.upsample_rates[i + 1 :]:
+                stride_f0 *= r
+            gen["noise_convs"].append(
+                _rand_conv(next(ks), 2 * stride_f0, n_feat, cout, dtype)
+            )
+        else:
+            gen["noise_convs"].append(_rand_conv(next(ks), 1, n_feat, cout, dtype))
+        nr = gen_blk(cout)
+        nrk = cfg.noise_res_kernels[i]
+        nr["c1"] = [_rand_conv(next(ks), nrk, cout, cout, dtype) for _ in range(3)]
+        nr["c2"] = [_rand_conv(next(ks), nrk, cout, cout, dtype) for _ in range(3)]
+        gen["noise_res"].append(nr)
         ch = cout
-    n_bins = cfg.istft_n_fft // 2 + 1
-    params["gen_post"] = _conv(next(ks), 7, ch, 2 * n_bins, dtype)
+    gen["post"] = _rand_conv(next(ks), 7, ch, n_feat, dtype)
+    dec["gen"] = gen
+    params["dec"] = dec
     return params
 
 
-def _bilstm(x, pf, pb):
-    """x [B, T, D] -> [B, T, 2*hidden] (forward + backward scan)."""
-
-    def cell(p):
-        hidden = p["wh"].shape[0]
-
-        def step(carry, xt):
-            hx, cx = carry
-            gates = xt @ p["wi"] + hx @ p["wh"] + p["b"]
-            i, f, g, o = jnp.split(gates, 4, axis=-1)
-            c = jax.nn.sigmoid(f) * cx + jax.nn.sigmoid(i) * jnp.tanh(g)
-            hn = jax.nn.sigmoid(o) * jnp.tanh(c)
-            return (hn, c), hn
-
-        return step, hidden
-
-    b = x.shape[0]
-    step_f, hid = cell(pf)
-    init = (jnp.zeros((b, hid), x.dtype), jnp.zeros((b, hid), x.dtype))
-    _, hf = jax.lax.scan(step_f, init, x.transpose(1, 0, 2))
-    step_b, _ = cell(pb)
-    _, hb = jax.lax.scan(step_b, init, x.transpose(1, 0, 2)[::-1])
-    return jnp.concatenate([hf, hb[::-1]], axis=-1).transpose(1, 0, 2)
+# Reduced geometry with the full kokoro topology (real upsample/istft
+# rates, every module present) for CI and CPU-backend tests: same graph,
+# ~100x fewer FLOPs. Selected via OS_KOKORO_GEOMETRY=tiny.
+TINY_CONFIG = KokoroConfig(
+    plbert_emb=32,
+    plbert_hidden=64,
+    plbert_heads=4,
+    plbert_interm=128,
+    plbert_layers=2,
+    hidden=64,
+    style_dim=16,
+    # random-init duration ≈ sigmoid-sum ≈ max_dur/2 frames per phoneme;
+    # keep it small so test utterances fit the frame bucket at 0.5x speed
+    max_dur=8,
+    text_depth=2,
+    dur_layers=2,
+    dec_mid=96,
+    asr_res_dim=16,
+    max_phonemes=128,
+    max_frames=160,
+)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def encode_utterance(params, cfg: KokoroConfig, phonemes, ph_len, style, speed):
-    """Text side of synthesis: frame features ready for the vocoder.
+def resolve_kokoro_config() -> KokoroConfig:
+    """Serving geometry: kokoro-82M unless OS_KOKORO_GEOMETRY=tiny."""
+    import os
 
-    Returns (g [B, max_frames, hidden+2], n_frames [B]) — everything up to
-    the generator input, so the vocoder can run incrementally in frame
-    blocks for streaming (TTFA = this + one block instead of the full
-    utterance).
-    """
-    b = phonemes.shape[0]
-    mask = (jnp.arange(cfg.max_phonemes)[None, :] < ph_len[:, None]).astype(
-        jnp.float32
-    )
-
-    x = params["embed"][phonemes] * mask[..., None]
-    x = jax.nn.relu(conv1d(x, params["enc_conv1"]))
-    x = jax.nn.relu(conv1d(x, params["enc_conv2"]))
-    x = jax.nn.relu(conv1d(x, params["enc_conv3"]))
-    x = _bilstm(x, params["enc_lstm_f"], params["enc_lstm_b"])  # [B, T, h]
-    x = x * mask[..., None]
-
-    sty_tiled = jnp.tile(style[:, None, :], (1, cfg.max_phonemes, 1))
-    d = jnp.concatenate([x, sty_tiled], axis=-1)
-    d = jax.nn.relu(conv1d(d, params["dur_conv1"]))
-    d = jax.nn.relu(conv1d(d, params["dur_conv2"]))
-    dur = jax.nn.softplus(d @ params["dur_out"]["w"] + params["dur_out"]["b"])[..., 0]
-    dur = (1.0 + dur * 8.0) / speed[:, None]
-    dur = dur * mask
-    total = jnp.sum(dur, axis=1, keepdims=True)
-    scale = jnp.minimum(1.0, (cfg.max_frames - 1) / jnp.maximum(total, 1.0))
-    dur = dur * scale
-    ends = jnp.cumsum(dur, axis=1)
-    n_frames = jnp.minimum(
-        jnp.ceil(ends[:, -1]).astype(jnp.int32), cfg.max_frames
-    )
-
-    frame_pos = jnp.arange(cfg.max_frames, dtype=jnp.float32) + 0.5
-    idx = jax.vmap(lambda e: jnp.searchsorted(e, frame_pos))(ends)
-    idx = jnp.minimum(idx, ph_len[:, None] - 1)
-    frames = jnp.take_along_axis(x, idx[..., None], axis=1)
-    fmask = (
-        jnp.arange(cfg.max_frames)[None, :] < n_frames[:, None]
-    ).astype(jnp.float32)[..., None]
-    frames = frames * fmask
-
-    f = jax.nn.relu(conv1d(frames, params["f0_conv1"]))
-    f0 = f @ params["f0_out"]["w"] + params["f0_out"]["b"]
-    energy = jax.nn.sigmoid(f @ params["en_out"]["w"] + params["en_out"]["b"])
-    return jnp.concatenate([frames, f0, energy], axis=-1), n_frames
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def vocode(params, cfg: KokoroConfig, g, style):
-    """ISTFTNet generator: frame features [B, F, hidden+2] -> audio [B, F*spf]."""
-    g = conv1d(g, params["gen_pre"])
-    for i, u in enumerate(cfg.upsample_rates):
-        g = jax.nn.leaky_relu(g, 0.1)
-        g = conv_transpose1d(g, params[f"up_{i}"], u)
-        g = style_mod(g, style, params[f"up_adain_{i}"])
-        acc = None
-        for j in range(len(cfg.resblock_kernels)):
-            r = resblock1(g, params[f"res_{i}_{j}"])
-            acc = r if acc is None else acc + r
-        g = acc / len(cfg.resblock_kernels)
-    g = jax.nn.leaky_relu(g, 0.1)
-    g = conv1d(g, params["gen_post"])
-    n_bins = cfg.istft_n_fft // 2 + 1
-    mag = jnp.exp(jnp.clip(g[..., :n_bins], -8.0, 4.0))
-    phase = jnp.pi * jnp.tanh(g[..., n_bins:])
-    return istft(mag, phase, cfg.istft_n_fft, cfg.istft_hop)
-
-
-def vocode_blocks(
-    params,
-    cfg: KokoroConfig,
-    g,
-    n_frames,
-    style,
-    block_frames: int = 64,
-    overlap: int = 16,
-    first_block: int = 24,
-):
-    """Streaming vocoder: yield audio chunks block by block.
-
-    Each block carries ``overlap`` context frames on both sides (the conv
-    stack's receptive field) which are trimmed from the emitted samples, so
-    chunk boundaries are seamless up to the receptive-field approximation.
-    Every block is the same static shape -> one compiled program, TTFA = one
-    block instead of the whole utterance.
-    """
-    total = int(np.max(np.asarray(n_frames)))
-    spf = cfg.samples_per_frame
-    # right padding only: the first block uses the convs' implicit zero
-    # padding on the left (explicit zero frames would pass through conv
-    # biases and diverge from whole-utterance output at the onset)
-    padded = jnp.pad(g, ((0, 0), (0, block_frames + 2 * overlap), (0, 0)))
-    start = 0
-    # the first block is smaller: TTFA = encode + ~0.3 s of vocoder work
-    size = min(first_block, block_frames)
-    while start < total:
-        window = size + 2 * overlap
-        slice_start = max(0, start - overlap)
-        left_trim = start - slice_start
-        block = jax.lax.dynamic_slice_in_dim(padded, slice_start, window, axis=1)
-        audio = vocode(params, cfg, block, style)
-        valid = min(size, total - start)
-        chunk = audio[:, left_trim * spf : (left_trim + valid) * spf]
-        yield np.asarray(chunk, np.float32)
-        start += size
-        size = block_frames
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def synthesize_frames(params, cfg: KokoroConfig, phonemes, ph_len, style, speed):
-    """Synthesize one utterance bucket.
-
-    phonemes: [B, max_phonemes] int32 (padded); ph_len: [B] valid counts;
-    style: [B, style_dim]; speed: [B] float.
-    Returns (audio [B, max_frames*samples_per_frame], n_frames [B]).
-    """
-    b = phonemes.shape[0]
-    mask = (jnp.arange(cfg.max_phonemes)[None, :] < ph_len[:, None]).astype(
-        jnp.float32
-    )
-
-    x = params["embed"][phonemes] * mask[..., None]
-    x = jax.nn.relu(conv1d(x, params["enc_conv1"]))
-    x = jax.nn.relu(conv1d(x, params["enc_conv2"]))
-    x = jax.nn.relu(conv1d(x, params["enc_conv3"]))
-    x = _bilstm(x, params["enc_lstm_f"], params["enc_lstm_b"])  # [B, T, h]
-    x = x * mask[..., None]
-
-    # durations (frames per phoneme)
-    sty_tiled = jnp.tile(style[:, None, :], (1, cfg.max_phonemes, 1))
-    d = jnp.concatenate([x, sty_tiled], axis=-1)
-    d = jax.nn.relu(conv1d(d, params["dur_conv1"]))
-    d = jax.nn.relu(conv1d(d, params["dur_conv2"]))
-    dur = jax.nn.softplus(d @ params["dur_out"]["w"] + params["dur_out"]["b"])[..., 0]
-    dur = (1.0 + dur * 8.0) / speed[:, None]  # 1..~9 frames per phoneme
-    dur = dur * mask
-    # cap total at the bucket
-    total = jnp.sum(dur, axis=1, keepdims=True)
-    scale = jnp.minimum(1.0, (cfg.max_frames - 1) / jnp.maximum(total, 1.0))
-    dur = dur * scale
-    ends = jnp.cumsum(dur, axis=1)  # [B, T_ph]
-    n_frames = jnp.minimum(
-        jnp.ceil(ends[:, -1]).astype(jnp.int32), cfg.max_frames
-    )
-
-    # length regulation: frame j belongs to phoneme searchsorted(ends, j+0.5)
-    frame_pos = jnp.arange(cfg.max_frames, dtype=jnp.float32) + 0.5
-    idx = jax.vmap(lambda e: jnp.searchsorted(e, frame_pos))(ends)  # [B, F]
-    idx = jnp.minimum(idx, ph_len[:, None] - 1)
-    frames = jnp.take_along_axis(x, idx[..., None], axis=1)  # [B, F, h]
-    fmask = (
-        jnp.arange(cfg.max_frames)[None, :] < n_frames[:, None]
-    ).astype(jnp.float32)[..., None]
-    frames = frames * fmask
-
-    # F0 / energy
-    f = jax.nn.relu(conv1d(frames, params["f0_conv1"]))
-    f0 = (f @ params["f0_out"]["w"] + params["f0_out"]["b"])
-    energy = jax.nn.sigmoid(f @ params["en_out"]["w"] + params["en_out"]["b"])
-
-    # generator
-    g = jnp.concatenate([frames, f0, energy], axis=-1)
-    g = conv1d(g, params["gen_pre"])
-    for i, u in enumerate(cfg.upsample_rates):
-        g = jax.nn.leaky_relu(g, 0.1)
-        g = conv_transpose1d(g, params[f"up_{i}"], u)
-        g = style_mod(g, style, params[f"up_adain_{i}"])
-        acc = None
-        for j in range(len(cfg.resblock_kernels)):
-            r = resblock1(g, params[f"res_{i}_{j}"])
-            acc = r if acc is None else acc + r
-        g = acc / len(cfg.resblock_kernels)
-    g = jax.nn.leaky_relu(g, 0.1)
-    g = conv1d(g, params["gen_post"])  # [B, F*60, 2*n_bins]
-    n_bins = cfg.istft_n_fft // 2 + 1
-    mag = jnp.exp(jnp.clip(g[..., :n_bins], -8.0, 4.0))
-    phase = jnp.pi * jnp.tanh(g[..., n_bins:])
-    audio = istft(mag, phase, cfg.istft_n_fft, cfg.istft_hop)
-    return audio, n_frames
+    if os.environ.get("OS_KOKORO_GEOMETRY", "").lower() == "tiny":
+        return TINY_CONFIG
+    return KokoroConfig()
 
 
 def voice_vector(name: str, style_dim: int = 256) -> np.ndarray:
-    """Deterministic per-voice style vector.
+    """Deterministic per-voice vector fallback (no checkpoint present).
 
-    Stand-in for kokoro's trained voice packs: the same voice name always
-    maps to the same vector (so blends/weights behave reproducibly); a
-    weight converter replaces this with real pack vectors when present.
+    With a converted voice pack, use models/kokoro/convert.convert_voice_pack
+    and select the row for the utterance length instead.
     """
-    seed = int.from_bytes(hashlib.sha256(name.encode()).digest()[:4], "little")
+    seed = int.from_bytes(name.encode()[:4].ljust(4, b"\0"), "little")
     rng = np.random.default_rng(seed)
-    return rng.standard_normal(style_dim).astype(np.float32)
+    return (rng.standard_normal(style_dim) * 0.1).astype(np.float32)

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from open_speech_tpu.models.kokoro.model import (
     KokoroConfig,
     init_kokoro_params,
+    resolve_kokoro_config,
     synthesize_frames,
 )
 from open_speech_tpu.ops.mel import log_mel_spectrogram
@@ -53,6 +54,11 @@ class PocketConfig:
         return self.base.style_dim
 
     @property
+    def voice_dim(self) -> int:
+        # full conditioning vector: decoder style ‖ prosody style
+        return self.base.voice_dim
+
+    @property
     def samples_per_frame(self) -> int:
         return self.base.samples_per_frame
 
@@ -70,11 +76,11 @@ def init_pocket_params(key, cfg: PocketConfig, dtype=jnp.float32):
         "b": jnp.zeros((128,), dtype),
     }
     params["ref_proj"] = {
-        "w": jax.random.normal(k_proj, (256, cfg.style_dim), dtype) * 256**-0.5,
-        "b": jnp.zeros((cfg.style_dim,), dtype),
+        "w": jax.random.normal(k_proj, (256, cfg.voice_dim), dtype) * 256**-0.5,
+        "b": jnp.zeros((cfg.voice_dim,), dtype),
     }
     params["speakers"] = (
-        jax.random.normal(k_spk, (8, cfg.style_dim), dtype) * 0.5
+        jax.random.normal(k_spk, (8, cfg.voice_dim), dtype) * 0.5
     )
     return params
 

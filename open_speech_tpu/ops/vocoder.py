@@ -110,14 +110,27 @@ def style_mod(x: jax.Array, style: jax.Array, p) -> jax.Array:
 
 
 def conv1d(
-    x: jax.Array, p, stride: int = 1, dilation: int = 1, groups: int = 1
+    x: jax.Array,
+    p,
+    stride: int = 1,
+    dilation: int = 1,
+    groups: int = 1,
+    pad: int | None = None,
 ) -> jax.Array:
-    """x [B, T, C_in], p["w"] [K, C_in/groups, C_out] — 'same' padding."""
+    """x [B, T, C_in], p["w"] [K, C_in/groups, C_out].
+
+    Default padding is torch-style 'same' ((k-1)d//2 per side); pass ``pad``
+    for an explicit symmetric padding (e.g. strided convs with pad != same).
+    """
     k = p["w"].shape[0]
-    pad = (k - 1) * dilation // 2
+    if pad is None:
+        lo = (k - 1) * dilation // 2
+        hi = (k - 1) * dilation - lo
+    else:
+        lo = hi = pad
     out = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(stride,),
-        padding=[(pad, (k - 1) * dilation - pad)],
+        padding=[(lo, hi)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
         feature_group_count=groups,

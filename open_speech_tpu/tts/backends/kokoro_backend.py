@@ -26,7 +26,7 @@ from open_speech_tpu.models.kokoro import (
     vocode_blocks,
     voice_vector,
 )
-from open_speech_tpu.models.kokoro.model import SAMPLE_RATE
+from open_speech_tpu.models.kokoro.model import SAMPLE_RATE, resolve_kokoro_config
 from open_speech_tpu.text.g2p import get_g2p, split_sentences
 from open_speech_tpu.tts.backends.base import (
     DEFAULT_TTS_CAPABILITIES,
@@ -123,12 +123,15 @@ class KokoroBackend:
         # resolved lazily: touching jax.default_backend() at construction
         # would freeze backend selection at import time
         self._device_arg = device
-        self._cfg = KokoroConfig()
+        self._cfg = resolve_kokoro_config()
         self._params = None
         self._loaded_at: float | None = None
         self._last_used: float | None = None
         self._g2p = get_g2p()
         self._voice_cache: dict[str, np.ndarray] = {}
+        # IPA char -> token id from a converted checkpoint's config.json;
+        # None = internal ARPAbet id space (English only)
+        self._vocab: dict[str, int] | None = None
 
     @property
     def _device(self) -> str:
@@ -138,16 +141,55 @@ class KokoroBackend:
 
     # ── lifecycle ─────────────────────────────────────────────────────
 
+    @staticmethod
+    def _find_checkpoint():
+        """Locate a kokoro-82M torch checkpoint: OS_KOKORO_CKPT_PATH, then
+        the HF cache layout the reference populates (kokoro.py:194-212)."""
+        import glob
+        import os
+        from pathlib import Path
+
+        env = os.environ.get("OS_KOKORO_CKPT_PATH", "")
+        if env and Path(env).is_file():
+            return Path(env)
+        hub = Path.home() / ".cache" / "huggingface" / "hub"
+        for pat in ("models--hexgrad--Kokoro-82M/snapshots/*/*.pth",):
+            hits = sorted(glob.glob(str(hub / pat)))
+            if hits:
+                return Path(hits[0])
+        return None
+
     def load_model(self, model_id: str = "kokoro") -> None:
         if self._params is not None:
             self._last_used = time.time()
             return
         t0 = time.time()
-        # TODO(weights): convert hexgrad/Kokoro-82M torch checkpoint when a
-        # local snapshot exists; random init otherwise (no egress here).
-        self._params = init_kokoro_params(jax.random.PRNGKey(7), self._cfg)
+        ckpt = self._find_checkpoint()
+        if ckpt is not None:
+            import torch
+
+            from open_speech_tpu.models.kokoro.convert import convert_kokoro
+
+            state = torch.load(ckpt, map_location="cpu", weights_only=True)
+            state = {
+                mod: {k: v.numpy() for k, v in sd.items()}
+                for mod, sd in state.items()
+            }
+            self._params, self._cfg = convert_kokoro(
+                state,
+                max_phonemes=self._cfg.max_phonemes,
+                max_frames=self._cfg.max_frames,
+            )
+            self._vocab = self._load_vocab(ckpt)
+            logger.info("kokoro weights converted from %s", ckpt)
+        else:
+            self._params = init_kokoro_params(jax.random.PRNGKey(7), self._cfg)
+            logger.warning(
+                "No kokoro checkpoint found (OS_KOKORO_CKPT_PATH unset); "
+                "running with random weights — audio is not speech"
+            )
         self._loaded_at = self._last_used = time.time()
-        logger.info("kokoro params initialized in %.1fs", time.time() - t0)
+        logger.info("kokoro params ready in %.1fs", time.time() - t0)
         # warmup synth (reference: kokoro.py:216-224 does a CUDA warmup)
         self._generate("warmup", "af_heart", 1.0)
         logger.info("kokoro warmed up in %.1fs total", time.time() - t0)
@@ -185,27 +227,109 @@ class KokoroBackend:
             for v in ALL_KOKORO_VOICES
         ]
 
-    def _style_for(self, voice: str) -> np.ndarray:
-        """Resolve a voice spec (may be a blend) to one style vector."""
+    def _voice_rows(self, voice_id: str) -> np.ndarray:
+        """Voice identity as [rows, 2*style_dim] (rows indexed by utterance
+        length, reference src/tts/backends/kokoro.py:289-308).
+
+        A converted pack is used when present (OS_KOKORO_VOICES_DIR/<id>.pt);
+        otherwise a deterministic single-row fallback keeps the pipeline
+        runnable without weights.
+        """
+        import os
+        from pathlib import Path
+
+        cached = self._voice_cache.get(voice_id)
+        if cached is not None:
+            return cached
+        rows = None
+        vdir = os.environ.get("OS_KOKORO_VOICES_DIR", "")
+        if vdir:
+            pack = Path(vdir) / f"{voice_id}.pt"
+            if pack.is_file():
+                import torch
+
+                from open_speech_tpu.models.kokoro.convert import (
+                    convert_voice_pack,
+                )
+
+                rows = convert_voice_pack(
+                    torch.load(pack, map_location="cpu", weights_only=True).numpy()
+                )
+        if rows is None:
+            rows = voice_vector(voice_id, 2 * self._cfg.style_dim)[None, :]
+        self._voice_cache[voice_id] = rows
+        return rows
+
+    def _style_for(self, voice: str, n_phonemes: int = 0) -> np.ndarray:
+        """Resolve a voice spec (may be a blend) to one ref_s vector.
+
+        Kokoro voice vectors are [2*style_dim]: the first half conditions
+        the istftnet decoder, the second half the prosody predictors.
+        Blending is a weighted average of the per-voice vectors selected
+        for this utterance length.
+        """
+        from open_speech_tpu.models.kokoro.convert import select_voice_style
+
         spec = parse_voice_spec(voice)
         weights = spec.normalized_weights()
-        vec = np.zeros(self._cfg.style_dim, np.float32)
+        vec = np.zeros(2 * self._cfg.style_dim, np.float32)
         for comp, w in zip(spec.components, weights):
-            if comp.voice_id not in self._voice_cache:
-                self._voice_cache[comp.voice_id] = voice_vector(
-                    comp.voice_id, self._cfg.style_dim
-                )
-            vec += w * self._voice_cache[comp.voice_id]
+            rows = self._voice_rows(comp.voice_id)
+            vec += w * select_voice_style(rows, max(n_phonemes, 1))
         return vec
 
     # ── synthesis ─────────────────────────────────────────────────────
+
+    @staticmethod
+    def _load_vocab(ckpt_path) -> dict[str, int] | None:
+        """IPA symbol table from the checkpoint's config.json (the misaki
+        phoneme alphabet kokoro-82M was trained on), or OS_KOKORO_VOCAB_PATH."""
+        import json
+        import os
+        from pathlib import Path
+
+        for cand in (
+            Path(os.environ.get("OS_KOKORO_VOCAB_PATH", "/nonexistent")),
+            Path(ckpt_path).parent / "config.json",
+        ):
+            if cand.is_file():
+                try:
+                    data = json.loads(cand.read_text())
+                except (OSError, ValueError):
+                    continue
+                vocab = data.get("vocab", data)
+                if isinstance(vocab, dict) and vocab:
+                    return {str(k): int(v) for k, v in vocab.items()}
+        return None
+
+    def supports_language(self, voice_or_lang: str) -> bool:
+        """A voice is servable when G2P covers its language AND the loaded
+        symbol table can encode the result (reference: misaki handles all
+        kokoro languages — here non-English needs the checkpoint vocab)."""
+        import re
+
+        from open_speech_tpu.text.g2p_langs import base_lang
+
+        if re.match(r"^[a-z][fm]_", voice_or_lang):  # kokoro voice id
+            voice_or_lang = lang_code_from_voice_id(voice_or_lang)
+        lang = base_lang(voice_or_lang)
+        if not self._g2p.supports_language(lang):
+            return False
+        return lang == "en" or self._vocab is not None
+
+    def _encode_text(self, text: str, lang: str) -> list[int]:
+        if self._vocab is not None:
+            phones = self._g2p.phonemize_ipa(text, voice=lang) or []
+            ids = [self._vocab[c] for c in phones if c in self._vocab]
+            return [0] + ids + [0]  # kokoro pads with id 0 at both ends
+        return self._g2p.to_ids(text)
 
     def _generate(self, text: str, voice: str, speed: float) -> np.ndarray:
         ids = self._g2p.to_ids(text)[: self._cfg.max_phonemes]
         n = len(ids)
         phonemes = np.zeros((1, self._cfg.max_phonemes), np.int32)
         phonemes[0, :n] = ids
-        style = self._style_for(voice)[None, :]
+        style = self._style_for(voice, n)[None, :]
         audio, n_frames = synthesize_frames(
             self._params,
             self._cfg,
@@ -234,13 +358,21 @@ class KokoroBackend:
             self.load_model("kokoro")
         self._last_used = time.time()
         voice = voice or "af_heart"
+        lang = lang_code_from_voice_id(
+            voice.split("+")[0].split("(")[0].strip()
+        )
+        if not self.supports_language(lang):
+            raise ValueError(
+                f"language_not_supported: voice '{voice}' needs {lang} G2P "
+                "(install espeak-ng or provide a checkpoint vocab)"
+            )
         speed = speed if speed and speed > 0 else 1.0
-        style = jnp.asarray(self._style_for(voice)[None, :])
         for sentence in split_sentences(text) or [text]:
-            ids = self._g2p.to_ids(sentence)[: self._cfg.max_phonemes]
+            ids = self._encode_text(sentence, lang)[: self._cfg.max_phonemes]
             n = len(ids)
             phonemes = np.zeros((1, self._cfg.max_phonemes), np.int32)
             phonemes[0, :n] = ids
+            style = jnp.asarray(self._style_for(voice, n)[None, :])
             g, n_frames = encode_utterance(
                 self._params,
                 self._cfg,

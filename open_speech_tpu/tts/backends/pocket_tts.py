@@ -124,7 +124,7 @@ class PocketTTSBackend:
             idx = SPEAKERS.index(name)
             return np.asarray(self._params["speakers"][idx])
         # unknown name: deterministic embedding so any string is usable
-        return style_from_text(name, self._cfg.style_dim)
+        return style_from_text(name, self._cfg.voice_dim)
 
     def _clone_style(self, reference_audio: bytes) -> np.ndarray:
         key = hashlib.sha256(reference_audio).hexdigest()
@@ -161,7 +161,7 @@ class PocketTTSBackend:
         if reference_audio:
             style = self._clone_style(reference_audio)
         elif voice_design:
-            style = style_from_text(voice_design, self._cfg.style_dim)
+            style = style_from_text(voice_design, self._cfg.voice_dim)
         else:
             style = self._speaker_style(voice or SPEAKERS[0])
         # no speed control (reference parity): speed pinned to 1.0

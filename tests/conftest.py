@@ -19,6 +19,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the kokoro/whisper graphs dominate suite
+# wall-time; repeated runs hit the disk cache instead of recompiling.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# Serving-path tests run the full kokoro topology at reduced geometry
+# (same graph, ~100x fewer FLOPs); numerical-parity tests construct their
+# own configs and are unaffected.
+os.environ.setdefault("OS_KOKORO_GEOMETRY", "tiny")
+
 # Server-side defaults for tests: no SSL, writable data dirs.
 os.environ.setdefault("OS_SSL_ENABLED", "false")
 os.environ.setdefault("OS_VOICE_LIBRARY_PATH", "/tmp/os_tpu_test/voices")
