@@ -145,6 +145,10 @@ _DEFAULTS: dict[str, object] = {
     "stt_vad_silence_ms": 800,
     # ── STT ────────────────────────────────────────────────────────────
     "stt_model": "whisper-large-v3-turbo",
+    # Quality routing: REST transcription decodes with this beam width
+    # (reference default beam_size=5, src/backends/faster_whisper.py:235-245);
+    # streaming sessions always decode greedily for latency.
+    "stt_rest_beam_size": 5,
     "stt_device": "tpu",
     "stt_compute_type": "bfloat16",
     "stt_model_dir": None,
@@ -172,6 +176,10 @@ _DEFAULTS: dict[str, object] = {
     # ── TPU-native additions (no reference counterpart) ────────────────
     # Mesh shape as "data,model" axis sizes; 0 = auto (all devices on data).
     "os_tpu_mesh": "",
+    # Incremental streaming: O(n) block-causal encoder for interim results
+    # (each mel frame encoded once) instead of the reference's per-chunk
+    # full re-transcription; finals still run the exact full-window pass.
+    "os_stream_incremental": True,
     # Continuous batcher: route streaming/realtime transcription through the
     # shared slot-pool scheduler instead of per-request invocations.
     "os_batcher_enabled": False,

@@ -13,10 +13,16 @@ utterance force-finalize (:42-43), LocalAgreement2 stable-prefix partials
 transcription executor (:50). The resampler runs on device
 (ops.resample.resample_pcm16) instead of scipy.
 
-The O(n^2) full-utterance re-transcription per chunk is kept as the
-*semantic* model (each interim result covers the whole utterance — that's
-what LocalAgreement2 consumes), but transcriptions are submitted through a
-shared executor so concurrent sessions batch onto the chip together.
+Interim transcriptions run over the O(n) incremental encoder
+(models/whisper/streaming.py): each mel frame is encoded once into
+per-session block-causal KV caches, and each chunk re-decodes (cheap,
+KV-cached greedy over a bucketed encoder prefix) to produce the
+whole-utterance hypothesis LocalAgreement2 consumes — replacing the
+reference's full 30 s re-encode per 100 ms chunk (SURVEY §3.2 "the key
+inefficiency to fix on TPU"). The *final* transcript at endpointing still
+runs the exact full-window path for quality parity. Disable with
+OS_STREAM_INCREMENTAL=false to fall back to per-chunk full transcription
+(executor or continuous batcher).
 """
 
 from __future__ import annotations
@@ -57,39 +63,61 @@ _streaming_executor = concurrent.futures.ThreadPoolExecutor(
 )
 
 
+def _agreement_length(a: list[str], b: list[str]) -> int:
+    """Length of the case-insensitive common prefix of two word lists."""
+    n = 0
+    for x, y in zip(a, b):
+        if x.lower() != y.lower():
+            break
+        n += 1
+    return n
+
+
 class LocalAgreement2:
-    """Emit only words agreed upon by two consecutive transcriptions
-    (reference: src/streaming.py:98-146)."""
+    """Stable-prefix commit policy for interim hypotheses.
+
+    Each interim transcription covers the whole utterance so far; a word
+    becomes *committed* once two consecutive hypotheses agree on it (and on
+    everything before it). Committed words are never retracted — later
+    hypotheses only extend the committed prefix. Same observable semantics
+    as the reference's LocalAgreement-2 (src/streaming.py:98-146), derived
+    here from the two-state formulation (last hypothesis, committed count).
+    """
 
     def __init__(self):
-        self.previous_words: list[str] = []
-        self.confirmed_words: list[str] = []
+        self._last_hyp: list[str] = []
+        self._committed: list[str] = []
 
-    def process(self, current_text: str) -> tuple[list[str], list[str]]:
-        current_words = current_text.split() if current_text.strip() else []
-        common_len = 0
-        for i in range(min(len(self.previous_words), len(current_words))):
-            if self.previous_words[i].lower() == current_words[i].lower():
-                common_len = i + 1
-            else:
-                break
-        already = len(self.confirmed_words)
-        new_confirmed: list[str] = []
-        if common_len > already:
-            new_confirmed = current_words[already:common_len]
-            self.confirmed_words = current_words[:common_len]
-        pending = current_words[len(self.confirmed_words) :]
-        self.previous_words = current_words
-        return new_confirmed, pending
+    @property
+    def confirmed_words(self) -> list[str]:
+        return self._committed
+
+    def process(self, hypothesis: str) -> tuple[list[str], list[str]]:
+        """Feed one whole-utterance hypothesis.
+
+        Returns (newly committed words, still-pending tail of the current
+        hypothesis).
+        """
+        words = hypothesis.split()
+        stable = _agreement_length(self._last_hyp, words)
+        fresh: list[str] = []
+        if stable > len(self._committed):
+            fresh = words[len(self._committed) : stable]
+            # re-take the whole prefix: casing may differ between runs and
+            # the newest hypothesis wins
+            self._committed = words[:stable]
+        self._last_hyp = words
+        return fresh, words[len(self._committed) :]
 
     def flush(self) -> list[str]:
-        remaining = self.previous_words[len(self.confirmed_words) :]
-        self.confirmed_words.extend(remaining)
-        return remaining
+        """Commit the uncommitted tail of the last hypothesis (stream end)."""
+        tail = self._last_hyp[len(self._committed) :]
+        self._committed = self._committed + tail
+        return tail
 
     def reset(self):
-        self.previous_words = []
-        self.confirmed_words = []
+        self._last_hyp = []
+        self._committed = []
 
 
 _active_sessions: dict[str, "StreamingSession"] = {}
@@ -135,6 +163,11 @@ class StreamingSession:
         self._running = False
         self._transcription_count = 0
         self._error_count = 0
+
+        # incremental-encoder state (one per utterance)
+        self._inc_encoder = None
+        self._inc_fed = 0  # utterance bytes already fed to the encoder
+        self._inc_broken = False  # backend unsupported: stop probing
 
     async def run(self):
         self._running = True
@@ -249,6 +282,7 @@ class StreamingSession:
                 ) / self.client_sample_rate
                 self.utterance_audio = bytearray()
                 self.agreement.reset()
+                self._reset_incremental()
             self.utterance_audio.extend(chunk_16k)
             if len(self.utterance_audio) >= MAX_UTTERANCE_BYTES:
                 await self._finalize_utterance()
@@ -273,6 +307,7 @@ class StreamingSession:
                 ) / self.client_sample_rate
                 self.utterance_audio = bytearray()
                 self.agreement.reset()
+                self._reset_incremental()
                 await self._send_event({"type": "vad", "state": "speech_start"})
             self.utterance_audio.extend(chunk_16k)
             if len(self.utterance_audio) >= MAX_UTTERANCE_BYTES:
@@ -288,12 +323,20 @@ class StreamingSession:
                 else:
                     await self._transcribe_utterance()
 
-    async def _run_transcription(self) -> dict | None:
+    async def _run_transcription(self, final: bool = False) -> dict | None:
         try:
-            if settings.os_batcher_enabled:
-                result = await self._transcribe_batched()
-            else:
-                result = await self._transcribe_executor()
+            result = None
+            if (
+                not final
+                and settings.os_stream_incremental
+                and not self._inc_broken
+            ):
+                result = await self._transcribe_incremental()
+            if result is None:
+                if settings.os_batcher_enabled:
+                    result = await self._transcribe_batched()
+                else:
+                    result = await self._transcribe_executor()
             self._transcription_count += 1
             return result
         except Exception as e:  # noqa: BLE001
@@ -306,6 +349,75 @@ class StreamingSession:
                 {"type": "error", "message": f"Transcription failed: {e}"}
             )
             return None
+
+    def _reset_incremental(self) -> None:
+        if self._inc_encoder is not None:
+            self._inc_encoder.reset()
+        self._inc_fed = 0
+
+    async def _transcribe_incremental(self) -> dict | None:
+        """O(n) interim path: feed only new audio into the per-session
+        block-causal encoder, re-decode over the bucketed prefix.
+
+        Returns None (and stops probing) when the backend isn't the JAX
+        whisper backend — scripted/mock backends in tests and plugins fall
+        back to the full per-chunk paths.
+        """
+        try:
+            backend = backend_router.get_backend(self.model)
+            entry = backend._ensure_model(self.model)
+            if not isinstance(entry, dict) or not isinstance(
+                entry.get("params"), dict
+            ):
+                raise TypeError("not a jax-whisper model entry")
+            params, cfg, tok = entry["params"], entry["cfg"], entry["tok"]
+            int(cfg.n_audio_layer)  # quacks like a WhisperConfig?
+        except Exception:  # noqa: BLE001 — unsupported backend, not an error
+            self._inc_broken = True
+            return None
+
+        import numpy as _np
+
+        from open_speech_tpu.models.whisper.decode import (
+            DecodeOptions,
+            greedy_decode,
+        )
+        from open_speech_tpu.models.whisper.streaming import (
+            StreamingWhisperEncoder,
+        )
+        from open_speech_tpu.ops.audio import pcm16_to_float
+
+        if self._inc_encoder is None or self._inc_encoder.params is not params:
+            self._inc_encoder = StreamingWhisperEncoder(params, cfg)
+            self._inc_fed = 0
+        new_bytes = bytes(self.utterance_audio[self._inc_fed :])
+        self._inc_fed = len(self.utterance_audio)
+        encoder = self._inc_encoder
+        language = self.language or "en"
+
+        def work() -> dict:
+            if new_bytes:
+                encoder.append_audio(pcm16_to_float(new_bytes))
+            enc_states, _bucket = encoder.interim_states()
+            sp = tok.special
+            duration_s = self._inc_fed / 2 / INTERNAL_SAMPLE_RATE
+            budget = -(-min(224, int(duration_s * 12) + 12) // 16) * 16
+            opts = DecodeOptions(
+                language=language, timestamps=False, beam_size=1,
+                max_new_tokens=budget, suppress_blank=True,
+            )
+            try:
+                sot = sp.sot_sequence(language, "transcribe", timestamps=False)
+            except ValueError:  # unknown language code: neutral default
+                sot = sp.sot_sequence("en", "transcribe", timestamps=False)
+            prompt = _np.asarray([sot], _np.int32)
+            res = greedy_decode(params, cfg, sp, enc_states, prompt, opts)
+            text = tok.decode(res.tokens[0][: res.lengths[0]]).strip()
+            return {"text": text}
+
+        return await asyncio.get_running_loop().run_in_executor(
+            _streaming_executor, work
+        )
 
     async def _transcribe_executor(self) -> dict:
         """Per-request path: whole inference on the streaming executor."""
@@ -394,7 +506,7 @@ class StreamingSession:
                 await self._send_event({"type": "vad", "state": "speech_end"})
             return
 
-        result = await self._run_transcription()
+        result = await self._run_transcription(final=True)
         if result is None:
             self.speech_active = False
             self.silence_samples = 0
@@ -422,6 +534,7 @@ class StreamingSession:
         self.silence_samples = 0
         self.utterance_audio = bytearray()
         self.agreement.reset()
+        self._reset_incremental()
 
     async def _flush(self):
         if self.audio_buffer:

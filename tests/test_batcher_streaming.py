@@ -44,6 +44,9 @@ def batched_env(monkeypatch):
     from open_speech_tpu.server import streaming as S
 
     monkeypatch.setattr(settings, "os_batcher_enabled", True)
+    # exercise the continuous-batcher path specifically (the incremental
+    # encoder would otherwise serve the interims)
+    monkeypatch.setattr(settings, "os_stream_incremental", False)
     monkeypatch.setattr(settings, "stt_model", "test-tiny")
     monkeypatch.setattr(settings, "os_precompile_on_load", False)
     monkeypatch.setattr(settings, "os_batch_max_sessions", 4)
