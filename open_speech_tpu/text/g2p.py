@@ -185,9 +185,27 @@ class RuleG2P:
 
     name = "rule"
 
+    def supports_language(self, voice_or_lang: str) -> bool:
+        from open_speech_tpu.text.g2p_langs import supported_language
+
+        return supported_language(voice_or_lang)
+
     def phonemize_ipa(self, text: str, voice: str = "en-us") -> list[str] | None:
-        """IPA phoneme characters (espeak-backed G2P only)."""
-        return None
+        """IPA phoneme characters.
+
+        English goes through the ARPAbet path and maps to IPA; rule-table
+        languages (es/de/fr/it/pt) transduce directly. Returns None for
+        unsupported languages so callers gate the voice instead of serving
+        English pronunciations (reference G2P is full espeak-ng)."""
+        from open_speech_tpu.text.g2p_langs import (
+            arpabet_to_ipa,
+            base_lang,
+            ipa_phonemize,
+        )
+
+        if base_lang(voice) == "en":
+            return arpabet_to_ipa(self.phonemize(text))
+        return ipa_phonemize(text, voice)
 
     def phonemize(self, text: str) -> list[str]:
         text = normalize_text(text)
@@ -228,6 +246,9 @@ class EspeakG2P(RuleG2P):
     @staticmethod
     def available() -> bool:
         return shutil.which("espeak-ng") is not None
+
+    def supports_language(self, voice_or_lang: str) -> bool:
+        return True  # espeak-ng ships ~100 language voices
 
     def phonemize_ipa(self, text: str, voice: str = "en-us") -> list[str] | None:
         try:

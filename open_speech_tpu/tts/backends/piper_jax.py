@@ -31,6 +31,7 @@ from open_speech_tpu.models.piper import (
 from open_speech_tpu.models.piper.convert import convert_piper_onnx
 from open_speech_tpu.models.piper.model import SAMPLE_RATE
 from open_speech_tpu.text.g2p import get_g2p, split_sentences
+from open_speech_tpu.text.g2p_langs import base_lang
 from open_speech_tpu.tts.backends.base import (
     DEFAULT_TTS_CAPABILITIES,
     TTSLoadedModelInfo,
@@ -142,11 +143,14 @@ class PiperBackend:
         if mid in self._models:
             self._last_used[mid] = time.time()
             return
-        if mid not in PIPER_VOICES:
-            raise ValueError(f"Unknown piper voice: {model_id}")
         t0 = time.time()
         short = mid.removeprefix("piper/")
         ckpt = self._find_voice_file(short)
+        if mid not in PIPER_VOICES and ckpt is None:
+            # registry voices run weightless; ad-hoc voices (any language)
+            # need their ONNX file on disk (reference auto-loads downloaded
+            # voices, piper_backend.py:350-373)
+            raise ValueError(f"Unknown piper voice: {model_id}")
         if ckpt is not None:
             params, cfg, meta = convert_piper_onnx(ckpt)
             cfg = PiperConfig(
@@ -223,9 +227,18 @@ class PiperBackend:
             self.load_model(mid)  # auto-load fallback (reference :350-373)
         self._last_used[mid] = time.time()
         params, cfg, meta = self._models[mid]
+        short = mid.removeprefix("piper/")
+        lang = lang_code or base_lang(short)
+        if not self._g2p.supports_language(lang):
+            raise ValueError(
+                f"language_not_supported: piper voice '{short}' needs {lang} "
+                "G2P (install espeak-ng for full language coverage)"
+            )
         speed = speed if speed and speed > 0 else 1.0
         for si, sentence in enumerate(split_sentences(text) or [text]):
-            ids = self._g2p.to_ids(sentence, id_map=meta.get("phoneme_id_map"))
+            ids = self._g2p.to_ids(
+                sentence, id_map=meta.get("phoneme_id_map"), voice=lang
+            )
             ids = ids[: cfg.max_phonemes]
             n = len(ids)
             phonemes = np.zeros((1, cfg.max_phonemes), np.int32)
