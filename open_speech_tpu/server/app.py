@@ -240,6 +240,9 @@ async def transcribe(request: web.Request) -> web.Response:
                 response_format=backend_format,
                 temperature=temperature,
                 prompt=prompt,
+                # quality path: REST requests decode with the reference's
+                # beam-5 default; streaming sessions stay greedy (batcher)
+                beam_size=settings.stt_rest_beam_size,
             ),
         )
     except ValueError as e:
