@@ -161,27 +161,68 @@ async function loadVoices() {
   await refreshVoiceList();
 }
 
+/* voice blend builder: chips of (voice, weight) composing the spec string */
+let blendParts = [];
+
+function blendSpec() {
+  return blendParts.map((b) => `${b.voice}(${b.weight})`).join("+");
+}
+
+function renderBlendChips() {
+  const holder = $("#blend-chips");
+  holder.innerHTML = "";
+  blendParts.forEach((b, i) => {
+    const chip = document.createElement("span");
+    chip.className = "chip";
+    chip.textContent = `${b.voice} ×${b.weight} `;
+    const x = document.createElement("button");
+    x.textContent = "✕";
+    x.className = "small";
+    x.addEventListener("click", () => {
+      blendParts.splice(i, 1);
+      renderBlendChips();
+    });
+    chip.appendChild(x);
+    holder.appendChild(chip);
+  });
+}
+
+$("#blend-add").addEventListener("click", () => {
+  const voice = $("#blend-picker").value;
+  const weight = Number($("#blend-weight").value) || 1.0;
+  if (voice && !blendParts.find((b) => b.voice === voice)) {
+    blendParts.push({ voice, weight });
+    renderBlendChips();
+  }
+});
+
 async function refreshVoiceList() {
   const model = $("#tts-model").value;
   const data = await (
     await api(`/v1/audio/voices${model ? `?model=${encodeURIComponent(model)}` : ""}`)
   ).json();
-  const sel = $("#tts-voice");
-  sel.innerHTML = "";
-  data.voices.forEach((v) => {
-    const opt = document.createElement("option");
-    opt.value = v.id;
-    opt.textContent = `${v.id} (${v.language})`;
-    sel.appendChild(opt);
-  });
-  // capability-gated advanced controls (voice_design)
+  for (const sel of [$("#tts-voice"), $("#blend-picker")]) {
+    sel.innerHTML = "";
+    data.voices.forEach((v) => {
+      const opt = document.createElement("option");
+      opt.value = v.id;
+      opt.textContent = sel.id === "tts-voice" ? `${v.id} (${v.language})` : v.id;
+      sel.appendChild(opt);
+    });
+  }
+  // capability-gated controls (voice_blend / voice_design / voice_clone /
+  // streaming) — reference gates the same way (src/static/app.js:255-290)
+  let caps = {};
   try {
-    const caps = await (
+    caps = (await (
       await api(`/api/tts/capabilities?model=${encodeURIComponent(model)}`)
-    ).json();
-    $("#tts-advanced").style.display =
-      caps.capabilities.voice_design ? "flex" : "none";
-  } catch (_e) { $("#tts-advanced").style.display = "none"; }
+    ).json()).capabilities || {};
+  } catch (_e) { /* default: everything hidden */ }
+  $("#tts-blend-row").style.display = caps.voice_blend ? "flex" : "none";
+  if (!caps.voice_blend) { blendParts = []; renderBlendChips(); }
+  $("#tts-advanced").style.display = caps.voice_design ? "flex" : "none";
+  $("#tts-clone").style.display = caps.voice_clone ? "flex" : "none";
+  $("#tts-stream-label").style.display = caps.streaming !== false ? "inline-flex" : "none";
 }
 
 $("#tts-model").addEventListener("change", refreshVoiceList);
@@ -189,24 +230,85 @@ $("#tts-speed").addEventListener("input", () => {
   $("#tts-speed-val").textContent = Number($("#tts-speed").value).toFixed(1);
 });
 
+/* progressive playback of a streaming mp3 response via MediaSource
+ * (reference: src/static/app.js doSpeak :384-460) */
+async function playMediaSource(res, audioEl) {
+  const ms = new MediaSource();
+  audioEl.src = URL.createObjectURL(ms);
+  await new Promise((resolve, reject) => {
+    ms.addEventListener("sourceopen", () => {
+      let sb;
+      try { sb = ms.addSourceBuffer("audio/mpeg"); } catch (e) { reject(e); return; }
+      const reader = res.body.getReader();
+      const pump = async () => {
+        try {
+          const { done, value } = await reader.read();
+          if (done) {
+            if (ms.readyState === "open") ms.endOfStream();
+            resolve();
+            return;
+          }
+          if (sb.updating) {
+            await new Promise((r) => sb.addEventListener("updateend", r, { once: true }));
+          }
+          sb.appendBuffer(value);
+          sb.addEventListener("updateend", pump, { once: true });
+        } catch (err) { reject(err); }
+      };
+      audioEl.addEventListener("canplay", () => audioEl.play().catch(() => {}), { once: true });
+      pump();
+    }, { once: true });
+    ms.addEventListener("error", reject, { once: true });
+  });
+}
+
+async function speakClone(t0) {
+  const fd = new FormData();
+  fd.append("input", $("#tts-text").value);
+  fd.append("model", $("#tts-model").value);
+  fd.append("reference_audio", $("#tts-clone-file").files[0]);
+  const transcript = $("#tts-clone-transcript").value.trim();
+  if (transcript) fd.append("transcript", transcript);
+  fd.append("response_format", $("#tts-format").value);
+  const r = await api("/v1/audio/speech/clone", { method: "POST", body: fd });
+  const blob = await r.blob();
+  $("#tts-audio").src = URL.createObjectURL(blob);
+  $("#tts-audio").play().catch(() => {});
+  $("#tts-status").textContent =
+    `cloned · ${(blob.size / 1024).toFixed(0)} KB in ${((performance.now() - t0) / 1000).toFixed(1)}s`;
+}
+
 $("#tts-go").addEventListener("click", async () => {
-  const body = {
-    input: $("#tts-text").value,
-    model: $("#tts-model").value,
-    voice: $("#tts-blend").value.trim() || $("#tts-voice").value,
-    speed: Number($("#tts-speed").value),
-    response_format: $("#tts-format").value,
-  };
-  const design = $("#tts-design").value.trim();
-  if (design) body.voice_design = design;
-  $("#tts-status").textContent = "Synthesizing…";
   const t0 = performance.now();
+  $("#tts-status").textContent = "Synthesizing…";
   try {
-    const r = await api("/v1/audio/speech", {
+    if ($("#tts-clone").style.display !== "none" && $("#tts-clone-file").files[0]) {
+      await speakClone(t0);
+      return;
+    }
+    const fmt = $("#tts-format").value;
+    const body = {
+      input: $("#tts-text").value,
+      model: $("#tts-model").value,
+      voice: blendParts.length ? blendSpec() : $("#tts-voice").value,
+      speed: Number($("#tts-speed").value),
+      response_format: fmt,
+    };
+    const design = $("#tts-design").value.trim();
+    if (design) body.voice_design = design;
+    const wantStream = $("#tts-stream").checked && fmt === "mp3" &&
+      window.MediaSource && MediaSource.isTypeSupported("audio/mpeg");
+    const r = await api(`/v1/audio/speech${wantStream ? "?stream=true" : ""}`, {
       method: "POST",
       headers: { "Content-Type": "application/json" },
       body: JSON.stringify(body),
     });
+    if (wantStream && r.body) {
+      await playMediaSource(r, $("#tts-audio"));
+      $("#tts-status").textContent =
+        `streamed in ${((performance.now() - t0) / 1000).toFixed(1)}s`;
+      return;
+    }
     const blob = await r.blob();
     $("#tts-audio").src = URL.createObjectURL(blob);
     $("#tts-audio").play().catch(() => {});
