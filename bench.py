@@ -1,22 +1,24 @@
-"""Benchmark: ASR throughput (RTFx) for whisper-large-v3-turbo on one chip.
+"""Benchmark: the full BASELINE target set on one chip.
 
-Measures the full transcription compute path — log-mel front-end, encoder
-with Pallas flash attention, KV-cached greedy decode of a realistic token
-budget — on batched 30 s windows, end to end on device. Weights are
-random-init (none are downloadable in this environment) which does not
-change FLOPs/bandwidth, so RTFx is representative; the decode budget is
-fixed at 96 tokens/window (the dense-speech average for 30 s audio) because
+Emits one JSON line per metric (the headline ASR RTFx first):
+
+  1. ASR RTFx, whisper-large-v3-turbo — target >=50x real-time/chip
+     (BASELINE.md north star; int8 weights + int8 cross-KV by default,
+     BENCH_COMPUTE=bf16 for the pure-bf16 number).
+  2. TTS TTFA p50 at 1 concurrent stream (kokoro-82M, blockwise vocoder).
+  3. TTS TTFA p50 at 64 concurrent streams — target <200 ms (the batched
+     encode + first generator block; full-utterance B=64 rendering would
+     overflow HBM, which is exactly what the blockwise vocoder fixes).
+  4. Kokoro-82M throughput — reference baselines 2.9x (CPU) / ~10x (CUDA)
+     real-time (docs/TTS-BACKENDS.md:79-80); target here 10x.
+  5. Piper (VITS medium geometry) throughput — no published reference
+     number; measured against the same 10x bar.
+  6. Streaming STT per-chunk device latency — must stay under the 100 ms
+     chunk interval for real-time streaming.
+
+Weights are random-init (no egress in this environment); that changes no
+FLOPs/bandwidth. The ASR decode budget is fixed at 96 tokens/window since
 random weights never emit EOT.
-
-Runs the production int8 path by default (weight-only int8 matmuls +
-int8 cross-attention KV caches with scales folded into the attention
-math) — the analogue of the reference's CT2 int8 compute type
-(reference: src/backends/faster_whisper.py compute_type). Set
-BENCH_COMPUTE=bf16 for the pure-bf16 number.
-
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the ratio against the 50x real-time north-star target
-(BASELINE.md; the reference publishes no RTFx of its own).
 """
 
 from __future__ import annotations
@@ -33,20 +35,45 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from open_speech_tpu.models.whisper.decode import _greedy_impl
-from open_speech_tpu.models.whisper.model import PRESETS, encode, init_params
-from open_speech_tpu.models.whisper.tokenizer import get_tokenizer
-from open_speech_tpu.ops.mel import log_mel_spectrogram
-
 MODEL = os.environ.get("BENCH_MODEL", "large-v3-turbo")
 COMPUTE = os.environ.get("BENCH_COMPUTE", "int8")
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 TOKENS_PER_WINDOW = int(os.environ.get("BENCH_TOKENS", "96"))
 ITERS = int(os.environ.get("BENCH_ITERS", "3"))
+ONLY = os.environ.get("BENCH_ONLY", "")  # comma list: asr,ttfa,tts,stream
 TARGET_RTFX = 50.0  # north star: >=50x real-time per v5e chip
+TARGET_TTFA = 0.200  # p50 TTFA under 64 concurrent streams
+TARGET_TTS_RTFX = 10.0  # reference kokoro on CUDA ~10x real-time
+CHUNK_INTERVAL = 0.100  # streaming chunk cadence
 
 
-def main() -> None:
+def emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 4),
+                "unit": unit,
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def note(msg: str) -> None:
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+# ── ASR ───────────────────────────────────────────────────────────────
+
+
+def bench_asr() -> None:
+    from open_speech_tpu.models.whisper.decode import _greedy_impl
+    from open_speech_tpu.models.whisper.model import PRESETS, encode, init_params
+    from open_speech_tpu.models.whisper.tokenizer import get_tokenizer
+    from open_speech_tpu.ops.mel import log_mel_spectrogram
+
     cfg = PRESETS[MODEL]
     tok = get_tokenizer(n_vocab=cfg.n_vocab, n_langs=cfg.n_langs)
     sp = tok.special
@@ -61,28 +88,17 @@ def main() -> None:
     audio = jnp.asarray(
         rng.uniform(-0.3, 0.3, (BATCH, window_samples)).astype(np.float32)
     )
-    prompt = jnp.asarray(
-        [sp.sot_sequence("en", "transcribe")] * BATCH, jnp.int32
-    )
+    prompt = jnp.asarray([sp.sot_sequence("en", "transcribe")] * BATCH, jnp.int32)
     suppress = jnp.zeros((cfg.n_vocab,), jnp.float32)
     rng_key = jax.random.PRNGKey(0)
 
     def run_once():
         mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
         enc_out = encode(params, mel, cfg)
-        tokens, lengths, sum_lp, nsp = _greedy_impl(
-            params,
-            prompt,
-            enc_out,
-            suppress,
-            rng_key,
-            jnp.float32(0.0),
-            cfg=cfg,
-            special=sp,
-            max_new=TOKENS_PER_WINDOW,
-            sampled=False,
-            timestamps=True,
-            max_init_tok=sp.timestamp_begin + 50,
+        tokens, *_ = _greedy_impl(
+            params, prompt, enc_out, suppress, rng_key, jnp.float32(0.0),
+            cfg=cfg, special=sp, max_new=TOKENS_PER_WINDOW, sampled=False,
+            timestamps=True, max_init_tok=sp.timestamp_begin + 50,
             blank=(220, sp.eot),
         )
         return tokens
@@ -101,19 +117,177 @@ def main() -> None:
     wall = min(times)
     audio_seconds = BATCH * window_samples / 16000
     rtfx = audio_seconds / wall
-
-    result = {
-        "metric": f"ASR RTFx whisper-{MODEL} ({COMPUTE}, batch={BATCH}, greedy {TOKENS_PER_WINDOW} tok/30s)",
-        "value": round(rtfx, 1),
-        "unit": "x_realtime_per_chip",
-        "vs_baseline": round(rtfx / TARGET_RTFX, 3),
-    }
-    print(json.dumps(result))
-    print(
-        f"# wall={wall:.3f}s for {audio_seconds:.0f}s audio; compile={compile_s:.0f}s;"
-        f" backend={jax.default_backend()}",
-        file=sys.stderr,
+    emit(
+        f"ASR RTFx whisper-{MODEL} ({COMPUTE}, batch={BATCH}, "
+        f"greedy {TOKENS_PER_WINDOW} tok/30s)",
+        rtfx, "x_realtime_per_chip", rtfx / TARGET_RTFX,
     )
+    note(f"asr wall={wall:.3f}s for {audio_seconds:.0f}s audio; compile={compile_s:.0f}s")
+
+    # streaming STT per-chunk device latency: one interim update = mel +
+    # encoder + short greedy decode over the padded window (the per-chunk
+    # work of server/streaming.py's batched path at batch=8 sessions)
+    if _want("stream"):
+        sb = 8
+        s_audio = audio[:sb]
+        s_prompt = prompt[:sb]
+
+        def chunk_step():
+            mel = log_mel_spectrogram(s_audio, n_mels=cfg.n_mels)
+            enc_out = encode(params, mel, cfg)
+            tokens, *_ = _greedy_impl(
+                params, s_prompt, enc_out, suppress, rng_key, jnp.float32(0.0),
+                cfg=cfg, special=sp, max_new=48, sampled=False,
+                timestamps=True, max_init_tok=sp.timestamp_begin + 50,
+                blank=(220, sp.eot),
+            )
+            return tokens
+
+        np.asarray(chunk_step())  # compile
+        laps = []
+        for _ in range(max(ITERS, 3)):
+            t0 = time.time()
+            np.asarray(chunk_step())
+            laps.append(time.time() - t0)
+        per_chunk = float(np.median(laps)) / sb  # amortized per session
+        emit(
+            f"streaming STT per-chunk latency (batch={sb} sessions, "
+            "30s window re-encode, 48-tok interim decode)",
+            per_chunk * 1000, "ms", CHUNK_INTERVAL / per_chunk,
+        )
+
+
+# ── TTS ───────────────────────────────────────────────────────────────
+
+
+def _kokoro_setup(batch: int, frames: int = 240):
+    from open_speech_tpu.models.kokoro.model import (
+        KokoroConfig,
+        encode_utterance,
+        init_kokoro_params,
+    )
+
+    cfg = KokoroConfig(max_phonemes=128, max_frames=frames)
+    params = init_kokoro_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ph = np.zeros((batch, cfg.max_phonemes), np.int32)
+    ph[:, :60] = rng.integers(1, 170, (batch, 60))
+    style = jnp.asarray(
+        (rng.standard_normal((batch, 2 * cfg.style_dim)) * 0.2).astype(np.float32)
+    )
+    args = (
+        jnp.asarray(ph),
+        jnp.asarray([60] * batch, jnp.int32),
+        style,
+        jnp.asarray([1.0] * batch, jnp.float32),
+    )
+    return params, cfg, encode_utterance, args
+
+
+def bench_tts_ttfa() -> None:
+    from open_speech_tpu.models.kokoro.model import vocode_streaming
+
+    for batch, label in ((1, "1 stream"), (64, "64 concurrent streams")):
+        params, cfg, encode_utterance, args = _kokoro_setup(batch)
+
+        def first_block():
+            g, n_frames = encode_utterance(params, cfg, *args)
+            stream = vocode_streaming(
+                params, cfg, g, n_frames, rng=jax.random.PRNGKey(0),
+                block_frames=32,
+            )
+            return next(stream)  # host np array: includes device->host sync
+
+        t0 = time.time()
+        first_block()
+        note(f"ttfa@{batch} compile={time.time() - t0:.0f}s")
+        laps = []
+        for _ in range(5):
+            t0 = time.time()
+            first_block()
+            laps.append(time.time() - t0)
+        p50 = float(np.median(laps))
+        emit(
+            f"TTS TTFA p50 kokoro-82M ({label}, blockwise vocoder, "
+            "0.8s first block)",
+            p50 * 1000, "ms", TARGET_TTFA / p50,
+        )
+
+
+def bench_tts_throughput() -> None:
+    from open_speech_tpu.models.kokoro.model import vocode
+
+    params, cfg, encode_utterance, args = _kokoro_setup(16)
+
+    def synth():
+        g, n_frames = encode_utterance(params, cfg, *args)
+        return np.asarray(vocode(params, cfg, g, n_frames, jax.random.PRNGKey(0))), np.asarray(n_frames)
+
+    synth()
+    laps = []
+    for _ in range(ITERS):
+        t0 = time.time()
+        _a, n = synth()
+        laps.append(time.time() - t0)
+    wall = min(laps)
+    audio_s = float(n.sum()) * cfg.samples_per_frame / cfg.sample_rate
+    rtfx = audio_s / wall
+    emit(
+        "Kokoro-82M TTS throughput (batch=16, full utterances)",
+        rtfx, "x_realtime_per_chip", rtfx / TARGET_TTS_RTFX,
+    )
+
+    from open_speech_tpu.models.piper.model import (
+        PiperConfig,
+        init_piper_params,
+        synthesize_vits,
+    )
+
+    pcfg = PiperConfig(max_phonemes=128, max_frames=384)
+    pparams = init_piper_params(jax.random.PRNGKey(0), pcfg)
+    pb = 8
+    rng = np.random.default_rng(1)
+    ph = np.zeros((pb, pcfg.max_phonemes), np.int32)
+    ph[:, :60] = rng.integers(1, 120, (pb, 60))
+    pargs = (
+        jnp.asarray(ph),
+        jnp.asarray([60] * pb, jnp.int32),
+        jnp.asarray([0] * pb, jnp.int32),
+        jnp.asarray([1.0] * pb, jnp.float32),
+        jax.random.PRNGKey(0),
+    )
+
+    def psynth():
+        audio, n_frames = synthesize_vits(pparams, pcfg, *pargs)
+        return np.asarray(audio), np.asarray(n_frames)
+
+    psynth()
+    laps = []
+    for _ in range(ITERS):
+        t0 = time.time()
+        _a, n = psynth()
+        laps.append(time.time() - t0)
+    wall = min(laps)
+    audio_s = float(n.sum()) * pcfg.samples_per_frame / 22050
+    rtfx = audio_s / wall
+    emit(
+        "Piper VITS-medium TTS throughput (batch=8, full utterances)",
+        rtfx, "x_realtime_per_chip", rtfx / TARGET_TTS_RTFX,
+    )
+
+
+def _want(key: str) -> bool:
+    return not ONLY or key in ONLY.split(",")
+
+
+def main() -> None:
+    note(f"backend={jax.default_backend()}")
+    if _want("asr") or _want("stream"):
+        bench_asr()
+    if _want("ttfa"):
+        bench_tts_ttfa()
+    if _want("tts"):
+        bench_tts_throughput()
 
 
 if __name__ == "__main__":
