@@ -19,11 +19,34 @@ _LIB_PATH = Path(__file__).parent / "libosaudio.so"
 _lib: ctypes.CDLL | None = None
 
 
+def _build() -> bool:
+    """Compile libosaudio.so from source (dev checkouts; Docker runs
+    ``make -C native`` at image build). Best-effort: numpy fallbacks in
+    ops.audio cover every entry point when no toolchain is present."""
+    import shutil
+    import subprocess
+
+    src = Path(__file__).resolve().parents[2] / "native" / "osaudio.cpp"
+    cxx = shutil.which("g++") or shutil.which("c++")
+    if not src.exists() or cxx is None:
+        return False
+    try:
+        subprocess.run(
+            [cxx, "-O3", "-fPIC", "-std=c++17", "-shared",
+             "-o", str(_LIB_PATH), str(src)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except (subprocess.SubprocessError, OSError) as e:
+        logger.warning("libosaudio build failed: %s", e)
+        return False
+
+
 def _load() -> ctypes.CDLL | None:
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    if not _LIB_PATH.exists() and not _build():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
