@@ -194,7 +194,7 @@ def bench_tts_ttfa() -> None:
             g, n_frames = encode_utterance(params, cfg, *args)
             stream = vocode_streaming(
                 params, cfg, g, n_frames, rng=jax.random.PRNGKey(0),
-                block_frames=32,
+                block_frames=32, first_block_frames=16, wire="i16",
             )
             return next(stream)  # host np array: includes device->host sync
 
@@ -209,7 +209,7 @@ def bench_tts_ttfa() -> None:
         p50 = float(np.median(laps))
         emit(
             f"TTS TTFA p50 kokoro-82M ({label}, blockwise vocoder, "
-            "0.8s first block)",
+            "0.4s first block)",
             p50 * 1000, "ms", TARGET_TTFA / p50,
         )
 

@@ -41,6 +41,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from open_speech_tpu.ops.initutil import jit_init
+
 from open_speech_tpu.ops.vocoder import conv1d, conv_transpose1d
 
 SAMPLE_RATE = 24_000
@@ -121,12 +123,15 @@ def _masked_instance_norm(x, mask, eps=1e-5):
     """InstanceNorm1d statistics over valid time positions only.
 
     x [B, T, C]; mask [B, T, 1]. Matches torch's exact-length instance norm
-    on the valid prefix.
+    on the valid prefix. Statistics always accumulate in f32 — bf16 sums
+    over hundreds of frames lose the variance.
     """
+    dt = x.dtype
+    x = x.astype(jnp.float32)
     cnt = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
     mean = (x * mask).sum(axis=1, keepdims=True) / cnt
     var = (((x - mean) * mask) ** 2).sum(axis=1, keepdims=True) / cnt
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    return ((x - mean) * jax.lax.rsqrt(var + eps)).astype(dt)
 
 
 def _adain(x, style, p, mask):
@@ -276,7 +281,8 @@ def _adain_res_blk(x, style, p, mask, upsample: bool = False):
         # depthwise ConvTranspose1d(k=3, stride=2, pad=1, output_pad=1)
         c = h.shape[-1]
         h = jax.lax.conv_general_dilated(
-            h, p["pool"]["w"], window_strides=(1,), padding=[(1, 2)],
+            h.astype(p["pool"]["w"].dtype), p["pool"]["w"],
+            window_strides=(1,), padding=[(1, 2)],
             lhs_dilation=(2,), dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=c,
         ) + p["pool"]["b"]
@@ -381,6 +387,8 @@ def harmonic_source(params, cfg: KokoroConfig, f0_curve, rand_phase, sine_noise)
     """
     up = cfg.upsample_total // 2  # samples per 2F-frame
     nh = cfg.harmonics + 1
+    # cumulative phase needs f32: bf16 loses the fractional cycle count
+    f0_curve = f0_curve.astype(jnp.float32)
     f0 = jnp.repeat(f0_curve, up, axis=1)[..., None]  # nearest upsample [B,S,1]
     fn = f0 * jnp.arange(1, nh + 1, dtype=jnp.float32)[None, None, :]
     rad = (fn / cfg.sample_rate) % 1.0
@@ -477,7 +485,9 @@ def _gen_stack(params, cfg: KokoroConfig, x, style, har0, har1, m, first: bool):
             acc = r if acc is None else acc + r
         x = acc / nk * m
     x = jax.nn.leaky_relu(x, 0.01) * m
-    spec_all = conv1d(x, gp["post"])
+    # spectrum + inverse STFT in f32: exp() and phase wrap are precision-
+    # sensitive regardless of the conv compute dtype
+    spec_all = conv1d(x, gp["post"]).astype(jnp.float32)
     n_bins = cfg.gen_n_fft // 2 + 1
     mag = jnp.exp(spec_all[..., :n_bins])
     phase = jnp.sin(spec_all[..., n_bins:])
@@ -597,9 +607,10 @@ def _vocode_block_first(params, cfg: KokoroConfig, x, har, style, frames, *,
     return _gen_stack(params, cfg, xb, style, har0, har1, m, first=True)
 
 
-@partial(jax.jit, static_argnames=("cfg", "nb", "h"))
+@partial(jax.jit, static_argnames=("cfg", "nb", "h", "wire_i16"))
 def _vocode_block_interior(params, cfg: KokoroConfig, x_pad, har_pad, style,
-                           frames, a, *, nb: int, h: int):
+                           frames, a, *, nb: int, h: int,
+                           wire_i16: bool = False):
     """Interior generator block: core x-frames [a, a+nb) with halo h.
 
     ``x_pad``/``har_pad`` are the utterance arrays pre-padded so a fixed
@@ -619,12 +630,29 @@ def _vocode_block_interior(params, cfg: KokoroConfig, x_pad, har_pad, style,
     m = (
         (gidx[None, :] >= 0) & (gidx[None, :] < 2 * frames[:, None])
     ).astype(jnp.float32)[..., None]
-    return _gen_stack(params, cfg, xb, style, har0, har1, m, first=False)
+    return _wire(
+        _gen_stack(params, cfg, xb, style, har0, har1, m, first=False),
+        wire_i16,
+    )
 
 
-@partial(jax.jit, static_argnames=("cfg", "nb", "h"))
+def _wire(audio, i16: bool):
+    """Device-side wire format: int16 halves the host transfer (the audio
+    leaves the server as 16-bit PCM anyway)."""
+    if not i16:
+        return audio
+    return (jnp.clip(audio, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+
+def _unwire(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype == np.int16:
+        return (arr.astype(np.float32) / 32767.0)
+    return np.asarray(arr, np.float32)
+
+
+@partial(jax.jit, static_argnames=("cfg", "nb", "h", "wire_i16"))
 def _vocode_prelude(params, cfg: KokoroConfig, g, n_frames, rng, *,
-                    nb: int, h: int):
+                    nb: int, h: int, wire_i16: bool = False):
     """One fused device program for everything TTFA-critical: istftnet
     decode, harmonic source + STFT features, the first generator block,
     and the halo-padded arrays the interior blocks slice. A single
@@ -647,11 +675,13 @@ def _vocode_prelude(params, cfg: KokoroConfig, g, n_frames, rng, *,
     first = _vocode_block_first(params, cfg, x, har, s_dec, n_frames, nb=nb, h=h)
     x_pad = jnp.pad(x, ((0, 0), (h, nb + h), (0, 0)))
     har_pad = jnp.pad(har, ((0, 0), (h * hpx, (nb + h) * hpx + 1), (0, 0)))
-    return first, x_pad, har_pad
+    return _wire(first, wire_i16), x_pad, har_pad
 
 
 def vocode_streaming(params, cfg: KokoroConfig, g, n_frames, rng=None,
-                     block_frames: int = 64, halo_frames: int = 16):
+                     block_frames: int = 64, halo_frames: int = 16,
+                     first_block_frames: int | None = None,
+                     wire: str = "f32"):
     """Yield audio in blocks with O(block) latency and device memory.
 
     TPU-first streaming split: the frame-rate passes (istftnet decode,
@@ -670,33 +700,43 @@ def vocode_streaming(params, cfg: KokoroConfig, g, n_frames, rng=None,
     """
     asr, f0, n, s_dec = g
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    i16 = wire == "i16"
     spf2 = cfg.samples_per_frame // 2
-    nb = 2 * block_frames  # x-frames per block
-    h = min(2 * halo_frames, nb)
+    nb = 2 * block_frames  # x-frames per interior block
+    # the first block can be smaller: TTFA is paid on it, and later blocks
+    # only need to keep ahead of real-time playback
+    nb1 = 2 * (first_block_frames if first_block_frames else block_frames)
+    h = min(2 * halo_frames, min(nb, nb1))
     total_x = int(np.max(np.asarray(n_frames))) * 2
     n2 = 2 * cfg.max_frames
-    if n2 < nb + h:  # tiny frame bucket: single full-window render
+    if n2 < max(nb, nb1) + h:  # tiny frame bucket: single full-window render
         audio = vocode(params, cfg, g, n_frames, rng)
         yield np.asarray(audio[:, : total_x * spf2], np.float32)
         return
 
-    first_len = min(nb, total_x)
+    first_len = min(nb1, total_x)
     audio, x_pad, har_pad = _vocode_prelude(
-        params, cfg, g, n_frames, rng, nb=nb, h=h
+        params, cfg, g, n_frames, rng, nb=nb1, h=h, wire_i16=i16
     )
-    yield np.asarray(audio[:, : first_len * spf2], np.float32)
-    if total_x <= nb:
+    yield _unwire(np.asarray(audio[:, : first_len * spf2]))
+    if total_x <= nb1:
         return
 
-    a = nb
+    # interior x_pad/har_pad were sized for nb1; re-pad when interior
+    # blocks are larger (one cheap device op per utterance)
+    if nb > nb1:
+        hpx = spf2 // cfg.gen_hop
+        x_pad = jnp.pad(x_pad, ((0, 0), (0, nb - nb1), (0, 0)))
+        har_pad = jnp.pad(har_pad, ((0, 0), (0, (nb - nb1) * hpx), (0, 0)))
+    a = nb1
     while a < total_x:
         blk = _vocode_block_interior(
             params, cfg, x_pad, har_pad, s_dec, n_frames,
-            jnp.int32(a), nb=nb, h=h,
+            jnp.int32(a), nb=nb, h=h, wire_i16=i16,
         )
         start = h * spf2 - cfg.gen_hop
         end = start + min(nb, total_x - a) * spf2
-        yield np.asarray(blk[:, start:end], np.float32)
+        yield _unwire(np.asarray(blk[:, start:end]))
         a += nb
 
 
@@ -745,6 +785,7 @@ def _rand_lstm(key, d_in, h, dtype):
     return {"fw": mk(k1, k2), "bw": mk(k3, k4)}
 
 
+@jit_init()
 def init_kokoro_params(key, cfg: KokoroConfig, dtype=jnp.float32):
     ks = iter(jax.random.split(key, 512))
     h512, sty = cfg.hidden, cfg.style_dim

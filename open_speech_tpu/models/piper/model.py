@@ -33,6 +33,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from open_speech_tpu.ops.initutil import jit_init
+
 from open_speech_tpu.ops.vocoder import conv1d, conv_transpose1d, resblock1
 
 SAMPLE_RATE = 22_050
@@ -99,6 +101,7 @@ def _ln_init(c, dtype):
     return {"g": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
 
 
+@jit_init()
 def init_piper_params(key, cfg: PiperConfig, dtype=jnp.float32):
     n_keys = 64 + 24 * cfg.n_layers + 40 * cfg.dp_flows + 24 * cfg.flow_layers
     n_keys += 16 * len(cfg.upsample_rates) * (1 + 2 * len(cfg.resblock_kernels) * 3)

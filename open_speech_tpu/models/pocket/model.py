@@ -31,6 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from open_speech_tpu.ops.initutil import jit_init
+
 from open_speech_tpu.models.kokoro.model import (
     KokoroConfig,
     init_kokoro_params,
@@ -63,6 +65,7 @@ class PocketConfig:
         return self.base.samples_per_frame
 
 
+@jit_init()
 def init_pocket_params(key, cfg: PocketConfig, dtype=jnp.float32):
     k_gen, k_ref1, k_ref2, k_proj, k_spk = jax.random.split(key, 5)
     params = {"gen": init_kokoro_params(k_gen, cfg.base, dtype)}

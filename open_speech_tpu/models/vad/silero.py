@@ -39,6 +39,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from open_speech_tpu.ops.initutil import jit_init
+
 logger = logging.getLogger(__name__)
 
 VAD_SAMPLE_RATE = 16000
@@ -64,9 +66,9 @@ class Segment:
 VADParams = dict
 
 
-def init_vad_params(key=None, dtype=jnp.float32) -> VADParams:
+@jit_init(static_argnames=("dtype",))
+def _init_vad_params_impl(key, dtype) -> VADParams:
     """Random-init parameter pytree with the silero-v5 topology."""
-    key = key if key is not None else jax.random.PRNGKey(42)
     ks = jax.random.split(key, 8)
 
     def conv(k, width, cin, cout):
@@ -365,3 +367,9 @@ async def get_vad_model() -> SileroVAD:
         vad_step(params, jnp.zeros((1, WINDOW)), jnp.zeros((2, 1, _HIDDEN)))
         _vad_model = SileroVAD(params)
         return _vad_model
+
+
+def init_vad_params(key=None, dtype=jnp.float32) -> VADParams:
+    """Random-init parameter pytree with the silero-v5 topology."""
+    key = key if key is not None else jax.random.PRNGKey(42)
+    return _init_vad_params_impl(key, dtype)

@@ -29,6 +29,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from open_speech_tpu.ops.initutil import jit_init
 import numpy as np
 
 from open_speech_tpu.ops.attention import decode_attention, flash_attention
@@ -137,6 +139,7 @@ def _stack(trees: list):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
+@jit_init()
 def init_params(key, cfg: WhisperConfig, dtype=jnp.float32):
     """Random-init parameter pytree, layers stacked for lax.scan."""
     k_enc, k_dec, k_conv1, k_conv2, k_emb = jax.random.split(key, 5)

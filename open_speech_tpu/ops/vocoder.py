@@ -128,6 +128,7 @@ def conv1d(
         hi = (k - 1) * dilation - lo
     else:
         lo = hi = pad
+    x = x.astype(p["w"].dtype)  # bf16 weights carry the compute dtype
     out = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(stride,),
         padding=[(lo, hi)],
@@ -151,6 +152,7 @@ def conv_transpose1d(x: jax.Array, p, stride: int, pad: int | None = None) -> ja
     if pad is None:
         pad = (k - stride) // 2
     edge = k - 1 - pad
+    x = x.astype(p["w"].dtype)
     out = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(1,), padding=[(edge, edge)],
         lhs_dilation=(stride,),

@@ -1,0 +1,150 @@
+"""Continuous-batcher soak: concurrent sessions, no slot leaks/recompiles.
+
+Round-1 VERDICT item 7 named this hole: N concurrent WS sessions pushing
+many utterances through the shared batcher, asserting via pool_stats that
+slots fully drain (no leak), occupancy actually overlapped (real
+batching), and the jit cache gained no new programs after warmup (no
+per-session recompiles — the property that keeps serving latency flat).
+"""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from aiohttp import WSMsgType
+
+from open_speech_tpu.config import settings
+from open_speech_tpu.server.streaming import StreamingSession
+
+
+class FakeMsg:
+    def __init__(self, type_, data):
+        self.type = type_
+        self.data = data
+
+
+class DummyWS:
+    def __init__(self, messages):
+        self._messages = list(messages)
+        self.sent = []
+
+    def __aiter__(self):
+        return self
+
+    async def __anext__(self):
+        if not self._messages:
+            raise StopAsyncIteration
+        await asyncio.sleep(0)  # let peers interleave
+        return self._messages.pop(0)
+
+    async def send_str(self, text):
+        self.sent.append(json.loads(text))
+
+    async def close(self, code=1000, message=b""):
+        pass
+
+
+@pytest.fixture
+def soak_env(monkeypatch):
+    from open_speech_tpu.runtime import batcher_pool
+    from open_speech_tpu.runtime.router import BackendRouter
+    from open_speech_tpu.server import streaming as S
+
+    monkeypatch.setattr(settings, "os_batcher_enabled", True)
+    monkeypatch.setattr(settings, "os_stream_incremental", False)
+    monkeypatch.setattr(settings, "stt_model", "test-tiny")
+    monkeypatch.setattr(settings, "os_precompile_on_load", False)
+    monkeypatch.setattr(settings, "os_batch_max_sessions", 4)
+    batcher_pool.reset_pool()
+    router = BackendRouter()
+    monkeypatch.setattr(S, "backend_router", router)
+    yield router
+    batcher_pool.reset_pool()
+
+
+def test_soak_concurrent_sessions_no_leaks(soak_env):
+    from open_speech_tpu.runtime import batcher_pool
+
+    n_sessions, n_utterances = 6, 3
+    rng = np.random.default_rng(0)
+
+    def make_ws():
+        msgs = []
+        for _u in range(n_utterances):
+            pcm = (rng.uniform(-0.3, 0.3, 8000) * 32767).astype(np.int16)
+            msgs.append(FakeMsg(WSMsgType.BINARY, pcm.tobytes()))
+        msgs.append(FakeMsg(WSMsgType.TEXT, json.dumps({"type": "stop"})))
+        return DummyWS(msgs)
+
+    pairs = []
+    for _ in range(n_sessions):
+        ws = make_ws()
+        pairs.append(
+            (
+                ws,
+                StreamingSession(
+                    ws, model="test-tiny", language="en", sample_rate=16000,
+                    interim_results=True, endpointing_ms=300,
+                    vad_enabled=False,
+                ),
+            )
+        )
+
+    async def go():
+        await asyncio.wait_for(
+            asyncio.gather(*(s.run() for _ws, s in pairs)), timeout=600
+        )
+
+    loop = asyncio.get_event_loop_policy().new_event_loop()
+    loop.run_until_complete(go())
+
+    for ws, _s in pairs:
+        end = ws.sent[-1]
+        assert end["type"] == "session.end"
+        assert end["errors"] == 0
+        assert end["transcriptions"] >= 1
+
+    stats = batcher_pool.pool_stats()
+    assert len(stats) == 1  # all sessions shared one batcher
+    (snap,) = stats.values()
+    assert snap["occupancy"] == 0  # every slot released (no leak)
+    assert snap["completed"] >= n_sessions  # work actually flowed
+    assert snap["peak_occupancy"] >= 2  # sessions genuinely overlapped
+
+    # steady-state: another wave must add zero compiled programs to the
+    # batcher's decode kernels (flat-latency property)
+    from open_speech_tpu.runtime.batcher import (
+        _slot_decode_block,
+        _slot_decode_step,
+    )
+
+    compiles_before = (
+        _slot_decode_block._cache_size() + _slot_decode_step._cache_size()
+    )
+    ticks_before = snap["ticks"]
+    pairs2 = [
+        (make_ws(), None) for _ in range(2)
+    ]
+    sessions2 = [
+        StreamingSession(
+            ws, model="test-tiny", language="en", sample_rate=16000,
+            interim_results=True, endpointing_ms=300, vad_enabled=False,
+        )
+        for ws, _ in pairs2
+    ]
+
+    async def go2():
+        await asyncio.wait_for(
+            asyncio.gather(*(s.run() for s in sessions2)), timeout=600
+        )
+
+    loop.run_until_complete(go2())
+    (snap2,) = batcher_pool.pool_stats().values()
+    assert snap2["occupancy"] == 0
+    assert snap2["ticks"] > ticks_before
+    assert (
+        _slot_decode_block._cache_size() + _slot_decode_step._cache_size()
+        == compiles_before
+    )
