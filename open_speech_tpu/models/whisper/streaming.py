@@ -40,7 +40,7 @@ from open_speech_tpu.models.whisper.model import (
     linear,
     mlp,
 )
-from open_speech_tpu.ops.attention import mha_reference
+from open_speech_tpu.ops.attention import flash_attention
 
 BLOCK_POS = 128  # encoder positions per block (2.56 s of audio)
 DECODE_BUCKETS = (256, 512, 1024, 1500)
@@ -83,7 +83,7 @@ def _encode_block_impl(params, mel_seg, pos_start, kcache, vcache, enc_buf,
         kc = jax.lax.dynamic_update_slice_in_dim(kc, k, pos_start, axis=2)
         vc = jax.lax.dynamic_update_slice_in_dim(vc, v, pos_start, axis=2)
         lens = jnp.full((h.shape[0],), kv_len, jnp.int32)
-        att = mha_reference(q, kc, vc, causal=False, kv_length=lens)
+        att = flash_attention(q, kc, vc, causal=False, kv_length=lens)
         from open_speech_tpu.models.whisper.model import _merge_heads
 
         h = h + linear(_merge_heads(att), bp["attn"]["o"])

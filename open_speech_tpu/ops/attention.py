@@ -85,9 +85,14 @@ def mha_reference(
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-    *, scale, causal, block_q, block_k, kv_len,
+    *refs,
+    scale, causal, block_q, block_k, kv_len, dyn,
 ):
+    if dyn:
+        # scalar-prefetched per-example valid kv lengths [B]
+        len_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref = refs
     kv_idx = pl.program_id(3)
     q_idx = pl.program_id(2)
     n_kv = pl.num_programs(3)
@@ -98,6 +103,8 @@ def _flash_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    limit = len_ref[pl.program_id(0)] if dyn else None
+
     def _body():
         q = q_ref[0, 0]  # [block_q, d]
         k = k_ref[0, 0]  # [block_k, d]
@@ -107,7 +114,9 @@ def _flash_kernel(
         cols = kv_idx * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1
         )
-        if kv_len is not None:  # mask kv padding (seq padded to block multiple)
+        if dyn:  # per-example valid length
+            s = jnp.where(cols < limit, s, NEG_INF)
+        elif kv_len is not None:  # static padding mask (seq padded to blocks)
             s = jnp.where(cols < kv_len, s, NEG_INF)
         if causal:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(
@@ -128,13 +137,16 @@ def _flash_kernel(
         )
         m_ref[:] = m_new
 
-    if causal:
-        # skip fully-masked kv blocks above the diagonal
-        @pl.when(kv_idx * block_k <= q_idx * block_q + (block_q - 1))
-        def _():
-            _body()
-    else:
+    live = True
+    if causal:  # skip kv blocks fully above the diagonal
+        live = kv_idx * block_k <= q_idx * block_q + (block_q - 1)
+    if dyn:  # skip kv blocks fully beyond the valid length
+        live = live & (kv_idx * block_k < limit)
+
+    if live is True:
         _body()
+    else:
+        pl.when(live)(_body)
 
     @pl.when(kv_idx == n_kv - 1)
     def _finalize():
@@ -172,7 +184,7 @@ def _flash_attention_tpu(
     kernel = functools.partial(
         _flash_kernel, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k,
-        kv_len=t_k if pad_k else None,
+        kv_len=t_k if pad_k else None, dyn=False,
     )
     out = pl.pallas_call(
         kernel,
@@ -204,6 +216,82 @@ def _flash_attention_tpu(
     return out[:, :, :t_q] if pad_q else out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k", "interpret")
+)
+def _flash_attention_tpu_dyn(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_length: jax.Array,  # [B] int32 valid kv prefix per example
+    causal: bool = False,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+):
+    """Flash attention with per-example kv-length masking.
+
+    The valid length arrives via scalar prefetch, so kv blocks entirely
+    beyond a row's length are skipped — attention over a 1500-padded cache
+    with 200 valid positions does ~1/7 the work. This is the masked path
+    round-1 silently routed to the O(T²)-memory reference
+    (ops/attention.py:232 in that tree); used by the incremental streaming
+    encoder's block attention and any variable-length batched encode.
+    """
+    b, h, t_q, d = q.shape
+    t_k = k.shape[2]
+    scale = (d**-0.5) if scale is None else scale
+    block_q = min(block_q, max(_round_up(t_q, 8), 8))
+    block_k = min(block_k, max(_round_up(t_k, 8), 8))
+    pad_q = _round_up(t_q, block_q) - t_q
+    pad_k = _round_up(t_k, block_k) - t_k
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    t_q_p, t_k_p = t_q + pad_q, t_k + pad_k
+    grid = (b, h, t_q_p // block_q, t_k_p // block_k)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k, kv_len=None, dyn=True,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda b_, h_, i, j, *_: (b_, h_, i, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda b_, h_, i, j, *_: (b_, h_, j, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda b_, h_, i, j, *_: (b_, h_, j, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda b_, h_, i, j, *_: (b_, h_, i, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(kv_length.astype(jnp.int32), q, k, v)
+    return out[:, :, :t_q] if pad_q else out
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -229,9 +317,14 @@ def flash_attention(
     TPU: Pallas flash kernel (no materialized [T,T] matrix). Elsewhere, or
     when per-example kv_length masking is needed, the jnp reference.
     """
-    if _on_tpu() and kv_length is None and q.shape[-2] >= 8:
-        return _flash_attention_tpu(
-            q, k, v, causal=causal, scale=scale, block_q=block_q, block_k=block_k
+    if _on_tpu() and q.shape[-2] >= 8:
+        if kv_length is None:
+            return _flash_attention_tpu(
+                q, k, v, causal=causal, scale=scale,
+                block_q=block_q, block_k=block_k,
+            )
+        return _flash_attention_tpu_dyn(
+            q, k, v, kv_length, causal=causal, scale=scale,
         )
     return mha_reference(q, k, v, causal=causal, kv_length=kv_length, scale=scale)
 
