@@ -183,6 +183,9 @@ _DEFAULTS: dict[str, object] = {
     # Continuous batcher: route streaming/realtime transcription through the
     # shared slot-pool scheduler instead of per-request invocations.
     "os_batcher_enabled": False,
+    # TTS request batching: concurrent kokoro synthesis jobs share one
+    # batched encode + blockwise-vocode device program.
+    "os_tts_batcher_enabled": False,
     # Max concurrent sessions per continuous-batch decode step.
     "os_batch_max_sessions": 8,
     # Decode positions generated per host sync (fused on-device sub-steps).

@@ -662,13 +662,26 @@ def _vocode_prelude(params, cfg: KokoroConfig, g, n_frames, rng, *,
     asr, f0, n, s_dec = g
     x, _ = decode_audio(params, cfg, asr, f0, n, s_dec, n_frames)
     b = asr.shape[0]
-    k1, k2 = jax.random.split(rng)
     nh = cfg.harmonics + 1
-    rand_phase = jnp.concatenate(
-        [jnp.zeros((b, 1)), jax.random.uniform(k1, (b, nh - 1))], axis=1
-    )
     s_total = cfg.max_frames * cfg.samples_per_frame
-    sine_noise = jax.random.normal(k2, (b, s_total, nh))
+    if rng.ndim == 2:
+        # per-row keys [B, 2]: each row's harmonic phase/noise draws are
+        # independent of the batch size, so a co-batched request produces
+        # the same audio it would alone (TTS batcher determinism)
+        def draw(k):
+            ka, kb = jax.random.split(k)
+            rp = jnp.concatenate(
+                [jnp.zeros((1,)), jax.random.uniform(ka, (nh - 1,))]
+            )
+            return rp, jax.random.normal(kb, (s_total, nh))
+
+        rand_phase, sine_noise = jax.vmap(draw)(rng)
+    else:
+        k1, k2 = jax.random.split(rng)
+        rand_phase = jnp.concatenate(
+            [jnp.zeros((b, 1)), jax.random.uniform(k1, (b, nh - 1))], axis=1
+        )
+        sine_noise = jax.random.normal(k2, (b, s_total, nh))
     har = har_features(params, cfg, f0, rand_phase, sine_noise)
     spf2 = cfg.samples_per_frame // 2
     hpx = spf2 // cfg.gen_hop
@@ -710,7 +723,7 @@ def vocode_streaming(params, cfg: KokoroConfig, g, n_frames, rng=None,
     total_x = int(np.max(np.asarray(n_frames))) * 2
     n2 = 2 * cfg.max_frames
     if n2 < max(nb, nb1) + h:  # tiny frame bucket: single full-window render
-        audio = vocode(params, cfg, g, n_frames, rng)
+        audio = vocode(params, cfg, g, n_frames, rng if rng.ndim == 1 else rng[0])
         yield np.asarray(audio[:, : total_x * spf2], np.float32)
         return
 

@@ -367,12 +367,26 @@ class KokoroBackend:
                 "(install espeak-ng or provide a checkpoint vocab)"
             )
         speed = speed if speed and speed > 0 else 1.0
+        from open_speech_tpu.config import settings as _settings
+
+        use_batcher = _settings.os_tts_batcher_enabled
         for sentence in split_sentences(text) or [text]:
             ids = self._encode_text(sentence, lang)[: self._cfg.max_phonemes]
             n = len(ids)
+            style_vec = self._style_for(voice, n)
+            if use_batcher:
+                # concurrent requests share one batched device program
+                from open_speech_tpu.runtime.tts_batcher import get_tts_batcher
+
+                for chunk in get_tts_batcher(self).synthesize(
+                    ids, style_vec, speed
+                ):
+                    if chunk.size:
+                        yield chunk
+                continue
             phonemes = np.zeros((1, self._cfg.max_phonemes), np.int32)
             phonemes[0, :n] = ids
-            style = jnp.asarray(self._style_for(voice, n)[None, :])
+            style = jnp.asarray(style_vec[None, :])
             g, n_frames = encode_utterance(
                 self._params,
                 self._cfg,
