@@ -127,6 +127,42 @@ class JaxDiarizer:
         self.params = params if params is not None else init_diarizer_params()
         self.threshold = threshold
         self.max_speakers = max_speakers
+        # trained d-vector path: converted GE2E (resemblyzer) weights give
+        # real speaker embeddings; the conv fallback keeps the pipeline
+        # runnable without a checkpoint
+        self.ge2e = None
+        from open_speech_tpu.models.ge2e import (
+            convert_ge2e,
+            find_ge2e_checkpoint,
+        )
+
+        ckpt = find_ge2e_checkpoint()
+        if ckpt is not None:
+            try:
+                self.ge2e = convert_ge2e(ckpt)
+            except Exception:  # noqa: BLE001 — fall back to conv embedder
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "GE2E checkpoint %s failed to convert", ckpt
+                )
+
+    def _embed(self, windows: np.ndarray) -> np.ndarray:
+        """[N, win_samples] → [N, E] L2-normalized speaker embeddings."""
+        if self.ge2e is not None:
+            from open_speech_tpu.models.ge2e import ge2e_embed, ge2e_mel
+
+            params, _cfg = self.ge2e
+            mels = np.stack(
+                [np.asarray(ge2e_mel(jnp.asarray(w))) for w in windows]
+            )
+            return np.asarray(ge2e_embed(params, jnp.asarray(mels)))
+        mels = np.asarray(
+            log_mel_spectrogram(jnp.asarray(windows), n_mels=self.cfg.n_mels)
+        )[..., :_MEL_FRAMES]
+        return np.asarray(
+            embed_windows(self.params, self.cfg, jnp.asarray(mels))
+        )
 
     def diarize_audio(self, audio: np.ndarray) -> list[dict]:
         """float32 16 kHz mono -> [{speaker, start, end}] turns."""
@@ -145,10 +181,7 @@ class JaxDiarizer:
         if not voiced.any():
             return []
 
-        mels = np.asarray(
-            log_mel_spectrogram(jnp.asarray(windows), n_mels=self.cfg.n_mels)
-        )[..., :_MEL_FRAMES]
-        emb = np.asarray(embed_windows(self.params, self.cfg, jnp.asarray(mels)))
+        emb = self._embed(windows)
         active_idx = np.where(voiced)[0]
         active = emb[active_idx]
         # center across the utterance so between-speaker variation dominates,
