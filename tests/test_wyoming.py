@@ -135,3 +135,93 @@ def test_checkpoint_roundtrip(tmp_path):
     assert all(
         jnp.array_equal(a, b) for a, b in zip(flat1, flat2)
     )
+
+
+def test_wyoming_vad_segment_extraction(monkeypatch):
+    """With VAD enabled, only speech-flagged windows reach the backend
+    (reference: src/wyoming/stt_handler.py:43-115)."""
+    from open_speech_tpu.config import settings
+    from open_speech_tpu.models.vad import silero as vad_mod
+
+    monkeypatch.setattr(settings, "stt_vad_enabled", True)
+
+    class FakeShared:
+        session = object()  # handler re-wraps .session in a fresh SileroVAD
+
+    async def fake_get_vad():
+        return FakeShared()
+
+    def fake_segments(self, pcm, **kw):
+        # claim the middle third is speech
+        ms = len(pcm) // 32
+        return [vad_mod.Segment(start_ms=ms // 3, end_ms=2 * ms // 3)]
+
+    monkeypatch.setattr(
+        "open_speech_tpu.server.wyoming.server.get_vad_model", fake_get_vad
+    )
+    monkeypatch.setattr(
+        vad_mod.SileroVAD, "get_speech_segments", fake_segments
+    )
+    stt, tts = _mock_routers("segmented transcript")
+
+    async def go():
+        server = await start_wyoming_server(stt, tts, host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        await write_event(writer, Event("transcribe", {}))
+        pcm = (np.ones(16000, np.int16) * 1000).tobytes()
+        await write_event(
+            writer,
+            Event("audio-chunk", {"rate": 16000, "width": 2, "channels": 1}, pcm),
+        )
+        await write_event(writer, Event("audio-stop"))
+        transcript = await asyncio.wait_for(read_event(reader), 30)
+        assert transcript.data["text"] == "segmented transcript"
+        sent_audio = stt.transcribe.call_args.kwargs["audio"]
+        # only the speech segment (1/3 of the input) was transcribed
+        assert len(sent_audio) < len(pcm)
+        writer.close()
+        server.close()
+        await server.wait_closed()
+
+    _run(go())
+
+
+def test_wyoming_unknown_event_ignored():
+    stt, tts = _mock_routers()
+
+    async def go():
+        server = await start_wyoming_server(stt, tts, host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        await write_event(writer, Event("bogus-event", {"x": 1}))
+        await write_event(writer, Event("describe"))
+        info = await asyncio.wait_for(read_event(reader), 10)
+        assert info.type == "info"  # server survived the unknown event
+        writer.close()
+        server.close()
+        await server.wait_closed()
+
+    _run(go())
+
+
+def test_wyoming_info_lists_known_models():
+    stt, tts = _mock_routers()
+
+    async def go():
+        server = await start_wyoming_server(stt, tts, host="127.0.0.1", port=0)
+        port = server.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        await write_event(writer, Event("describe"))
+        info = await asyncio.wait_for(read_event(reader), 10)
+        models = info.data["asr"][0]["models"]
+        names = {m["name"] for m in models}
+        assert any("whisper" in n for n in names)
+        assert all(
+            {"name", "languages", "installed"} <= set(m) for m in models
+        )
+        writer.close()
+        server.close()
+        await server.wait_closed()
+
+    _run(go())
