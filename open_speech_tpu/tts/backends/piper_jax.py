@@ -215,6 +215,23 @@ class PiperBackend:
     def _voice_rate(self, mid: str) -> int:
         return PIPER_VOICES.get(mid, {}).get("sample_rate", SAMPLE_RATE)
 
+    @staticmethod
+    def _resolve_speaker(meta: dict, cfg, selector: str | None) -> int:
+        """Speaker selector → embedding row (multi-speaker models only)."""
+        n = getattr(cfg, "n_speakers", 1)
+        if selector is None or n <= 1:
+            return 0
+        id_map = meta.get("speaker_id_map") or {}
+        if selector in id_map:
+            return int(id_map[selector]) % n
+        try:
+            return int(selector) % n
+        except ValueError:
+            raise ValueError(
+                f"Unknown speaker '{selector}'; known: "
+                f"{sorted(id_map) or list(range(n))}"
+            )
+
     def synthesize(
         self,
         text: str,
@@ -222,11 +239,18 @@ class PiperBackend:
         speed: float = 1.0,
         lang_code: str | None = None,
     ) -> Iterator[np.ndarray]:
+        # multi-speaker voices select the speaker after '#':
+        # "piper/<model>#<speaker-name-or-id>" (reference resolves the
+        # speaker through the config's speaker_id_map, :408-417)
+        speaker_sel = None
+        if "#" in voice:
+            voice, speaker_sel = voice.split("#", 1)
         mid = self._canonical(voice)
         if mid not in self._models:
             self.load_model(mid)  # auto-load fallback (reference :350-373)
         self._last_used[mid] = time.time()
         params, cfg, meta = self._models[mid]
+        speaker_id = self._resolve_speaker(meta, cfg, speaker_sel)
         short = mid.removeprefix("piper/")
         lang = lang_code or base_lang(short)
         if not self._g2p.supports_language(lang):
@@ -248,7 +272,7 @@ class PiperBackend:
                 cfg,
                 jnp.asarray(phonemes),
                 jnp.asarray([n], jnp.int32),
-                jnp.asarray([0], jnp.int32),
+                jnp.asarray([speaker_id], jnp.int32),
                 jnp.asarray([speed], jnp.float32),
                 jax.random.PRNGKey(si),
             )

@@ -421,3 +421,53 @@ def test_phonemizer_id_roundtrip_stable():
     b = p.to_ids("hello world")
     assert a == b and len(a) > 2  # deterministic, non-trivial
     assert p.to_ids("hello world") != p.to_ids("goodbye world")
+
+
+def test_piper_multi_speaker_selection(router):
+    """'piper/<model>#<speaker>' resolves through speaker_id_map
+    (reference piper_backend.py:408-417)."""
+    backend = router.get_backend("piper/x")
+    from open_speech_tpu.models.piper.model import PiperConfig
+
+    cfg = PiperConfig(n_speakers=4, gin=8)
+    meta = {"speaker_id_map": {"anna": 2, "ben": 3}}
+    assert backend._resolve_speaker(meta, cfg, None) == 0
+    assert backend._resolve_speaker(meta, cfg, "anna") == 2
+    assert backend._resolve_speaker(meta, cfg, "3") == 3
+    with pytest.raises(ValueError, match="Unknown speaker"):
+        backend._resolve_speaker(meta, cfg, "zoe")
+    # single-speaker models ignore the selector
+    assert backend._resolve_speaker({}, PiperConfig(), "anna") == 0
+
+
+def test_piper_speaker_changes_output(router):
+    """Different speaker rows of a multi-speaker model produce different
+    audio for the same text."""
+    import jax
+
+    from open_speech_tpu.models.piper.model import (
+        PiperConfig,
+        init_piper_params,
+        synthesize_vits,
+    )
+
+    cfg = PiperConfig(
+        n_speakers=2, gin=8, n_layers=1, hidden=32, ffn_filter=64,
+        dp_filter=32, flow_layers=1, wn_layers=1, upsample_initial=64,
+        max_phonemes=16, max_frames=64,
+    )
+    params = init_piper_params(jax.random.PRNGKey(0), cfg)
+    ph = np.zeros((1, cfg.max_phonemes), np.int32)
+    ph[0, :6] = [5, 9, 12, 7, 3, 8]
+    import jax.numpy as jnp
+
+    outs = []
+    for spk in (0, 1):
+        audio, n = synthesize_vits(
+            params, cfg, jnp.asarray(ph), jnp.asarray([6], np.int32),
+            jnp.asarray([spk], np.int32), jnp.asarray([1.0], np.float32),
+            jax.random.PRNGKey(1),
+        )
+        outs.append(np.asarray(audio[0, : int(n[0]) * cfg.samples_per_frame]))
+    m = min(len(outs[0]), len(outs[1]))
+    assert m == 0 or not np.allclose(outs[0][:m], outs[1][:m])
