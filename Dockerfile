@@ -5,7 +5,7 @@
 FROM python:3.12-slim AS base
 
 RUN apt-get update && apt-get install -y --no-install-recommends \
-    g++ make ffmpeg openssl \
+    g++ make ffmpeg openssl espeak-ng \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /app
