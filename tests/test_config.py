@@ -64,3 +64,34 @@ def test_tts_effective_device():
     assert s.tts_effective_device == "tpu"
     s2 = C.Settings(env={"STT_DEVICE": "tpu", "TTS_DEVICE": "cpu"})
     assert s2.tts_effective_device == "cpu"
+
+
+def test_round2_knobs_defaults():
+    from open_speech_tpu.config import Settings
+
+    s = Settings(env={})
+    assert s.os_stream_incremental is True
+    assert s.os_tts_batcher_enabled is False
+    assert s.stt_rest_beam_size == 5
+
+
+def test_round2_knobs_env_override():
+    from open_speech_tpu.config import Settings
+
+    s = Settings(env={
+        "OS_STREAM_INCREMENTAL": "false",
+        "OS_TTS_BATCHER_ENABLED": "1",
+        "STT_REST_BEAM_SIZE": "3",
+    })
+    assert s.os_stream_incremental is False
+    assert s.os_tts_batcher_enabled is True
+    assert s.stt_rest_beam_size == 3
+
+
+def test_invalid_boolean_rejected():
+    import pytest
+
+    from open_speech_tpu.config import Settings
+
+    with pytest.raises(ValueError):
+        Settings(env={"OS_STREAM_INCREMENTAL": "maybe"})
