@@ -581,11 +581,13 @@ async def metrics_route(request: web.Request) -> web.Response:
 
 async def stats_route(request: web.Request) -> web.Response:
     from open_speech_tpu.runtime.batcher_pool import pool_stats
+    from open_speech_tpu.runtime.tts_batcher import tts_batcher_stats
     from open_speech_tpu.server.streaming import _active_sessions
 
     snap = metrics.snapshot()
     snap["gauges"]["streaming_sessions_active"] = len(_active_sessions)
     snap["batchers"] = pool_stats()
+    snap["tts_batchers"] = tts_batcher_stats()
     return web.json_response(snap)
 
 

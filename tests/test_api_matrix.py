@@ -266,3 +266,39 @@ def test_health_and_metrics_surface():
         assert "streaming_sessions_active" in m
 
     _client_call(fn)
+
+
+def test_stats_surface_includes_batchers():
+    async def fn(client):
+        r = await client.get("/api/stats")
+        assert r.status == 200
+        snap = await r.json()
+        assert "batchers" in snap and "tts_batchers" in snap
+        assert "streaming_sessions_active" in snap["gauges"]
+
+    _client_call(fn)
+
+
+def test_models_endpoint_state_fields():
+    async def fn(client):
+        r = await client.get("/api/models")
+        assert r.status == 200
+        models = (await r.json())["models"]
+        assert models
+        for m in models:
+            assert {"id", "type", "provider", "state"} <= set(m)
+        types = {m["type"] for m in models}
+        assert {"stt", "tts"} <= types
+
+    _client_call(fn)
+
+
+def test_openai_models_listing():
+    async def fn(client):
+        r = await client.get("/v1/models")
+        assert r.status == 200
+        body = await r.json()
+        assert body["object"] == "list"
+        assert any(m["id"].startswith("whisper") for m in body["data"])
+
+    _client_call(fn)
