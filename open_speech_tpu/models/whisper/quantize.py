@@ -37,9 +37,15 @@ def quantize_whisper_params(params):
     """Quantize every linear weight + token embedding in a whisper pytree.
 
     Layernorm/conv/bias/positional params stay in their original dtype
-    (tiny, and precision-sensitive).
+    (tiny, and precision-sensitive). One jitted program quantizes the
+    whole tree — per-leaf eager ops pay a compile + relay roundtrip each
+    on a remote-attached TPU (same pathology ops/initutil.py documents).
     """
+    return _quantize_impl(params)
 
+
+@jax.jit
+def _quantize_impl(params):
     def walk(tree, path=()):
         out = {}
         for key, value in tree.items():
