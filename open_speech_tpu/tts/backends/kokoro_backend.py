@@ -190,8 +190,11 @@ class KokoroBackend:
             )
         self._loaded_at = self._last_used = time.time()
         logger.info("kokoro params ready in %.1fs", time.time() - t0)
-        # warmup synth (reference: kokoro.py:216-224 does a CUDA warmup)
-        self._generate("warmup", "af_heart", 1.0)
+        # warmup the *serving* path (streaming/blockwise programs), so the
+        # first request doesn't pay the compile (reference: kokoro.py:216-224
+        # does a CUDA warmup synth)
+        for _chunk in self.synthesize("warmup", "af_heart"):
+            pass
         logger.info("kokoro warmed up in %.1fs total", time.time() - t0)
 
     def unload_model(self, model_id: str = "kokoro") -> None:
