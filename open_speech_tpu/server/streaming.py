@@ -398,10 +398,13 @@ class StreamingSession:
         def work() -> dict:
             if new_bytes:
                 encoder.append_audio(pcm16_to_float(new_bytes))
-            enc_states, _bucket = encoder.interim_states()
+            enc_states, bucket = encoder.interim_states()
             sp = tok.special
-            duration_s = self._inc_fed / 2 / INTERNAL_SAMPLE_RATE
-            budget = -(-min(224, int(duration_s * 12) + 12) // 16) * 16
+            # budget follows the decode bucket, not the raw duration: one
+            # compiled decode program per bucket instead of one per
+            # (duration-bucket x enc-bucket) pair
+            budget = min(224, max(32, (bucket * 12 * 2) // 100 + 16))
+            budget = -(-budget // 16) * 16
             opts = DecodeOptions(
                 language=language, timestamps=False, beam_size=1,
                 max_new_tokens=budget, suppress_blank=True,
