@@ -196,13 +196,20 @@ class StreamingWhisperEncoder:
         bucket = self.decode_bucket()
         kc, vc, enc = self._kc, self._vc, self._enc
         p0 = self._committed
+        last_start = self.cfg.n_audio_ctx - self.block_pos
         while p0 < bucket:
-            mel_seg = self._mel_segment(p0, self.block_pos)
+            # a block starting past ctx-block_pos would clamp inside
+            # dynamic_update_slice and desync positions from the mel
+            # segment; start the final block earlier instead (the overlap
+            # re-derives identical K/V — they depend only on that
+            # position's conv features — and fresher outputs)
+            start = min(p0, last_start)
+            mel_seg = self._mel_segment(start, self.block_pos)
             kc, vc, enc = _encode_block_impl(
-                self.params, mel_seg, p0, kc, vc, enc,
+                self.params, mel_seg, start, kc, vc, enc,
                 n_head=self.cfg.n_audio_head, npos=self.block_pos,
             )
-            p0 += self.block_pos
+            p0 = start + self.block_pos
         return enc[:, :bucket], bucket
 
     def reset(self) -> None:

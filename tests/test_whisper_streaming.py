@@ -190,3 +190,26 @@ def test_append_beyond_window_clamps(params):
     assert enc._committed <= CFG.n_audio_ctx
     states, bucket = enc.interim_states()
     assert states.shape[1] == bucket <= CFG.n_audio_ctx
+
+
+def test_interim_blocks_never_overshoot_window(params, monkeypatch):
+    """Regression: a tail block starting past ctx - block_pos would clamp
+    inside dynamic_update_slice and desync positional embeddings from the
+    mel segment. Every issued block start must stay in range."""
+    import open_speech_tpu.models.whisper.streaming as S
+
+    starts = []
+    real = S._encode_block_impl
+
+    def spy(params_, mel_seg, pos_start, *a, **kw):
+        starts.append(int(pos_start))
+        return real(params_, mel_seg, pos_start, *a, **kw)
+
+    monkeypatch.setattr(S, "_encode_block_impl", spy)
+    enc = S.StreamingWhisperEncoder(params, CFG, block_pos=BLOCK)
+    enc.append_audio(_audio(CFG.n_audio_ctx + 8, seed=12))
+    states, bucket = enc.interim_states()
+    assert bucket == CFG.n_audio_ctx
+    assert starts, "no blocks issued"
+    assert max(starts) <= CFG.n_audio_ctx - BLOCK
+    assert np.isfinite(np.asarray(states)).all()
