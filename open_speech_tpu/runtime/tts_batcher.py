@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
 
-BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+BATCH_BUCKETS = (1, 4, 16, 64)  # few buckets = few compiled programs
 GATHER_WINDOW_S = 0.010  # wait this long for peers before launching
 
 
@@ -61,6 +61,18 @@ class TTSBatcher:
                     target=self._loop, daemon=True, name="tts-batcher"
                 )
                 self._thread.start()
+
+    def precompile(self, buckets=(4,)) -> None:
+        """Compile the batched programs ahead of traffic: the first
+        concurrent burst otherwise stalls behind bucket compiles (measured
+        minutes through a remote-device relay; cached afterwards)."""
+        for b in buckets:
+            sink: queue.Queue = queue.Queue()
+            jobs = [([1, 2, 3], np.zeros(2 * self.cfg.style_dim, np.float32),
+                     1.0, sink)] * b
+            self._run_batch(jobs)
+            while sink.get() is not None:  # drain
+                pass
 
     def synthesize(
         self,

@@ -195,6 +195,15 @@ class KokoroBackend:
         # does a CUDA warmup synth)
         for _chunk in self.synthesize("warmup", "af_heart"):
             pass
+        from open_speech_tpu.config import settings as _settings
+
+        if (
+            _settings.os_tts_batcher_enabled
+            and _settings.os_precompile_on_load
+        ):
+            from open_speech_tpu.runtime.tts_batcher import get_tts_batcher
+
+            get_tts_batcher(self).precompile(buckets=(4, 16))
         logger.info("kokoro warmed up in %.1fs total", time.time() - t0)
 
     def unload_model(self, model_id: str = "kokoro") -> None:
