@@ -68,7 +68,7 @@ def note(msg: str) -> None:
 # ── ASR ───────────────────────────────────────────────────────────────
 
 
-def bench_asr() -> None:
+def bench_asr(run_asr: bool = True) -> None:
     from open_speech_tpu.models.whisper.decode import _greedy_impl
     from open_speech_tpu.models.whisper.model import PRESETS, encode, init_params
     from open_speech_tpu.models.whisper.tokenizer import get_tokenizer
@@ -103,26 +103,31 @@ def bench_asr() -> None:
         )
         return tokens
 
-    # warmup / compile. NOTE: a host transfer (np.asarray) is the sync point;
-    # block_until_ready alone does not synchronize through the axon relay.
-    t0 = time.time()
-    np.asarray(run_once())
-    compile_s = time.time() - t0
-
-    times = []
-    for _ in range(ITERS):
+    if run_asr:
+        # warmup / compile. NOTE: a host transfer (np.asarray) is the sync
+        # point; block_until_ready alone does not synchronize through the
+        # axon relay.
         t0 = time.time()
         np.asarray(run_once())
-        times.append(time.time() - t0)
-    wall = min(times)
-    audio_seconds = BATCH * window_samples / 16000
-    rtfx = audio_seconds / wall
-    emit(
-        f"ASR RTFx whisper-{MODEL} ({COMPUTE}, batch={BATCH}, "
-        f"greedy {TOKENS_PER_WINDOW} tok/30s)",
-        rtfx, "x_realtime_per_chip", rtfx / TARGET_RTFX,
-    )
-    note(f"asr wall={wall:.3f}s for {audio_seconds:.0f}s audio; compile={compile_s:.0f}s")
+        compile_s = time.time() - t0
+
+        times = []
+        for _ in range(ITERS):
+            t0 = time.time()
+            np.asarray(run_once())
+            times.append(time.time() - t0)
+        wall = min(times)
+        audio_seconds = BATCH * window_samples / 16000
+        rtfx = audio_seconds / wall
+        emit(
+            f"ASR RTFx whisper-{MODEL} ({COMPUTE}, batch={BATCH}, "
+            f"greedy {TOKENS_PER_WINDOW} tok/30s)",
+            rtfx, "x_realtime_per_chip", rtfx / TARGET_RTFX,
+        )
+        note(
+            f"asr wall={wall:.3f}s for {audio_seconds:.0f}s audio; "
+            f"compile={compile_s:.0f}s"
+        )
 
     # streaming STT per-chunk device latency: one interim update = mel +
     # encoder + short greedy decode over the padded window (the per-chunk
@@ -283,7 +288,7 @@ def _want(key: str) -> bool:
 def main() -> None:
     note(f"backend={jax.default_backend()}")
     if _want("asr") or _want("stream"):
-        bench_asr()
+        bench_asr(run_asr=_want("asr"))
     if _want("ttfa"):
         bench_tts_ttfa()
     if _want("tts"):

@@ -153,10 +153,10 @@ class JaxDiarizer:
             from open_speech_tpu.models.ge2e import ge2e_embed, ge2e_mel
 
             params, _cfg = self.ge2e
-            mels = np.stack(
-                [np.asarray(ge2e_mel(jnp.asarray(w))) for w in windows]
-            )
-            return np.asarray(ge2e_embed(params, jnp.asarray(mels)))
+            # one batched dispatch: per-window eager calls each pay a
+            # device roundtrip (hundreds for long audio on a remote TPU)
+            mels = jax.vmap(ge2e_mel)(jnp.asarray(windows))
+            return np.asarray(ge2e_embed(params, mels))
         mels = np.asarray(
             log_mel_spectrogram(jnp.asarray(windows), n_mels=self.cfg.n_mels)
         )[..., :_MEL_FRAMES]

@@ -546,6 +546,12 @@ def encode_utterance(params, cfg: KokoroConfig, phonemes, ph_len, style, speed):
     dur_logits = _linear(x, params["pred"]["dur_proj"])  # [B, T, max_dur]
     duration = jax.nn.sigmoid(dur_logits).sum(-1) / speed[:, None]
     pred_dur = jnp.maximum(jnp.round(duration), 1.0) * mask[..., 0]
+    # compress over-long utterances into the frame bucket instead of
+    # truncating mid-word (a no-op when they fit: scale==1 keeps the
+    # integer durations bit-identical, so torch parity is unaffected)
+    total = jnp.sum(pred_dur, axis=1, keepdims=True)
+    scale = jnp.minimum(1.0, cfg.max_frames / jnp.maximum(total, 1.0))
+    pred_dur = jnp.maximum(jnp.round(pred_dur * scale), 1.0) * mask[..., 0]
 
     ends = jnp.cumsum(pred_dur, axis=1)
     n_frames = jnp.clip(ends[:, -1].astype(jnp.int32), 1, cfg.max_frames)
@@ -973,6 +979,10 @@ def voice_vector(name: str, style_dim: int = 256) -> np.ndarray:
     With a converted voice pack, use models/kokoro/convert.convert_voice_pack
     and select the row for the utterance length instead.
     """
-    seed = int.from_bytes(name.encode()[:4].ljust(4, b"\0"), "little")
+    import hashlib
+
+    seed = int.from_bytes(
+        hashlib.sha256(name.encode()).digest()[:4], "little"
+    )
     rng = np.random.default_rng(seed)
     return (rng.standard_normal(style_dim) * 0.1).astype(np.float32)

@@ -496,6 +496,12 @@ def synthesize_vits(
     logw = sdp_log_durations(params, cfg, x, mask, g_vec, dp_noise)
     w = jnp.exp(logw) * mask / speed[:, None, None]  # length_scale = 1/speed
     w_ceil = jnp.ceil(w)[..., 0]  # [B, P]
+    # compress over-long utterances into the frame bucket instead of
+    # truncating (no-op when they fit; masked rows stay zero)
+    total = jnp.sum(w_ceil, axis=1, keepdims=True)
+    w_ceil = jnp.ceil(
+        w_ceil * jnp.minimum(1.0, f_max / jnp.maximum(total, 1.0))
+    )
     ends = jnp.cumsum(w_ceil, axis=1)
     n_frames = jnp.clip(ends[:, -1].astype(jnp.int32), 1, f_max)
 

@@ -36,7 +36,6 @@ from open_speech_tpu.ops.initutil import jit_init
 from open_speech_tpu.models.kokoro.model import (
     KokoroConfig,
     init_kokoro_params,
-    resolve_kokoro_config,
     synthesize_frames,
 )
 from open_speech_tpu.ops.mel import log_mel_spectrogram

@@ -153,18 +153,14 @@ def _flash_kernel(
         o_ref[0, 0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k")
-)
-def _flash_attention_tpu(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    causal: bool = False,
-    scale: float | None = None,
-    block_q: int = 512,
-    block_k: int = 1536,
-) -> jax.Array:
+def _flash_call(q, k, v, kv_length, causal, scale, block_q, block_k,
+                interpret=False):
+    """Shared pad/grid/spec plumbing for both flash variants.
+
+    ``kv_length=None`` runs the static kernel (whole-sequence attention,
+    padding masked with a compile-time length); a [B] int32 array runs the
+    scalar-prefetch kernel with per-example lengths and dead-block skip.
+    """
     b, h, t_q, d = q.shape
     t_k = k.shape[2]
     scale = (d**-0.5) if scale is None else scale
@@ -181,39 +177,61 @@ def _flash_attention_tpu(
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
     t_q_p, t_k_p = t_q + pad_q, t_k + pad_k
     grid = (b, h, t_q_p // block_q, t_k_p // block_k)
+    dyn = kv_length is not None
     kernel = functools.partial(
         _flash_kernel, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k,
-        kv_len=t_k if pad_k else None, dyn=False,
+        kv_len=None if dyn else (t_k if pad_k else None), dyn=dyn,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, j, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda b_, h_, i, j: (b_, h_, j, 0)
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda b_, h_, i, j: (b_, h_, i, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-    )(q, k, v)
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j, *_: (b_, h_, i, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j, *_: (b_, h_, j, 0)),
+        pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j, *_: (b_, h_, j, 0)),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, block_q, d), lambda b_, h_, i, j, *_: (b_, h_, i, 0)
+    )
+    scratch = [
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, 1), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+    )
+    if dyn:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=out_spec, scratch_shapes=scratch,
+        )
+        out = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            compiler_params=params, interpret=interpret,
+        )(kv_length.astype(jnp.int32), q, k, v)
+    else:
+        out = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs, out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            scratch_shapes=scratch, compiler_params=params,
+            interpret=interpret,
+        )(q, k, v)
     return out[:, :, :t_q] if pad_q else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "scale", "block_q", "block_k")
+)
+def _flash_attention_tpu(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    causal: bool = False,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 1536,
+) -> jax.Array:
+    return _flash_call(q, k, v, None, causal, scale, block_q, block_k)
 
 
 @functools.partial(
@@ -235,61 +253,13 @@ def _flash_attention_tpu_dyn(
     The valid length arrives via scalar prefetch, so kv blocks entirely
     beyond a row's length are skipped — attention over a 1500-padded cache
     with 200 valid positions does ~1/7 the work. This is the masked path
-    round-1 silently routed to the O(T²)-memory reference
-    (ops/attention.py:232 in that tree); used by the incremental streaming
-    encoder's block attention and any variable-length batched encode.
+    round-1 silently routed to the O(T²)-memory reference; used by the
+    incremental streaming encoder's block attention and any
+    variable-length batched encode.
     """
-    b, h, t_q, d = q.shape
-    t_k = k.shape[2]
-    scale = (d**-0.5) if scale is None else scale
-    block_q = min(block_q, max(_round_up(t_q, 8), 8))
-    block_k = min(block_k, max(_round_up(t_k, 8), 8))
-    pad_q = _round_up(t_q, block_q) - t_q
-    pad_k = _round_up(t_k, block_k) - t_k
-    if pad_q:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-    if pad_k:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-    t_q_p, t_k_p = t_q + pad_q, t_k + pad_k
-    grid = (b, h, t_q_p // block_q, t_k_p // block_k)
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k, kv_len=None, dyn=True,
+    return _flash_call(
+        q, k, v, kv_length, causal, scale, block_q, block_k, interpret
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, d), lambda b_, h_, i, j, *_: (b_, h_, i, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda b_, h_, i, j, *_: (b_, h_, j, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda b_, h_, i, j, *_: (b_, h_, j, 0)
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda b_, h_, i, j, *_: (b_, h_, i, 0)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(kv_length.astype(jnp.int32), q, k, v)
-    return out[:, :, :t_q] if pad_q else out
 
 
 def _round_up(x: int, m: int) -> int:

@@ -174,12 +174,15 @@ _registry_lock = threading.Lock()
 
 
 def get_tts_batcher(backend) -> TTSBatcher:
-    """One batcher per loaded kokoro parameter set."""
-    key = id(backend._params)
+    """One batcher per loaded parameter set.
+
+    Keyed by backend identity with a live-object check on the params —
+    id(params) alone can collide when a reload reuses a freed address,
+    which would silently serve the previous weights."""
+    key = id(backend)
     with _registry_lock:
         b = _batchers.get(key)
-        if b is None:
-            _batchers.clear()  # old parameter sets are gone after reload
+        if b is None or b.params is not backend._params:
             b = TTSBatcher(backend._params, backend._cfg)
             _batchers[key] = b
         return b

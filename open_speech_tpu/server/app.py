@@ -731,7 +731,9 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
     synth_input = pronunciation_dict.apply(synth_input)
 
     backend = tts_router.get_backend(req.model)
-    native_rate = getattr(backend, "sample_rate", 24000)
+    from open_speech_tpu.tts.backends.base import backend_sample_rate
+
+    native_rate = backend_sample_rate(backend, req.model)
     has_extended = bool(req.voice_design or req.reference_audio)
 
     def _do_synthesize():
@@ -959,7 +961,11 @@ async def clone_speech(request: web.Request) -> web.Response:
                 synth_kwargs["reference_audio"] = ref_bytes
             if transcript and "clone_transcript" in sig.parameters:
                 synth_kwargs["clone_transcript"] = transcript
-            native = getattr(backend, "sample_rate", 24000)
+            from open_speech_tpu.tts.backends.base import (
+                backend_sample_rate,
+            )
+
+            native = backend_sample_rate(backend, model)
             chunks = process_tts_chunks(
                 backend.synthesize(**synth_kwargs),
                 trim=settings.tts_trim_silence,

@@ -313,7 +313,9 @@ class RealtimeSession:
             response_data.get("model") or self.config.model or settings.tts_model
         )
         backend = self.tts_router.get_backend(tts_model)
-        native_rate = getattr(backend, "sample_rate", 24000)
+        from open_speech_tpu.tts.backends.base import backend_sample_rate
+
+        native_rate = backend_sample_rate(backend, tts_model)
         out_format = self.config.output_audio_format
         # stream deltas as vocoder blocks complete: first audio leaves in
         # ~one block rather than after the full utterance

@@ -224,7 +224,11 @@ class OpenSpeechEventHandler:
                 return b""
             audio = np.concatenate(merged)
             backend = self.tts_router.get_backend(model)
-            native = getattr(backend, "sample_rate", 24000)
+            from open_speech_tpu.tts.backends.base import (
+                backend_sample_rate,
+            )
+
+            native = backend_sample_rate(backend, model)
             pcm = float_to_pcm16(audio)
             return resample_pcm16(pcm, native, WYOMING_SAMPLE_RATE)
 

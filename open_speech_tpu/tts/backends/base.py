@@ -89,3 +89,15 @@ class TTSBackend(Protocol):
     ) -> Iterator[np.ndarray]: ...
 
     def list_voices(self) -> list[VoiceInfo]: ...
+
+
+def backend_sample_rate(backend, model_id: str) -> int:
+    """Per-voice native rate when the backend distinguishes (piper voices
+    ship 16/22.05 kHz variants); class-level rate otherwise."""
+    fn = getattr(backend, "get_sample_rate", None)
+    if callable(fn):
+        try:
+            return int(fn(model_id))
+        except Exception:  # noqa: BLE001 — fall back to the class rate
+            pass
+    return int(getattr(backend, "sample_rate", 24000))

@@ -215,6 +215,18 @@ class PiperBackend:
     def _voice_rate(self, mid: str) -> int:
         return PIPER_VOICES.get(mid, {}).get("sample_rate", SAMPLE_RATE)
 
+    def get_sample_rate(self, model_id: str) -> int:
+        """Native rate of a specific voice: the converted checkpoint's
+        config wins (the .onnx.json declares it), else the registry's
+        per-voice rate, else the 22.05 kHz default."""
+        mid = self._canonical(model_id.split("#", 1)[0])
+        entry = self._models.get(mid)
+        if entry is not None:
+            rate = getattr(entry[1], "sample_rate", 0)
+            if rate:
+                return int(rate)
+        return self._voice_rate(mid)
+
     @staticmethod
     def _resolve_speaker(meta: dict, cfg, selector: str | None) -> int:
         """Speaker selector → embedding row (multi-speaker models only)."""

@@ -64,7 +64,9 @@ class PocketTTSBackend:
 
     def __init__(self, device: str = "auto") -> None:
         self._device_arg = device
-        self._cfg = PocketConfig()
+        from open_speech_tpu.models.kokoro.model import resolve_kokoro_config
+
+        self._cfg = PocketConfig(base=resolve_kokoro_config())
         self._params = None
         self._loaded_at: float | None = None
         self._last_used: float | None = None
