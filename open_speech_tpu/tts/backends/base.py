@@ -97,7 +97,13 @@ def backend_sample_rate(backend, model_id: str) -> int:
     fn = getattr(backend, "get_sample_rate", None)
     if callable(fn):
         try:
-            return int(fn(model_id))
+            rate = int(fn(model_id))
         except Exception:  # noqa: BLE001 — fall back to the class rate
-            pass
-    return int(getattr(backend, "sample_rate", 24000))
+            rate = 0
+        if 4000 <= rate <= 192000:  # guards mocks/garbage (int(Mock())==1)
+            return rate
+    try:
+        rate = int(getattr(backend, "sample_rate", 24000))
+    except Exception:  # noqa: BLE001
+        return 24000
+    return rate if 4000 <= rate <= 192000 else 24000
