@@ -20,6 +20,7 @@ import logging
 import os
 import re
 import shutil
+import threading
 import time
 from pathlib import Path
 from typing import Any
@@ -90,6 +91,7 @@ class JaxWhisperBackend:
         self._last_used: dict[str, float] = {}
         self._loaded_at: dict[str, float] = {}
         self._compute_type = settings.stt_compute_type
+        self._load_lock = threading.Lock()
 
     @property
     def _device(self) -> str:
@@ -141,6 +143,16 @@ class JaxWhisperBackend:
         if model_id in self._models:
             self._last_used[model_id] = time.time()
             return
+        with self._load_lock:
+            # double-checked: concurrent loads (session startup + batcher
+            # _ensure_model race) must not overwrite the entry with a second
+            # params object — downstream holders compare by identity
+            if model_id in self._models:
+                self._last_used[model_id] = time.time()
+                return
+            self._load_model_locked(model_id)
+
+    def _load_model_locked(self, model_id: str) -> None:
         preset = resolve_preset(model_id)
         if preset is None:
             raise ValueError(f"Unknown whisper model id: {model_id}")

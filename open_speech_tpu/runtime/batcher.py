@@ -55,6 +55,11 @@ from open_speech_tpu.models.whisper.tokenizer import SpecialTokens
 logger = logging.getLogger(__name__)
 
 
+def _set_exception_if_pending(future: "asyncio.Future", exc: Exception) -> None:
+    if not future.done():
+        future.set_exception(exc)
+
+
 # ──────────────────────────────────────────────────────────────────────
 # Device step with per-slot positions
 # ──────────────────────────────────────────────────────────────────────
@@ -328,6 +333,14 @@ class ContinuousBatcher:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        self._fail_all(RuntimeError("batcher stopped"))
+        while not self._queue.empty():  # pending submissions never ran
+            _mel, _max_new, future = self._queue.get_nowait()
+            if not future.done():
+                future.get_loop().call_soon_threadsafe(
+                    _set_exception_if_pending, future,
+                    RuntimeError("batcher stopped"),
+                )
 
     async def transcribe_window(
         self, mel: np.ndarray, max_new_tokens: int | None = None
@@ -353,16 +366,48 @@ class ContinuousBatcher:
     # ── scheduler loop ────────────────────────────────────────────────
 
     async def _loop(self) -> None:
+        consecutive_failures = 0
         while True:
-            admitted = await self._admit()
-            if not self._active.any():
-                if not admitted:
-                    # idle: block until work arrives
-                    item = await self._queue.get()
-                    self._queue.put_nowait(item)
-                continue
-            await asyncio.get_running_loop().run_in_executor(None, self._tick)
-            await asyncio.sleep(0)  # yield to admit new arrivals every tick
+            try:
+                admitted = await self._admit()
+                if not self._active.any():
+                    if not admitted:
+                        # idle: block until work arrives
+                        item = await self._queue.get()
+                        self._queue.put_nowait(item)
+                    continue
+                await asyncio.get_running_loop().run_in_executor(
+                    None, self._tick
+                )
+                await asyncio.sleep(0)  # yield so new arrivals admit per tick
+                consecutive_failures = 0
+            except asyncio.CancelledError:
+                raise
+            except Exception as e:  # noqa: BLE001
+                # a transient device/XLA error must not strand callers: fail
+                # every in-flight future, release the slots, keep serving —
+                # but never spin: back off, and give up if the error is
+                # persistent (e.g. executor shut down at interpreter exit)
+                consecutive_failures += 1
+                logger.exception(
+                    "Batcher tick failed (%d in a row); failing live slots",
+                    consecutive_failures,
+                )
+                self._fail_all(e)
+                if consecutive_failures >= 3:
+                    logger.error("Batcher giving up after repeated failures")
+                    self._task = None
+                    return
+                await asyncio.sleep(0.1 * consecutive_failures)
+
+    def _fail_all(self, exc: Exception) -> None:
+        for slot in list(self._slots):
+            state = self._slots.pop(slot)
+            self._active[slot] = False
+            if not state.future.done():
+                state.future.get_loop().call_soon_threadsafe(
+                    _set_exception_if_pending, state.future, exc
+                )
 
     async def _admit(self) -> bool:
         """Claim free slots for queued requests; run encode + prefill."""

@@ -22,15 +22,37 @@ _batchers: dict[tuple, ContinuousBatcher] = {}
 _lock = asyncio.Lock()
 
 
+async def _retire(batcher) -> None:
+    for _ in range(600):  # up to ~60 s of draining
+        if batcher.occupancy == 0 and batcher._queue.empty():
+            break
+        await asyncio.sleep(0.1)
+    await batcher.stop()
+
+
+def _is_current(batcher, backend, model_id: str) -> bool:
+    entry = getattr(backend, "_models", {}).get(model_id)
+    return entry is not None and entry.get("params") is batcher.params
+
+
 async def get_batcher(
     backend, model_id: str, language: str | None, task: str = "transcribe"
 ) -> ContinuousBatcher:
     key = (model_id, language or "en", task)
-    if key in _batchers:
-        return _batchers[key]
+    live = _batchers.get(key)
+    if live is not None and _is_current(live, backend, model_id):
+        return live
     async with _lock:
-        if key in _batchers:
-            return _batchers[key]
+        live = _batchers.get(key)
+        if live is not None:
+            if _is_current(live, backend, model_id):
+                return live
+            # model was unloaded/reloaded: a stale batcher would pin the
+            # evicted weights AND decode with old params. Retire it after
+            # its in-flight work drains (stopping now would fail live
+            # futures mid-utterance).
+            del _batchers[key]
+            asyncio.get_running_loop().create_task(_retire(live))
         entry = backend._ensure_model(model_id)
         batcher = ContinuousBatcher(
             entry["params"],

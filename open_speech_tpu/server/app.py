@@ -258,6 +258,10 @@ async def transcribe(request: web.Request) -> web.Response:
         audio_seconds=float(result.get("duration", 0.0) or 0.0),
         wall_seconds=_time.monotonic() - t_start,
     )
+    if response_format == "json" and "text" in result:
+        # OpenAI json shape is {"text"}; the verbose payload only backs
+        # the srt/vtt/verbose_json renderings
+        result = {"text": result["text"]}
 
     if settings.os_history_enabled:
         try:
@@ -438,6 +442,11 @@ async def get_model_status(request: web.Request) -> web.Response:
     result = model_manager.status(model_id).to_dict()
     async with _download_progress_lock:
         prog = _download_progress.get(model_id)
+        if prog and prog.get("status") in ("downloaded", "ready"):
+            # terminal entries are one-shot: dropping them here keeps the
+            # overlay from overriding the real state forever (e.g. after
+            # artifact deletion) and from growing unboundedly
+            _download_progress.pop(model_id, None)
     if prog:
         prog_status = prog.get("status", "")
         if prog_status in ("queued", "downloading", "loading"):
@@ -829,7 +838,11 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
         await resp.write_eof()
         return resp
 
-    if cache and settings.tts_cache_enabled:
+    # effects/design/clone change the audio but are not part of the cache
+    # key — those requests bypass the cache entirely (both directions:
+    # never serve plain audio for them, never poison the plain key)
+    cacheable = not (req.effects or req.voice_design or req.reference_audio)
+    if cache and settings.tts_cache_enabled and cacheable:
         cached = tts_cache.get_for(
             text=synth_input, voice=req.voice, speed=req.speed,
             fmt=req.response_format, model=req.model,
@@ -881,7 +894,7 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
             audio_seconds=audio_s,
             wall_seconds=_time.monotonic() - t_start,
         )
-        if cache and settings.tts_cache_enabled and not req.effects:
+        if cache and settings.tts_cache_enabled and cacheable:
             await loop.run_in_executor(
                 None,
                 lambda: tts_cache.set_for(

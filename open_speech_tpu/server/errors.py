@@ -36,11 +36,29 @@ async def error_middleware(request: web.Request, handler):
     try:
         return await handler(request)
     except ApiError as e:
-        return error_response(e.status, e.detail, e.code)
+        return _with_cors(request, error_response(e.status, e.detail, e.code))
     except web.HTTPException as e:
         if e.status >= 400:
-            return error_response(e.status, e.reason or "error")
+            return _with_cors(
+                request, error_response(e.status, e.reason or "error")
+            )
         raise
     except Exception as e:  # noqa: BLE001
         logger.exception("Unhandled error on %s %s", request.method, request.path)
-        return error_response(500, str(e), "internal_error")
+        return _with_cors(
+            request, error_response(500, str(e), "internal_error")
+        )
+
+
+def _with_cors(request: web.Request, resp: web.Response) -> web.Response:
+    """Browsers can only read an error body if the error carries CORS
+    headers too (success responses get them from the security middleware,
+    which this middleware wraps)."""
+    try:
+        from open_speech_tpu.server.middleware import cors_headers
+
+        for k, v in cors_headers(request).items():
+            resp.headers.setdefault(k, v)
+    except Exception:  # noqa: BLE001 — never let CORS decoration mask errors
+        pass
+    return resp

@@ -148,6 +148,11 @@ def reset_rate_limiter() -> None:
     _rate_limiter = None
 
 
+def cors_headers(_request=None) -> dict[str, str]:
+    """Public alias for error responses (see server/errors.py)."""
+    return _cors_headers()
+
+
 def _cors_headers() -> dict[str, str]:
     origins = settings.os_cors_origins
     return {

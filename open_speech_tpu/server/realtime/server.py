@@ -309,9 +309,9 @@ class RealtimeSession:
         await self._send(events.response_created(response_obj))
 
         loop = asyncio.get_running_loop()
-        tts_model = (
-            response_data.get("model") or self.config.model or settings.tts_model
-        )
+        # config.model is the *STT* model; TTS falls back to the
+        # configured TTS default
+        tts_model = response_data.get("model") or settings.tts_model
         backend = self.tts_router.get_backend(tts_model)
         from open_speech_tpu.tts.backends.base import backend_sample_rate
 
@@ -409,6 +409,7 @@ async def realtime_endpoint(ws, tts_router, model: str = "") -> None:
     """Run a realtime session over an accepted aiohttp WebSocketResponse."""
     session = RealtimeSession(ws, tts_router, model=model)
     await session.initialize()
+    response_task: asyncio.Task | None = None
     try:
         while True:
             try:
@@ -427,6 +428,29 @@ async def realtime_endpoint(ws, tts_router, model: str = "") -> None:
             if isinstance(parsed, str):
                 await session._send(events.error(parsed, code="invalid_event"))
                 continue
+            if parsed.get("type") == "response.create":
+                # run the response concurrently so the receive loop keeps
+                # draining frames — otherwise response.cancel can never
+                # arrive while deltas stream and barge-in is impossible
+                if response_task is not None and not response_task.done():
+                    await session._send(
+                        events.error(
+                            "Conversation already has an active response",
+                            code="conversation_already_has_active_response",
+                        )
+                    )
+                    continue
+                response_task = asyncio.get_running_loop().create_task(
+                    session.handle_event(parsed)
+                )
+                continue
             await session.handle_event(parsed)
     except Exception:  # noqa: BLE001
         logger.exception("Realtime session crashed")
+    finally:
+        if response_task is not None and not response_task.done():
+            response_task.cancel()
+            try:
+                await response_task
+            except (asyncio.CancelledError, Exception):  # noqa: BLE001
+                pass

@@ -540,16 +540,19 @@ class StreamingSession:
         self._reset_incremental()
 
     async def _flush(self):
-        if self.audio_buffer:
-            remaining = bytes(self.audio_buffer)
-            self.audio_buffer.clear()
-            if self.speech_active and len(self.utterance_audio) > 0:
+        remaining = bytes(self.audio_buffer)
+        self.audio_buffer.clear()
+        if self.speech_active and len(self.utterance_audio) > 0:
+            # stop/disconnect mid-utterance: fold in any sub-chunk tail and
+            # emit the final transcript (previously skipped whenever the
+            # buffer happened to be chunk-aligned, dropping the utterance)
+            if remaining:
                 if self.needs_resample:
                     remaining = resample_pcm16(
                         remaining, self.client_sample_rate, INTERNAL_SAMPLE_RATE
                     )
                 self.utterance_audio.extend(remaining)
-                await self._finalize_utterance()
+            await self._finalize_utterance()
 
     async def _send_event(self, event: dict):
         try:

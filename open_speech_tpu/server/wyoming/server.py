@@ -89,11 +89,13 @@ def _known_stt_models() -> list[dict]:
 
 async def _extract_speech_pcm(pcm: bytes, rate: int) -> bytes:
     """VAD-gate the audio to speech-only segments (reference stt_handler:43-115)."""
-    if not settings.stt_vad_enabled or not pcm:
+    if not pcm:
+        return pcm
+    if rate != WYOMING_SAMPLE_RATE:
+        pcm = resample_pcm16(pcm, rate, WYOMING_SAMPLE_RATE)
+    if not settings.stt_vad_enabled:
         return pcm
     try:
-        if rate != WYOMING_SAMPLE_RATE:
-            pcm = resample_pcm16(pcm, rate, WYOMING_SAMPLE_RATE)
         shared = await get_vad_model()
         vad = SileroVAD(shared.session, threshold=settings.stt_vad_threshold)
         segments = vad.get_speech_segments(

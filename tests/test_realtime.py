@@ -284,3 +284,65 @@ def test_realtime_session_update(monkeypatch):
     assert updated["type"] == "session.updated"
     assert updated["session"]["voice"] == "shimmer"
     assert updated["session"]["turn_detection"] is None
+
+
+def test_response_cancel_preempts_streaming(monkeypatch):
+    """response.cancel must take effect while deltas stream: the endpoint
+    runs response.create concurrently so the receive loop keeps draining
+    (round-2 review fix — previously the cancel frame sat unread)."""
+    import asyncio as _asyncio
+
+    from aiohttp import WSMsgType as _WST
+
+    from open_speech_tpu.server.realtime.server import realtime_endpoint
+
+    class SlowTTS:
+        def get_backend(self, model):
+            class B:
+                sample_rate = 24000
+            return B()
+
+        def synthesize(self, **kw):
+            import time as _t
+
+            for _ in range(50):
+                _t.sleep(0.05)  # slow producer: cancel arrives mid-stream
+                yield np.ones(2400, np.float32) * 0.1
+
+    class Msg:
+        def __init__(self, type_, data=None):
+            self.type = type_
+            self.data = data
+
+    class WS:
+        def __init__(self):
+            self.sent = []
+            self._queue = [
+                Msg(_WST.TEXT, json.dumps({
+                    "type": "response.create",
+                    "response": {"instructions": "cancel me"},
+                })),
+                Msg(_WST.TEXT, json.dumps({"type": "response.cancel"})),
+            ]
+
+        async def receive(self, timeout=None):
+            if self._queue:
+                await _asyncio.sleep(0.2)  # let deltas start
+                return self._queue.pop(0)
+            await _asyncio.sleep(1.0)  # give the task time to drain
+            return Msg(_WST.CLOSE)
+
+        async def send_str(self, s):
+            self.sent.append(json.loads(s))
+
+        async def close(self, **kw):
+            pass
+
+    ws = WS()
+
+    _run(realtime_endpoint(ws, SlowTTS()))
+    types = [e["type"] for e in ws.sent]
+    deltas = types.count("response.audio.delta")
+    # streaming started, then stopped well before the 50-chunk total
+    assert "response.created" in types
+    assert deltas < 40
