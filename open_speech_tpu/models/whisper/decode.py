@@ -103,16 +103,30 @@ def _apply_rules(
     blank_tokens: tuple[int, ...],
 ):
     v = logits.shape[-1]
+    b = logits.shape[0]
     cols = jnp.arange(v)[None, :]
     logits = logits + suppress[None, :]
+    # step_idx = sampled-token count so far; scalar (greedy/beam lockstep)
+    # or [B] (per-slot batcher)
+    begin = jnp.broadcast_to(jnp.asarray(step_idx) == 0, (b,))[:, None]
+
+    # sample begin: suppress blank/eot regardless of timestamp mode
+    # (openai SuppressBlank is unconditional)
+    if blank_tokens:
+        blank = jnp.zeros((v,), bool).at[jnp.array(blank_tokens)].set(True)
+        logits = jnp.where(begin & blank[None, :], NEG_INF, logits)
     if not timestamps:
         return logits
+
     ts_begin = special.timestamp_begin
     is_ts_col = cols >= ts_begin
     is_text_col = cols < special.eot
 
-    last_ts = last >= ts_begin
-    penult_ts = penult >= ts_begin
+    # openai semantics over *sampled* tokens only: with fewer than one/two
+    # sampled tokens, last/penultimate default to False/True respectively
+    sampled = jnp.broadcast_to(jnp.asarray(step_idx), (b,))
+    last_ts = (sampled >= 1) & (last >= ts_begin)
+    penult_ts = (sampled < 2) | (penult >= ts_begin)
     # paired timestamps: after a closing ts, no ts; after an opening ts, no text
     mask_ts = (last_ts & penult_ts)[:, None] & is_ts_col
     mask_text = (last_ts & ~penult_ts)[:, None] & is_text_col
@@ -121,25 +135,20 @@ def _apply_rules(
     mask_mono = is_ts_col & (cols < ts_floor[:, None])
     logits = jnp.where(mask_ts | mask_text | mask_mono, NEG_INF, logits)
 
-    # sample begin: optionally suppress blank/eot; cap the initial timestamp
-    def at_begin(lg):
-        if blank_tokens:
-            blank = jnp.zeros((v,), bool).at[jnp.array(blank_tokens)].set(True)
-            lg = jnp.where(blank[None, :], NEG_INF, lg)
-        lg = jnp.where(is_ts_col & (cols > max_initial_ts_tok), NEG_INF, lg)
-        return lg
+    # sample begin: cap the initial timestamp
+    logits = jnp.where(
+        begin & is_ts_col & (cols > max_initial_ts_tok), NEG_INF, logits
+    )
 
-    logits = jax.lax.cond(step_idx == 0, at_begin, lambda lg: lg, logits)
-
-    # prob rule: if total timestamp mass exceeds the best text token, sample a
-    # timestamp
+    # prob rule: if total timestamp mass exceeds the best non-timestamp
+    # token (eot included, per openai), force a timestamp
     logp = jax.nn.log_softmax(logits, axis=-1)
     ts_mass = jax.nn.logsumexp(
         jnp.where(is_ts_col, logp, NEG_INF), axis=-1
     )  # [B]
-    max_text = jnp.max(jnp.where(is_text_col, logp, NEG_INF), axis=-1)
+    max_text = jnp.max(jnp.where(~is_ts_col, logp, NEG_INF), axis=-1)
     force_ts = (ts_mass > max_text)[:, None]
-    logits = jnp.where(force_ts & is_text_col, NEG_INF, logits)
+    logits = jnp.where(force_ts & ~is_ts_col, NEG_INF, logits)
     return logits
 
 
@@ -388,6 +397,17 @@ def beam_decode(
     )
 
 
+def _repeat_kv(kv, k: int):
+    """Fan a per-row KV structure out across k beams.
+
+    Dense caches are [L, 2, B, H, T, Dh] (batch axis 2); int8 cross packs
+    are dicts of [L, B, H, T, *] (batch axis 1).
+    """
+    if isinstance(kv, dict):
+        return {key: jnp.repeat(val, k, axis=1) for key, val in kv.items()}
+    return jnp.repeat(kv, k, axis=2)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -419,17 +439,20 @@ def _beam_impl(
     b, p_len = prompt.shape
     k = beam
     v = cfg.n_vocab
-    # expand to beams along batch
-    enc_rep = jnp.repeat(enc_out, k, axis=0)  # [B*K, T, D]
-    prompt_rep = jnp.repeat(prompt, k, axis=0)
-    cross_kv = precompute_cross_kv(params, enc_rep, cfg)
-    self_kv = init_self_kv(
-        cfg, b * k, _cache_len(cfg, prompt.shape[1], max_new), enc_out.dtype
+    # prefill once per batch row (all k beams share the prompt), then fan
+    # the caches out across beams — k× cheaper than prefill at [B*K]
+    cross_kv_b = precompute_cross_kv(params, enc_out, cfg)
+    self_kv_b = init_self_kv(
+        cfg, b, _cache_len(cfg, prompt.shape[1], max_new), enc_out.dtype
     )
-    prefill_logits, self_kv = _prefill(params, prompt_rep, cross_kv, self_kv, cfg)
+    prefill_logits, self_kv_b = _prefill(
+        params, prompt, cross_kv_b, self_kv_b, cfg
+    )
+    cross_kv = _repeat_kv(cross_kv_b, k)
+    self_kv = _repeat_kv(self_kv_b, k)
     sot_pos = jnp.argmax((prompt == special.sot).astype(jnp.int32), axis=1)
     sot_logits = jnp.take_along_axis(
-        prefill_logits.transpose(1, 0, 2)[::k], sot_pos[:, None, None], axis=1
+        prefill_logits.transpose(1, 0, 2), sot_pos[:, None, None], axis=1
     )[:, 0]
     no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, special.no_speech]
 
@@ -500,11 +523,11 @@ def _beam_impl(
 
     init = (
         jnp.int32(0),
-        prefill_logits[-1],
+        jnp.repeat(prefill_logits[-1], k, axis=0),
         self_kv,
         out_buf,
-        prompt_rep[:, -1],
-        prompt_rep[:, -2] if p_len > 1 else prompt_rep[:, -1],
+        jnp.repeat(prompt[:, -1], k, axis=0),
+        jnp.repeat(prompt[:, -2] if p_len > 1 else prompt[:, -1], k, axis=0),
         jnp.full((b * k,), special.timestamp_begin - 1, jnp.int32),
         beam_lp,
         jnp.zeros((b * k,), jnp.int32),

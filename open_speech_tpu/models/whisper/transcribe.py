@@ -90,7 +90,10 @@ def _bucket_prev(prev: list[int], room: int) -> list[int]:
     """
     prev = prev[-room:]
     keep = 0
-    for b in (16, 32, 64, 128, room):
+    # small buckets (4/8) keep short first segments conditioning the next
+    # window (the reference conditions on whatever exists) while the
+    # bucket ladder still bounds the compiled prompt shapes
+    for b in (4, 8, 16, 32, 64, 128, room):
         if b <= len(prev) and b <= room:
             keep = b
     return prev[len(prev) - keep :] if keep else []
@@ -301,7 +304,11 @@ def _split_segments(
             last_slice = cut
         last_ts = tokens[consecutive[-1] - 1]
         seek_advance = round((last_ts - ts) * 0.02 / TIME_PER_FRAME)
-        seek_advance = max(1, min(seek_advance, window_frames))
+        if seek_advance <= 0:
+            # degenerate pair at the window start: advancing 1 frame would
+            # re-decode the same audio thousands of times; skip the window
+            seek_advance = window_frames
+        seek_advance = min(seek_advance, window_frames)
     else:
         # single segment covering the window (or ending at a final timestamp)
         timestamps = [t for t in tokens if t >= ts]

@@ -293,8 +293,11 @@ def flash_attention(
                 q, k, v, causal=causal, scale=scale,
                 block_q=block_q, block_k=block_k,
             )
+        # smaller kv blocks than the static default: the dead-block skip's
+        # benefit scales with block granularity over masked caches
         return _flash_attention_tpu_dyn(
             q, k, v, kv_length, causal=causal, scale=scale,
+            block_q=min(block_q, 256), block_k=min(block_k, 512),
         )
     return mha_reference(q, k, v, causal=causal, kv_length=kv_length, scale=scale)
 

@@ -119,12 +119,12 @@ def _ruled_argmax(
     """Apply whisper logit rules per slot and pick greedy tokens (traceable).
 
     step_idx/last/penult/max_ts/active: [S] per-slot rule state.
+    _apply_rules broadcasts a [S] step_idx, so per-slot begin handling and
+    the sampled-length last/penult semantics come from the shared rules.
     """
-    # _apply_rules expects a shared step_idx; emulate per-slot "first step"
-    # by masking blank/initial-ts per row
     ruled = _apply_rules(
         logits,
-        step_idx=jnp.int32(1),  # never the global begin path
+        step_idx=step_idx,
         last=last,
         penult=penult,
         max_ts=max_ts,
@@ -132,19 +132,8 @@ def _ruled_argmax(
         special=special,
         timestamps=timestamps,
         max_initial_ts_tok=max_init_tok,
-        blank_tokens=(),
+        blank_tokens=blank,
     )
-    v = logits.shape[-1]
-    cols = jnp.arange(v)[None, :]
-    at_begin = (step_idx == 0)[:, None]
-    if blank:
-        blank_mask = jnp.zeros((v,), bool).at[jnp.array(blank)].set(True)
-        ruled = jnp.where(at_begin & blank_mask[None, :], -1e30, ruled)
-    if timestamps:
-        is_ts = cols >= special.timestamp_begin
-        ruled = jnp.where(
-            at_begin & is_ts & (cols > max_init_tok), -1e30, ruled
-        )
     tok = jnp.argmax(ruled, axis=-1).astype(jnp.int32)
     tok = jnp.where(active, tok, special.eot)
     return tok

@@ -195,7 +195,10 @@ def test_bucket_prev_bounds_prompt_shapes():
         lengths.add(len(out))
         if out:
             assert out[-1] == min(n, 400) - 1 or out[-1] == n - 1  # newest kept
-    assert lengths <= {0, 16, 32, 64, 128, room}  # bounded compile set
-    # conditioning keeps the most recent tokens
-    assert _bucket_prev([1, 2, 3, 4, 5, 6, 7, 8], room) == []  # < smallest bucket
+    assert lengths <= {0, 4, 8, 16, 32, 64, 128, room}  # bounded compile set
+    # conditioning keeps the most recent tokens; short segments (>=4 tokens)
+    # still condition the next window (reference conditions on whatever
+    # exists — round-2 review fix)
+    assert _bucket_prev([1, 2, 3], room) == []  # < smallest bucket
+    assert _bucket_prev([1, 2, 3, 4, 5, 6, 7, 8], room) == [1, 2, 3, 4, 5, 6, 7, 8]
     assert _bucket_prev(list(range(40)), room) == list(range(8, 40))  # last 32
