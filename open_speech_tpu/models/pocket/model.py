@@ -1,138 +1,313 @@
-"""Pocket-TTS in JAX: low-latency TTS with audio-conditioned style.
+"""Pocket-TTS (Kyutai): Mimi-token LM TTS with audio-prompt voice cloning.
 
-Fills the reference's pocket-tts slot (src/tts/backends/pocket_tts_backend.py,
-torch/optional) and the documented-but-absent Qwen3-TTS voice-clone surface
-(docs/QWEN3-TTS-INTEGRATION.md; the API kept ``voice_design`` /
-``reference_audio`` / ``clone_transcript`` fields, src/tts/models.py:15-18).
+Top-level model tying together the two halves:
 
-Architecture: the StyleTTS-family generator stack shared with kokoro (text
-encoder -> duration/F0 -> ISTFTNet) with the style vector produced by a
-*reference encoder* instead of a fixed voice pack:
+  - ``mimi.py``: the Mimi neural codec (SEANet + transformer + split-RVQ);
+  - ``lm.py``: the delayed-streams temporal+depth transformer LM.
 
-  - ``style_from_audio``: log-mel of the reference clip -> conv stack ->
-    masked mean/std pooling -> style projection (the clone path — any voice
-    from a few seconds of WAV);
-  - ``style_from_text``: a deterministic text-description embedding (the
-    voice_design path);
-  - 8 named speakers = 8 fixed style vectors (pocket-tts's speaker set).
+Serving surface mirrors the ``pocket_tts.TTSModel`` API the reference wraps
+(src/tts/backends/pocket_tts_backend.py:91,132,157):
 
-Per-voice style vectors are cacheable by the serving layer (reference
-pocket-tts caches per-voice prompt state, :127-134).
+  - ``state_for_audio_prompt(pcm)``  — encode a reference clip to Mimi
+    tokens and teacher-force them through the temporal stack, returning the
+    warmed KV caches (the voice);
+  - ``generate_stream(text, state)`` — prefill the text, then sample audio
+    frames autoregressively, streaming PCM blocks as frames complete
+    through the exact block-streaming Mimi decoder.
+
+Weights load via ``convert.py`` from a torch ``state_dict`` (moshi naming);
+``random_init`` exists so the full path runs without a checkpoint.
 """
 
 from __future__ import annotations
 
-import hashlib
 from dataclasses import dataclass
 from functools import partial
+from typing import Iterator
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from open_speech_tpu.ops.initutil import jit_init
-
-from open_speech_tpu.models.kokoro.model import (
-    KokoroConfig,
-    init_kokoro_params,
-    synthesize_frames,
+from open_speech_tpu.models.pocket.lm import (
+    PocketLMConfig,
+    TEST_TINY_LM,
+    _rms,
+    depformer_sample,
+    embed_step,
+    init_caches,
+    init_pocket_lm_params,
+    temporal_prefill,
+    temporal_step,
 )
-from open_speech_tpu.ops.mel import log_mel_spectrogram
-from open_speech_tpu.ops.vocoder import conv1d
+from open_speech_tpu.models.pocket.mimi import (
+    MimiConfig,
+    TEST_TINY,
+    MimiStreamingDecoder,
+    init_mimi_params,
+    mimi_encode,
+)
 
 SAMPLE_RATE = 24_000
 
+TEXT_PAD, TEXT_BOS, TEXT_EOS = 0, 1, 2
 
-@dataclass(frozen=True)
-class PocketConfig:
-    base: KokoroConfig = KokoroConfig()
-    ref_mels: int = 80
-    ref_max_frames: int = 800  # 8 s of reference audio @ 100 fps
+
+class ByteTokenizer:
+    """Byte-level fallback text tokenizer.
+
+    The real pocket-tts checkpoint ships a sentencepiece model; when one is
+    provided the converter wires it in instead (``load_checkpoint``). Bytes
+    map into [3, text_card) so any vocab size works.
+    """
+
+    def __init__(self, text_card: int):
+        self.span = text_card - 3
+
+    def encode(self, text: str) -> list[int]:
+        return [3 + (b % self.span) for b in text.encode("utf-8")]
+
+
+class SentencePieceTokenizer:
+    def __init__(self, model_path: str):
+        import sentencepiece  # gated: not baked into this image
+
+        self.sp = sentencepiece.SentencePieceProcessor(model_file=model_path)
+
+    def encode(self, text: str) -> list[int]:
+        return [3 + t for t in self.sp.encode(text)]
+
+
+@dataclass
+class PromptState:
+    """Warmed temporal KV caches after ingesting an audio (voice) prompt."""
+
+    k_cache: jax.Array
+    v_cache: jax.Array
+    length: int  # steps already in the cache
 
     @property
-    def style_dim(self) -> int:
-        return self.base.style_dim
-
-    @property
-    def voice_dim(self) -> int:
-        # full conditioning vector: decoder style ‖ prosody style
-        return self.base.voice_dim
-
-    @property
-    def samples_per_frame(self) -> int:
-        return self.base.samples_per_frame
+    def caches(self):
+        return (self.k_cache, self.v_cache)
 
 
-@jit_init()
-def init_pocket_params(key, cfg: PocketConfig, dtype=jnp.float32):
-    k_gen, k_ref1, k_ref2, k_proj, k_spk = jax.random.split(key, 5)
-    params = {"gen": init_kokoro_params(k_gen, cfg.base, dtype)}
-    params["ref_conv1"] = {
-        "w": jax.random.normal(k_ref1, (5, cfg.ref_mels, 128), dtype)
-        * (5 * cfg.ref_mels) ** -0.5,
-        "b": jnp.zeros((128,), dtype),
-    }
-    params["ref_conv2"] = {
-        "w": jax.random.normal(k_ref2, (5, 128, 128), dtype) * (5 * 128) ** -0.5,
-        "b": jnp.zeros((128,), dtype),
-    }
-    params["ref_proj"] = {
-        "w": jax.random.normal(k_proj, (256, cfg.voice_dim), dtype) * 256**-0.5,
-        "b": jnp.zeros((cfg.voice_dim,), dtype),
-    }
-    params["speakers"] = (
-        jax.random.normal(k_spk, (8, cfg.voice_dim), dtype) * 0.5
-    )
-    return params
+def _delayed_grid(cfg: PocketLMConfig, tokens: np.ndarray) -> np.ndarray:
+    """Frame tokens [B, K, F] → delayed step-input grid [B, K, F]."""
+    b, k, f = tokens.shape
+    grid = np.full((b, k, f), cfg.audio_initial, np.int32)
+    for i, d in enumerate(cfg.delays):
+        if d < f:
+            grid[:, i, d:] = tokens[:, i, : f - d]
+    return grid
+
+
+_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket(n: int, cap: int) -> int:
+    """Smallest serving bucket ≥ n (≤ cap): prefill shapes stay constant
+    across requests so each geometry compiles once."""
+    for b in _BUCKETS:
+        if b >= n:
+            return min(b, cap)
+    return cap
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def style_from_audio(params, cfg: PocketConfig, ref_mel, n_frames):
-    """Reference clip -> style vector.
+def _prefill(params, cfg: PocketLMConfig, text_toks, audio_grid, caches, start, n):
+    """Teacher-force a (bucket-padded) segment; returns updated caches only.
 
-    ref_mel: [B, ref_mels, ref_max_frames] (padded log-mel); n_frames: [B].
+    ``n`` is the valid step count — padded steps beyond it neither attend
+    nor persist in the cache (temporal_prefill length masking).
     """
-    x = ref_mel.transpose(0, 2, 1)  # [B, T, mels]
-    mask = (
-        jnp.arange(cfg.ref_max_frames)[None, :] < n_frames[:, None]
-    ).astype(jnp.float32)[..., None]
-    h = jax.nn.relu(conv1d(x, params["ref_conv1"])) * mask
-    h = jax.nn.relu(conv1d(h, params["ref_conv2"])) * mask
-    denom = jnp.maximum(mask.sum(axis=1), 1.0)
-    mean = h.sum(axis=1) / denom
-    var = (jnp.square(h - mean[:, None, :]) * mask).sum(axis=1) / denom
-    stats = jnp.concatenate([mean, jnp.sqrt(var + 1e-5)], axis=-1)  # [B,256]
-    return stats @ params["ref_proj"]["w"] + params["ref_proj"]["b"]
-
-
-def style_from_text(description: str, style_dim: int = 256) -> np.ndarray:
-    """voice_design text -> deterministic style vector.
-
-    A trained model maps descriptions through a text encoder; without weights
-    this hashes the normalized description so equal prompts give equal voices
-    and different prompts differ.
-    """
-    seed = int.from_bytes(
-        hashlib.sha256(description.strip().lower().encode()).digest()[:4],
-        "little",
+    per_cb = jnp.take_along_axis(
+        params["emb"][:, None], audio_grid.transpose(1, 0, 2)[..., None], axis=2
     )
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(style_dim).astype(np.float32) * 0.5
+    x = params["text_emb"][text_toks] + per_cb.sum(axis=0)
+    _, caches = temporal_prefill(params, cfg, x, caches, start, length=n)
+    return caches
 
 
-def compute_ref_mel(audio_16k: np.ndarray, cfg: PocketConfig):
-    """Reference PCM (16 kHz mono float) -> padded log-mel + frame count."""
-    hop = 160
-    max_samples = cfg.ref_max_frames * hop
-    clip = np.asarray(audio_16k, np.float32)[:max_samples]
-    n_frames = max(1, len(clip) // hop)
-    padded = np.zeros(max_samples, np.float32)
-    padded[: len(clip)] = clip
-    mel = log_mel_spectrogram(jnp.asarray(padded), n_mels=cfg.ref_mels)
-    return mel[None], jnp.asarray([n_frames], jnp.int32)
+@partial(jax.jit, static_argnames=("cfg",))
+def _gen_step(params, cfg: PocketLMConfig, text_tok, dep_text_tok, audio_in,
+              caches, pos, key, temp):
+    """One generation step → (audio tokens [B, n_q], text logits, caches)."""
+    x = embed_step(params, cfg, text_tok, audio_in)
+    h, caches = temporal_step(params, cfg, x, caches, pos)
+    hn = _rms(h, params["out_norm"])
+    text_logits = hn @ params["text_linear"]["w"]
+    toks = depformer_sample(params, cfg, hn, dep_text_tok, key, temp)
+    return toks, text_logits, caches
 
 
-def synthesize_pocket(params, cfg: PocketConfig, phonemes, ph_len, style, speed):
-    """Generate audio from phonemes + style (shared generator stack)."""
-    return synthesize_frames(params["gen"], cfg.base, phonemes, ph_len, style, speed)
+class PocketTTS:
+    """The pocket-tts model: codec + LM + generation loop."""
+
+    sample_rate = SAMPLE_RATE
+
+    def __init__(self, lm_params, mimi_params, lm_cfg: PocketLMConfig,
+                 mimi_cfg: MimiConfig, tokenizer=None):
+        assert lm_cfg.n_q == mimi_cfg.n_q and lm_cfg.card == mimi_cfg.card, (
+            "LM and codec token spaces must agree"
+        )
+        self.lm_params = lm_params
+        self.mimi_params = mimi_params
+        self.lm_cfg = lm_cfg
+        self.mimi_cfg = mimi_cfg
+        self.tokenizer = tokenizer or ByteTokenizer(lm_cfg.text_card)
+        self.sample_rate = mimi_cfg.sample_rate
+
+    @classmethod
+    def from_checkpoint(cls, path) -> "PocketTTS":
+        """Load converted weights from a kyutai release dir / weight file."""
+        from open_speech_tpu.models.pocket.convert import load_checkpoint
+
+        return load_checkpoint(path)
+
+    @classmethod
+    def random_init(cls, key, lm_cfg: PocketLMConfig | None = None,
+                    mimi_cfg: MimiConfig | None = None, dtype=jnp.float32):
+        lm_cfg = lm_cfg or TEST_TINY_LM
+        mimi_cfg = mimi_cfg or TEST_TINY
+        k1, k2 = jax.random.split(key)
+        return cls(
+            init_pocket_lm_params(k1, lm_cfg, dtype),
+            init_mimi_params(k2, mimi_cfg, dtype),
+            lm_cfg,
+            mimi_cfg,
+        )
+
+    # ── voice prompt (clone path) ────────────────────────────────────
+
+    def encode_audio(self, pcm: np.ndarray) -> np.ndarray:
+        """PCM (24 kHz float mono, [T] or [B, T]) → Mimi tokens [B, K, F].
+
+        The waveform is zero-padded up to a whole-frame *bucket* so encode
+        compiles once per bucket, and the causal encoder's tokens for the
+        real frames are unaffected; only those frames are returned.
+        """
+        pcm = np.atleast_2d(np.asarray(pcm, np.float32))
+        spf = self.mimi_cfg.samples_per_frame
+        frames = max(1, -(-pcm.shape[1] // spf))
+        fbucket = _bucket(frames, cap=self.lm_cfg.max_ctx)
+        frames = min(frames, fbucket)
+        padded = np.zeros((pcm.shape[0], fbucket * spf), np.float32)
+        n_copy = min(pcm.shape[1], fbucket * spf)
+        padded[:, :n_copy] = pcm[:, :n_copy]
+        toks = np.asarray(
+            mimi_encode(self.mimi_params, self.mimi_cfg, jnp.asarray(padded))
+        )
+        return toks[:, :, :frames]
+
+    def state_for_audio_prompt(self, pcm: np.ndarray) -> PromptState:
+        """Reference clip → warmed LM state (the cloned voice).
+
+        Mirrors pocket_tts ``get_state_for_audio_prompt``
+        (reference pocket_tts_backend.py:132).
+        """
+        cfg = self.lm_cfg
+        tokens = self.encode_audio(pcm)
+        # bound the prompt so text + generation still fit in max_ctx
+        max_prompt = cfg.max_ctx // 2
+        tokens = tokens[:, :, :max_prompt]
+        grid = _delayed_grid(cfg, tokens)
+        b, _, steps = grid.shape
+        pad_to = _bucket(steps, cap=max_prompt)
+        padded = np.full((b, cfg.n_q, pad_to), cfg.audio_initial, np.int32)
+        padded[:, :, :steps] = grid
+        text = np.full((b, pad_to), TEXT_PAD, np.int32)
+        caches = init_caches(cfg, b)
+        caches = _prefill(
+            self.lm_params, cfg, jnp.asarray(text), jnp.asarray(padded),
+            caches, jnp.int32(0), jnp.int32(steps),
+        )
+        return PromptState(*caches, length=steps)
+
+    # ── generation ────────────────────────────────────────────────────
+
+    def generate_stream(
+        self,
+        text: str,
+        state: PromptState | None = None,
+        *,
+        max_frames: int | None = None,
+        temperature: float = 0.0,
+        seed: int = 0,
+        block_frames: int = 2,
+        frames_per_char: float = 1.0,
+    ) -> Iterator[np.ndarray]:
+        """Yield PCM float32 blocks (24 kHz) as frames complete.
+
+        With no ``state`` the model speaks in its unconditioned voice.
+        Deterministic for (text, state, seed, temperature).
+        """
+        cfg = self.lm_cfg
+        ids = [TEXT_BOS] + self.tokenizer.encode(text) + [TEXT_EOS]
+        if state is None:
+            caches = init_caches(cfg, 1)
+            start = 0
+        else:
+            caches = state.caches
+            start = state.length
+
+        n_ids = min(len(ids), max(cfg.max_ctx - start - 2, 1))
+        if max_frames is None:
+            max_frames = max(4, int(len(text) * frames_per_char))
+        max_delay = cfg.max_delay
+        budget = cfg.max_ctx - start - n_ids - 1
+        max_frames = max(1, min(max_frames, budget - max_delay))
+
+        # text prefill: audio streams silent (initial); ids padded to a
+        # shape bucket so any text length reuses one compiled program
+        pad_to = _bucket(n_ids, cap=max(cfg.max_ctx - start - 1, 1))
+        text_np = np.full((1, pad_to), TEXT_PAD, np.int32)
+        text_np[0, :n_ids] = ids[:n_ids]
+        audio_grid = jnp.full((1, cfg.n_q, pad_to), cfg.audio_initial, jnp.int32)
+        caches = _prefill(
+            self.lm_params, cfg, jnp.asarray(text_np), audio_grid, caches,
+            jnp.int32(start), jnp.int32(n_ids),
+        )
+        pos = start + n_ids
+
+        key = jax.random.PRNGKey(seed)
+        temp = jnp.float32(temperature)
+        delays = np.asarray(cfg.delays)
+        n_steps = max_frames + max_delay
+        outs = np.full((cfg.n_q, n_steps), cfg.audio_initial, np.int32)
+        audio_in = jnp.full((1, cfg.n_q), cfg.audio_initial, jnp.int32)
+        text_pad = jnp.full((1,), TEXT_PAD, jnp.int32)
+        decoder = MimiStreamingDecoder(self.mimi_params, self.mimi_cfg)
+        emitted = 0
+
+        for s in range(n_steps):
+            key, sub = jax.random.split(key)
+            toks, _text_logits, caches = _gen_step(
+                self.lm_params, cfg, text_pad, text_pad, audio_in, caches,
+                jnp.full((1,), pos, jnp.int32), sub, temp,
+            )
+            # streams whose frame index (s - delay) is out of range stay initial
+            frame_idx = s - delays
+            live = (frame_idx >= 0) & (frame_idx < max_frames)
+            forced = np.where(live, np.asarray(toks[0]), cfg.audio_initial)
+            outs[:, s] = forced
+            audio_in = jnp.asarray(forced[None].astype(np.int32))
+            pos += 1
+
+            done = s + 1 - max_delay  # frames fully decided so far
+            ready = min(done, max_frames)
+            if ready - emitted >= block_frames or (
+                ready == max_frames and ready > emitted
+            ):
+                frames = np.stack(
+                    [
+                        outs[k, emitted + delays[k] : ready + delays[k]]
+                        for k in range(cfg.n_q)
+                    ]
+                )[None]
+                emitted = ready
+                yield decoder.feed(frames)[0]
+
+    def generate(self, text: str, state: PromptState | None = None, **kw):
+        """Non-streaming convenience: full waveform [T]."""
+        return np.concatenate(list(self.generate_stream(text, state, **kw)))

@@ -139,14 +139,17 @@ def conv1d(
     return out + p["b"] if "b" in p else out
 
 
-def conv_transpose1d(x: jax.Array, p, stride: int, pad: int | None = None) -> jax.Array:
+def conv_transpose1d(
+    x: jax.Array, p, stride: int, pad: int | None = None, groups: int = 1
+) -> jax.Array:
     """Upsampling transposed conv matching torch ``ConvTranspose1d`` semantics.
 
     x [B, T, C_in] → [B, (T-1)*stride - 2*pad + K, C_out]. With the HiFiGAN
     convention pad=(K-stride)//2 and even K-stride this is exactly T*stride.
-    p["w"] is [K, C_in, C_out] *kernel-flipped* relative to the torch
-    ConvTranspose1d weight (converters store ``w.transpose(2,0,1)[::-1]``),
-    so the transposed conv runs as one input-dilated correlation.
+    p["w"] is [K, C_in/groups, C_out] *kernel-flipped* relative to the torch
+    ConvTranspose1d weight (converters store ``w.transpose(2,0,1)[::-1]``
+    dense, ``w.transpose(2,1,0)[::-1]`` depthwise), so the transposed conv
+    runs as one input-dilated correlation.
     """
     k = p["w"].shape[0]
     if pad is None:
@@ -157,6 +160,7 @@ def conv_transpose1d(x: jax.Array, p, stride: int, pad: int | None = None) -> ja
         x, p["w"], window_strides=(1,), padding=[(edge, edge)],
         lhs_dilation=(stride,),
         dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=groups,
     )
     return out + p["b"] if "b" in p else out
 

@@ -1,36 +1,49 @@
-"""Pocket-TTS backend: streaming TTS with voice cloning + voice design.
+"""Pocket-TTS backend: streaming Mimi-LM TTS with audio-prompt voice cloning.
 
 Serving surface parity with the reference pocket-tts backend
 (src/tts/backends/pocket_tts_backend.py: 8 speakers :16-25, per-voice cached
-prompt state :127-134, native streaming :157-166) plus the extended
+prompt state :127-134, native streaming generator :157-166) plus the extended
 capabilities the reference only documents for Qwen3-TTS
 (voice_design/reference_audio/clone_transcript, capability-gated at
-src/main.py:122-134,716): this backend declares voice_clone and voice_design
-True, so those API paths run end to end.
+src/main.py:122-134,716).
+
+The model behind it is the real Kyutai pocket-tts architecture
+(models/pocket/: Mimi codec + delayed-streams LM). Voices ARE audio prompts:
+
+- named speakers resolve to prompt WAVs (``OS_POCKET_VOICES_DIR``; with no
+  voice files, a deterministic synthetic prompt per name so the path runs);
+- ``reference_audio`` (clone) encodes the user's clip through Mimi and
+  teacher-forces it into the LM's KV caches — the reference's
+  ``get_state_for_audio_prompt`` flow;
+- ``voice_design`` maps the description to a deterministic synthetic prompt
+  (with converted weights, a description-conditioned prompt library can be
+  dropped into the voices dir).
+
+Prompt states (warmed KV caches) are cached per voice, mirroring
+pocket_tts_backend.py:127-134.
 """
 
 from __future__ import annotations
 
 import hashlib
 import logging
+import os
 import time
+from pathlib import Path
 from typing import Any, Iterator
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from open_speech_tpu.models.pocket import (
-    PocketConfig,
-    init_pocket_params,
-    style_from_audio,
-    style_from_text,
-    synthesize_pocket,
+    MIMI_TEST_TINY,
+    PocketTTS,
+    PromptState,
+    TEST_TINY_LM,
 )
-from open_speech_tpu.models.pocket.model import SAMPLE_RATE, compute_ref_mel
+from open_speech_tpu.models.pocket.model import SAMPLE_RATE
 from open_speech_tpu.ops import audio as codec
-from open_speech_tpu.text.g2p import get_g2p, split_sentences
 from open_speech_tpu.tts.backends.base import (
     DEFAULT_TTS_CAPABILITIES,
     TTSLoadedModelInfo,
@@ -39,10 +52,37 @@ from open_speech_tpu.tts.backends.base import (
 
 logger = logging.getLogger(__name__)
 
-# 8 named speakers (reference pocket-tts speaker set, :16-25)
+# 8 named speakers (reference pocket-tts speaker set, pocket_tts_backend.py:16-25)
 SPEAKERS = [
     "alice", "bob", "carol", "dave", "eve", "frank", "grace", "henry",
 ]
+
+_PROMPT_SECONDS = 0.5  # synthetic fallback prompt length
+_PROMPT_CACHE_MAX = 8  # warmed KV caches are large; bound the cache
+
+
+def _synthetic_prompt(seed_text: str, sample_rate: int) -> np.ndarray:
+    """Deterministic speech-band prompt clip for a name/description.
+
+    Stands in for a real prompt WAV when none is installed: a few seeded
+    harmonics with an envelope, normalized. Distinct seeds → distinct
+    prompts → distinct cloned voices, through the *real* clone machinery.
+    """
+    seed = int.from_bytes(hashlib.sha256(seed_text.encode()).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    n = int(_PROMPT_SECONDS * sample_rate)
+    t = np.arange(n) / sample_rate
+    f0 = 80.0 + 160.0 * rng.random()
+    sig = np.zeros(n, np.float32)
+    for h in range(1, 6):
+        sig += (rng.random() * 0.5 / h) * np.sin(
+            2 * np.pi * f0 * h * t + rng.random() * 6.28
+        ).astype(np.float32)
+    sig += 0.05 * rng.standard_normal(n).astype(np.float32)
+    env = 0.5 - 0.5 * np.cos(2 * np.pi * np.minimum(t / t[-1], 1.0))
+    sig *= env.astype(np.float32)
+    peak = np.abs(sig).max() or 1.0
+    return (0.6 * sig / peak).astype(np.float32)
 
 
 class PocketTTSBackend:
@@ -64,15 +104,11 @@ class PocketTTSBackend:
 
     def __init__(self, device: str = "auto") -> None:
         self._device_arg = device
-        from open_speech_tpu.models.kokoro.model import resolve_kokoro_config
-
-        self._cfg = PocketConfig(base=resolve_kokoro_config())
-        self._params = None
+        self._model: PocketTTS | None = None
         self._loaded_at: float | None = None
         self._last_used: float | None = None
-        self._g2p = get_g2p()
-        # per-voice cached style state (reference :127-134)
-        self._style_cache: dict[str, np.ndarray] = {}
+        # per-voice cached prompt state (reference :127-134)
+        self._prompt_cache: dict[str, PromptState] = {}
 
     @property
     def _device(self) -> str:
@@ -82,25 +118,64 @@ class PocketTTSBackend:
 
     # ── lifecycle ─────────────────────────────────────────────────────
 
+    @staticmethod
+    def _find_checkpoint() -> Path | None:
+        """Locate converted/torch pocket-tts weights: OS_POCKET_CKPT_PATH,
+        then the HF cache layout (kyutai/pocket-tts*)."""
+        import glob
+
+        env = os.environ.get("OS_POCKET_CKPT_PATH", "")
+        if env and Path(env).exists():
+            return Path(env)
+        hub = Path.home() / ".cache" / "huggingface" / "hub"
+        for pat in ("models--kyutai--pocket-tts*/snapshots/*",):
+            hits = sorted(glob.glob(str(hub / pat)))
+            if hits:
+                return Path(hits[0])
+        return None
+
     def load_model(self, model_id: str = "pocket-tts") -> None:
-        if self._params is not None:
+        if self._model is not None:
             self._last_used = time.time()
             return
         t0 = time.time()
-        self._params = init_pocket_params(jax.random.PRNGKey(11), self._cfg)
+        ckpt = self._find_checkpoint()
+        if ckpt is not None:
+            self._model = PocketTTS.from_checkpoint(ckpt)
+            logger.info("pocket-tts weights converted from %s", ckpt)
+        else:
+            # structurally complete random-init fallback; geometry selectable
+            # so CPU tests stay fast while TPU serving can exercise full size
+            preset = os.environ.get("OS_POCKET_PRESET", "tiny")
+            if preset == "base":
+                lm_cfg = mimi_cfg = None
+            else:
+                from dataclasses import replace
+
+                # tiny geometry, but enough KV context that a voice prompt
+                # plus a long sentence still fits (max_ctx//2 prompt cap)
+                lm_cfg = replace(TEST_TINY_LM, max_ctx=512)
+                mimi_cfg = MIMI_TEST_TINY
+            self._model = PocketTTS.random_init(
+                jax.random.PRNGKey(11), lm_cfg=lm_cfg, mimi_cfg=mimi_cfg
+            )
+            logger.warning(
+                "No pocket-tts checkpoint found (OS_POCKET_CKPT_PATH unset); "
+                "running with random weights — audio is not speech"
+            )
         self._loaded_at = self._last_used = time.time()
-        logger.info("pocket-tts initialized in %.1fs", time.time() - t0)
+        logger.info("pocket-tts ready in %.1fs", time.time() - t0)
 
     def unload_model(self, model_id: str = "pocket-tts") -> None:
-        self._params = None
+        self._model = None
         self._loaded_at = None
-        self._style_cache.clear()
+        self._prompt_cache.clear()
 
     def is_model_loaded(self, model_id: str = "pocket-tts") -> bool:
-        return self._params is not None and model_id in ("pocket-tts", self.name)
+        return self._model is not None and model_id in ("pocket-tts", self.name)
 
     def loaded_models(self) -> list[TTSLoadedModelInfo]:
-        if self._params is None:
+        if self._model is None:
             return []
         return [
             TTSLoadedModelInfo(
@@ -118,32 +193,59 @@ class PocketTTSBackend:
             for s in SPEAKERS
         ]
 
-    # ── style resolution ──────────────────────────────────────────────
+    # ── prompt-state resolution (the voice) ───────────────────────────
 
-    def _speaker_style(self, voice: str) -> np.ndarray:
-        name = voice.removeprefix("pocket/").lower()
-        if name in SPEAKERS:
-            idx = SPEAKERS.index(name)
-            return np.asarray(self._params["speakers"][idx])
-        # unknown name: deterministic embedding so any string is usable
-        return style_from_text(name, self._cfg.voice_dim)
+    def _cache_put(self, key: str, state: PromptState) -> None:
+        if len(self._prompt_cache) >= _PROMPT_CACHE_MAX:
+            self._prompt_cache.pop(next(iter(self._prompt_cache)))
+        self._prompt_cache[key] = state
 
-    def _clone_style(self, reference_audio: bytes) -> np.ndarray:
-        key = hashlib.sha256(reference_audio).hexdigest()
-        cached = self._style_cache.get(key)
-        if cached is not None:
-            return cached
-        audio, rate = codec.read_wav(reference_audio)
-        if rate != 16000:
+    def _prompt_pcm_for_name(self, name: str) -> np.ndarray:
+        voices_dir = os.environ.get("OS_POCKET_VOICES_DIR", "")
+        if voices_dir:
+            wav = Path(voices_dir) / f"{name}.wav"
+            if wav.is_file():
+                return self._load_prompt_wav(wav.read_bytes())
+        return _synthetic_prompt(name, self._model.sample_rate)
+
+    def _load_prompt_wav(self, data: bytes) -> np.ndarray:
+        audio, rate = codec.read_wav(data)
+        sr = self._model.sample_rate
+        if rate != sr:
+            import jax.numpy as jnp
+
             from open_speech_tpu.ops.resample import resample_poly
 
-            audio = np.asarray(resample_poly(jnp.asarray(audio), 16000, rate))
-        mel, n_frames = compute_ref_mel(audio, self._cfg)
-        style = np.asarray(
-            style_from_audio(self._params, self._cfg, mel, n_frames)[0]
-        )
-        self._style_cache[key] = style
-        return style
+            audio = np.asarray(resample_poly(jnp.asarray(audio), sr, rate))
+        return audio.astype(np.float32)
+
+    def _speaker_state(self, voice: str) -> PromptState:
+        name = voice.removeprefix("pocket/").lower()
+        state = self._prompt_cache.get(name)
+        if state is None:
+            state = self._model.state_for_audio_prompt(
+                self._prompt_pcm_for_name(name)
+            )
+            self._cache_put(name, state)
+        return state
+
+    def _clone_state(self, reference_audio: bytes) -> PromptState:
+        key = "sha:" + hashlib.sha256(reference_audio).hexdigest()
+        state = self._prompt_cache.get(key)
+        if state is None:
+            pcm = self._load_prompt_wav(reference_audio)
+            state = self._model.state_for_audio_prompt(pcm)
+            self._cache_put(key, state)
+        return state
+
+    def _design_state(self, description: str) -> PromptState:
+        key = "design:" + description
+        state = self._prompt_cache.get(key)
+        if state is None:
+            pcm = _synthetic_prompt(description, self._model.sample_rate)
+            state = self._model.state_for_audio_prompt(pcm)
+            self._cache_put(key, state)
+        return state
 
     # ── synthesis ─────────────────────────────────────────────────────
 
@@ -157,30 +259,20 @@ class PocketTTSBackend:
         clone_transcript: str | None = None,
         voice_design: str | None = None,
     ) -> Iterator[np.ndarray]:
-        if self._params is None:
+        if self._model is None:
             self.load_model()
         self._last_used = time.time()
         if reference_audio:
-            style = self._clone_style(reference_audio)
+            state = self._clone_state(reference_audio)
         elif voice_design:
-            style = style_from_text(voice_design, self._cfg.voice_dim)
+            state = self._design_state(voice_design)
         else:
-            style = self._speaker_style(voice or SPEAKERS[0])
-        # no speed control (reference parity): speed pinned to 1.0
-        for sentence in split_sentences(text) or [text]:
-            ids = self._g2p.to_ids(sentence)[: self._cfg.base.max_phonemes]
-            n = len(ids)
-            phonemes = np.zeros((1, self._cfg.base.max_phonemes), np.int32)
-            phonemes[0, :n] = ids
-            audio, n_frames = synthesize_pocket(
-                self._params,
-                self._cfg,
-                jnp.asarray(phonemes),
-                jnp.asarray([n], jnp.int32),
-                jnp.asarray(style[None, :]),
-                jnp.asarray([1.0], jnp.float32),
-            )
-            samples = int(n_frames[0]) * self._cfg.samples_per_frame
-            chunk = np.asarray(audio[0, :samples], np.float32)
+            state = self._speaker_state(voice or SPEAKERS[0])
+        # clone_transcript conditions the prompt text in the reference; the
+        # audio prompt already carries the voice, so it is accepted and unused
+        # (reference accepts it the same way: pocket_tts_backend.py:157-166).
+        # no speed control (reference parity): generation is at model rate
+        for block in self._model.generate_stream(text, state):
+            chunk = np.asarray(block, np.float32)
             if chunk.size:
                 yield chunk

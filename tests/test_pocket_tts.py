@@ -31,8 +31,8 @@ def test_capabilities_gate_clone_and_design(backend):
 
 def test_speaker_synthesis(backend):
     chunks = list(backend.synthesize("Hello there.", "pocket/alice"))
-    assert len(chunks) == 1
-    assert chunks[0].dtype == np.float32 and chunks[0].size > 0
+    assert len(chunks) >= 1
+    assert all(c.dtype == np.float32 and c.size > 0 for c in chunks)
 
 
 def test_speakers_differ(backend):
@@ -44,10 +44,11 @@ def test_speakers_differ(backend):
 
 def test_voice_clone_deterministic_and_cached(backend):
     ref = _ref_wav()
+    before = len(backend._prompt_cache)
     a = np.concatenate(
         list(backend.synthesize("clone me", "x", reference_audio=ref))
     )
-    assert len(backend._style_cache) == 1  # prompt state cached
+    assert len(backend._prompt_cache) == before + 1  # prompt state cached
     b = np.concatenate(
         list(backend.synthesize("clone me", "x", reference_audio=ref))
     )
