@@ -129,6 +129,42 @@ def bench_asr(run_asr: bool = True) -> None:
             f"compile={compile_s:.0f}s"
         )
 
+    # beam-5 batch ASR: the REST endpoint's DEFAULT quality path (the
+    # reference calls CT2 with beam_size=5, src/backends/faster_whisper.py:
+    # 235-245) — the number a reference user actually compares.
+    if _want("beam"):
+        from open_speech_tpu.models.whisper.decode import (
+            DecodeOptions,
+            beam_decode,
+        )
+
+        bb = max(1, BATCH // 2)  # beams ride the batch axis: 5x rows
+        b_audio = audio[:bb]
+        b_prompt = np.asarray(prompt[:bb])
+        opts = DecodeOptions(max_new_tokens=TOKENS_PER_WINDOW, beam_size=5)
+
+        def beam_once():
+            mel = log_mel_spectrogram(b_audio, n_mels=cfg.n_mels)
+            enc_out = encode(params, mel, cfg)
+            return beam_decode(params, cfg, sp, enc_out, b_prompt, opts)
+
+        t0 = time.time()
+        beam_once()
+        note(f"beam5 compile={time.time() - t0:.0f}s")
+        laps = []
+        for _ in range(ITERS):
+            t0 = time.time()
+            beam_once()  # DecodeResult holds np arrays: host sync included
+            laps.append(time.time() - t0)
+        wall = min(laps)
+        audio_seconds = bb * window_samples / 16000
+        rtfx = audio_seconds / wall
+        emit(
+            f"ASR RTFx whisper-{MODEL} beam-5 REST default ({COMPUTE}, "
+            f"batch={bb}, {TOKENS_PER_WINDOW} tok/30s)",
+            rtfx, "x_realtime_per_chip", rtfx / TARGET_RTFX,
+        )
+
     # streaming STT per-chunk device latency: one interim update = mel +
     # encoder + short greedy decode over the padded window (the per-chunk
     # work of server/streaming.py's batched path at batch=8 sessions)
@@ -285,14 +321,106 @@ def _want(key: str) -> bool:
     return not ONLY or key in ONLY.split(",")
 
 
+# ── real / converted weights ──────────────────────────────────────────
+
+
+def bench_converted_ckpt() -> None:
+    """Converted checkpoint -> backend -> transcription, every environment.
+
+    Uses the committed tiny HF-layout fixture (tests/fixtures/test-tiny,
+    tools/make_tiny_ckpt.py) through the real discovery/converter/serving
+    path; value 1.0 = the drive produced a schema-valid transcription."""
+    try:
+        from open_speech_tpu.backends.jax_whisper import JaxWhisperBackend
+        from open_speech_tpu.config import settings
+        from open_speech_tpu.ops import audio as codec
+
+        fixtures = os.path.join(os.path.dirname(__file__), "tests", "fixtures")
+        old = settings.stt_model_dir, settings.os_precompile_on_load
+        settings.stt_model_dir = fixtures
+        settings.os_precompile_on_load = False
+        try:
+            backend = JaxWhisperBackend()
+            assert backend._find_checkpoint("test-tiny") is not None
+            rng = np.random.default_rng(0)
+            wav = codec.write_wav(
+                rng.uniform(-0.2, 0.2, 2 * 16000).astype(np.float32), 16000
+            )
+            t0 = time.time()
+            resp = backend.transcribe(
+                wav, "test-tiny", language="en", beam_size=1, fallback=False,
+                response_format="verbose_json",
+            )
+            ok = "text" in resp and "segments" in resp
+            emit("converted_ckpt_e2e (tiny fixture -> transcription)",
+                 1.0 if ok else 0.0, "ok", 1.0 if ok else 0.0)
+            note(f"converted_ckpt_e2e wall={time.time() - t0:.1f}s")
+        finally:
+            settings.stt_model_dir, settings.os_precompile_on_load = old
+    except Exception as e:  # noqa: BLE001
+        note(f"converted_ckpt_e2e failed: {e!r}")
+        emit("converted_ckpt_e2e (tiny fixture -> transcription)",
+             0.0, "ok", 0.0)
+
+
+def bench_real_weights() -> None:
+    """WER/spectral vs released checkpoints, the moment weights exist.
+
+    Runs tools/real_weights_parity.py automatically when OS_*_CKPT_PATH or
+    an HF cache copy is present (none are downloadable in this container —
+    the wiring is what round-2 asked for). Emits one JSON line per model."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    try:
+        import real_weights_parity as rwp
+    except Exception:  # noqa: BLE001
+        return
+
+    audio = os.environ.get("OS_BENCH_AUDIO")
+    expected = os.environ.get("OS_BENCH_EXPECTED")
+    whisper_dir = os.environ.get("OS_WHISPER_CKPT_PATH")
+    if whisper_dir is None:
+        from open_speech_tpu.backends.jax_whisper import JaxWhisperBackend
+
+        for mid in ("openai/whisper-large-v3-turbo", "openai/whisper-tiny"):
+            found = JaxWhisperBackend()._find_checkpoint(mid)
+            if found is not None:
+                whisper_dir = str(found)
+                break
+    if whisper_dir and audio:
+        try:
+            r = rwp.run_whisper(whisper_dir, audio, expected)
+            emit("real_weights whisper WER", float(r.get("wer", -1)),
+                 "wer", 1.0 if r.get("wer", 1) <= 0.05 else 0.0)
+        except Exception as e:  # noqa: BLE001
+            note(f"real_weights whisper failed: {e!r}")
+    kokoro_ckpt = os.environ.get("OS_KOKORO_CKPT_PATH")
+    if kokoro_ckpt and os.path.exists(kokoro_ckpt):
+        try:
+            r = rwp.run_kokoro(
+                kokoro_ckpt, os.environ.get("OS_KOKORO_VOICES_DIR"),
+                "The quick brown fox jumps over the lazy dog.",
+                os.environ.get("OS_BENCH_REF_AUDIO"),
+            )
+            emit(
+                "real_weights kokoro spectral",
+                float(r.get("log_mel_distance", -1.0)),
+                "log_mel_distance", 1.0,
+            )
+        except Exception as e:  # noqa: BLE001
+            note(f"real_weights kokoro failed: {e!r}")
+
+
 def main() -> None:
     note(f"backend={jax.default_backend()}")
-    if _want("asr") or _want("stream"):
+    if _want("asr") or _want("stream") or _want("beam"):
         bench_asr(run_asr=_want("asr"))
     if _want("ttfa"):
         bench_tts_ttfa()
     if _want("tts"):
         bench_tts_throughput()
+    if _want("ckpt"):
+        bench_converted_ckpt()
+        bench_real_weights()
 
 
 if __name__ == "__main__":

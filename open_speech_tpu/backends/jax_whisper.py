@@ -215,7 +215,16 @@ class JaxWhisperBackend:
             return params
 
     def _warmup(self, model_id: str) -> None:
-        """Precompile the encoder for the hot window shape."""
+        """Precompile every serving-shape program, not just the encoder.
+
+        Round-2 evidence for why: with encoder-only warmup the decode loop,
+        prefill, beam-5 and streaming-block programs all compiled on first
+        request — minutes of first-request latency on a cold cache
+        (BENCH_r02: "asr compile=245s"). The warmup drives the real
+        transcribe() entry twice (greedy + beam-5, the REST default quality
+        path) at the full-window decode budget, plus the incremental
+        streaming encoder's block program when streaming is enabled.
+        """
         entry = self._models[model_id]
         cfg = entry["cfg"]
         window_samples = cfg.n_audio_ctx * 2 * 160  # hop=160
@@ -224,6 +233,56 @@ class JaxWhisperBackend:
             n_mels=cfg.n_mels,
         )
         encode(entry["params"], mel[None], cfg).block_until_ready()
+        t0 = time.time()
+        # 30 s of silence drives mel+encode+detect+prefill+decode through
+        # the public path at budget 224 (every full window of a long file).
+        # fallback=False: silence must not trigger the temperature-retry
+        # programs. language pinned (detect_language warms separately below).
+        wav = codec.write_wav(np.zeros(window_samples, np.float32), 16000)
+        budgets = {
+            int(b)
+            for b in str(settings.os_stt_precompile_budgets).split(",")
+            if b.strip()
+        }
+        # (beam, temperature): greedy, beam-5 (REST default), and one
+        # sampled decode — `sampled` is a static jit arg, so a single t>0
+        # program covers every temperature-fallback retry.
+        for beam, temp in ((1, 0.0), (5, 0.0), (1, 0.2)):
+            for budget in sorted(budgets):
+                try:
+                    self._run_inference(
+                        wav, model_id, language="en", beam_size=beam,
+                        temperature=temp, fallback=False,
+                        _budget_override=budget,
+                    )
+                except Exception:  # noqa: BLE001 — warmup must never block load
+                    logger.exception(
+                        "STT warmup (beam=%d t=%.1f) failed", beam, temp
+                    )
+        try:  # language-detect program (used when language is omitted)
+            from open_speech_tpu.models.whisper.decode import detect_language
+
+            detect_language(
+                entry["params"], cfg, entry["tok"].special,
+                encode(entry["params"], mel[None], cfg),
+            )
+        except Exception:  # noqa: BLE001
+            logger.exception("STT warmup (detect) failed")
+        if settings.os_stream_incremental:
+            try:  # block-causal incremental encoder program (streaming WS)
+                from open_speech_tpu.models.whisper.streaming import (
+                    StreamingWhisperEncoder,
+                )
+
+                senc = StreamingWhisperEncoder(entry["params"], cfg)
+                senc.append_audio(np.zeros(16000, np.float32))
+                senc.interim_states()
+            except Exception:  # noqa: BLE001
+                logger.exception("STT warmup (streaming) failed")
+        logger.info(
+            "STT serving-shape warmup for %s done in %.1fs",
+            model_id, time.time() - t0,
+        )
 
     def unload_model(self, model_id: str) -> None:
         entry = self._models.pop(model_id, None)
@@ -329,6 +388,7 @@ class JaxWhisperBackend:
         prompt: str | None = None,
         beam_size: int = 5,
         fallback: bool = True,
+        _budget_override: int | None = None,
     ) -> dict[str, Any]:
         entry = self._ensure_model(model_id)
         pcm, rate = codec.read_wav(audio) if codec.is_wav(audio) else (
@@ -350,6 +410,8 @@ class JaxWhisperBackend:
         duration_s = len(pcm) / 16000
         budget = min(224, int(duration_s * 12) + 12)
         budget = -(-budget // 16) * 16
+        if _budget_override is not None:  # warmup pins the serving bucket
+            budget = _budget_override
         opts = TranscribeOptions(
             task=task,
             language=language if task == "transcribe" else None,

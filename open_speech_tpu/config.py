@@ -194,6 +194,14 @@ _DEFAULTS: dict[str, object] = {
     "os_batch_max_tokens": 448,
     # jit warmup on model load (precompile hot shapes).
     "os_precompile_on_load": True,
+    # TTS batch buckets compiled at load ("1,4,16,64"); any bucket left out
+    # compiles on the first request burst that reaches it (~90 s for the
+    # 64-wide kokoro program on a cold cache).
+    "os_tts_precompile_buckets": "1,4,16,64",
+    # STT serving shapes compiled at load: decode budgets (tokens) for the
+    # greedy and beam-5 programs. "224" = the full-window budget every 30 s
+    # segment of a long file hits; add smaller buckets for short clips.
+    "os_stt_precompile_budgets": "224",
     # jax.profiler trace output dir for /api/profiler/start|stop
     "os_profile_dir": "/tmp/open-speech-profile",
 }

@@ -65,10 +65,15 @@ class TTSBatcher:
     def precompile(self, buckets=(4,)) -> None:
         """Compile the batched programs ahead of traffic: the first
         concurrent burst otherwise stalls behind bucket compiles (measured
-        minutes through a remote-device relay; cached afterwards)."""
+        minutes through a remote-device relay; cached afterwards).
+
+        The warmup utterance is long enough that vocode_streaming emits the
+        first block AND at least one steady-state block — both programs must
+        compile here, or the first real request still pays one."""
+        ids = list(range(1, 33))  # ~32 phonemes => several vocoder blocks
         for b in buckets:
             sink: queue.Queue = queue.Queue()
-            jobs = [([1, 2, 3], np.zeros(2 * self.cfg.style_dim, np.float32),
+            jobs = [(ids, np.zeros(2 * self.cfg.style_dim, np.float32),
                      1.0, sink)] * b
             self._run_batch(jobs)
             while sink.get() is not None:  # drain

@@ -206,7 +206,12 @@ class KokoroBackend:
         ):
             from open_speech_tpu.runtime.tts_batcher import get_tts_batcher
 
-            get_tts_batcher(self).precompile(buckets=(4, 16))
+            buckets = tuple(
+                int(b)
+                for b in str(_settings.os_tts_precompile_buckets).split(",")
+                if b.strip()
+            )
+            get_tts_batcher(self).precompile(buckets=buckets or (4, 16))
         logger.info("kokoro warmed up in %.1fs total", time.time() - t0)
 
     def unload_model(self, model_id: str = "kokoro") -> None:
