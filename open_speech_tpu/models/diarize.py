@@ -82,13 +82,27 @@ def embed_windows(params, cfg: DiarizerConfig, mels):
     return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
 
 
-def _agglomerate(embeddings: np.ndarray, threshold: float) -> np.ndarray:
-    """Average-linkage clustering on cosine distance; returns labels."""
+def _merge_trace(
+    embeddings: np.ndarray,
+) -> list[tuple[float, np.ndarray]]:
+    """Full average-linkage merge sequence on cosine similarity.
+
+    Returns [(sim_of_merge_k, labels_before_merge_k)] down to one cluster;
+    callers cut the sequence by threshold or by the largest similarity gap.
+    """
     n = len(embeddings)
     clusters: list[list[int]] = [[i] for i in range(n)]
     centroids = [embeddings[i].copy() for i in range(n)]
+
+    def snap() -> np.ndarray:
+        lab = np.zeros(n, np.int32)
+        for idx, members in enumerate(clusters):
+            lab[np.asarray(members)] = idx
+        return lab
+
+    trace: list[tuple[float, np.ndarray]] = []
     while len(clusters) > 1:
-        best, bi, bj = -1.0, -1, -1
+        best, bi, bj = -2.0, -1, -1
         for i in range(len(clusters)):
             for j in range(i + 1, len(clusters)):
                 sim = float(
@@ -102,15 +116,92 @@ def _agglomerate(embeddings: np.ndarray, threshold: float) -> np.ndarray:
                 )
                 if sim > best:
                     best, bi, bj = sim, i, j
-        if best < 1.0 - threshold:
-            break
+        trace.append((best, snap()))
         clusters[bi].extend(clusters[bj])
         centroids[bi] = embeddings[clusters[bi]].mean(axis=0)
         del clusters[bj], centroids[bj]
-    labels = np.zeros(n, np.int32)
-    for idx, members in enumerate(clusters):
-        labels[np.asarray(members)] = idx
-    return labels
+    trace.append((-2.0, snap()))  # the single-cluster end state
+    return trace
+
+
+def _agglomerate(
+    embeddings: np.ndarray, threshold: float, s_floor: float = 0.15
+) -> np.ndarray:
+    """Clustering labels: threshold cut, extended to a similarity floor.
+
+    The threshold cut alone leaves speaker-switch windows (which blend two
+    voices and resemble each other across switches) as spurious mid-distance
+    clusters. On utterance-centered embeddings the structure is visible in
+    the merge-similarity sequence: within-speaker merges sit near 1,
+    boundary-blend absorptions merge at moderate positive similarity, and
+    cross-speaker merges go near-zero/negative (centered d-vectors of
+    distinct speakers point apart). So after the threshold cut, keep
+    merging while similarity stays above a positive floor — mixed clusters
+    are absorbed into their nearest true speaker — and stop at the first
+    sub-floor (cross-speaker) merge. Ref bar: pyannote's clustering
+    (/root/reference/src/diarization/pyannote_diarizer.py:22).
+    """
+    n = len(embeddings)
+    if n == 1:
+        return np.zeros(1, np.int32)
+    trace = _merge_trace(embeddings)
+    sims = [s for s, _ in trace[:-1]]
+    cut = next(
+        (
+            k
+            for k, s in enumerate(sims)
+            if s < min(1.0 - threshold, s_floor)
+        ),
+        len(sims),
+    )
+    return trace[cut][1]
+
+
+def diarization_error_rate(
+    ref: list[dict], hyp: list[dict], step_s: float = 0.01
+) -> float:
+    """Frame-based DER with optimal speaker mapping.
+
+    ref/hyp: [{speaker, start, end}] single-speaker turns (the shape
+    diarize_audio emits). DER = (miss + false alarm + confusion) /
+    ref-speech-time, minimized over ref↔hyp label permutations — the
+    metric pyannote (the reference's quality bar,
+    src/diarization/pyannote_diarizer.py:22) is evaluated with.
+    """
+    from itertools import permutations
+
+    if not ref:
+        return 0.0 if not hyp else float("inf")
+    end = max(t["end"] for t in ref + hyp)
+    n = int(round(end / step_s)) + 1
+
+    def labels_of(turns):
+        lab = np.full(n, -1, np.int32)
+        names = sorted({t["speaker"] for t in turns})
+        idx = {s: i for i, s in enumerate(names)}
+        for t in turns:
+            a = int(round(t["start"] / step_s))
+            b = int(round(t["end"] / step_s))
+            lab[a:b] = idx[t["speaker"]]
+        return lab, len(names)
+
+    r, nr = labels_of(ref)
+    h, nh = labels_of(hyp)
+    ref_speech = int((r >= 0).sum())
+    if ref_speech == 0:
+        return 0.0
+    miss = int(((r >= 0) & (h < 0)).sum())
+    fa = int(((r < 0) & (h >= 0)).sum())
+    both = (r >= 0) & (h >= 0)
+    # best assignment of hyp labels onto ref labels (speaker counts are
+    # small here; brute force over permutations of the larger side)
+    k = max(nr, nh)
+    best_conf = None
+    for perm in permutations(range(k), k):
+        mapped = np.asarray([perm[x] if 0 <= x < k else -1 for x in range(k)])
+        conf = int((both & (r != np.where(h >= 0, mapped[h], -2))).sum())
+        best_conf = conf if best_conf is None else min(best_conf, conf)
+    return (miss + fa + (best_conf or 0)) / ref_speech
 
 
 class JaxDiarizer:
@@ -190,24 +281,49 @@ class JaxDiarizer:
         norms = np.linalg.norm(active, axis=1, keepdims=True)
         active = active / np.maximum(norms, 1e-8)
         labels_active = _agglomerate(active, self.threshold)
-        # cap speaker count by merging smallest clusters
+        # windows straddling a speaker change blend both voices and tend to
+        # agglomerate into their own tiny clusters: absorb any cluster with
+        # marginal mass into the nearest substantial centroid (also caps
+        # speaker count)
         uniq, counts = np.unique(labels_active, return_counts=True)
-        if len(uniq) > self.max_speakers:
-            keep = set(uniq[np.argsort(-counts)][: self.max_speakers])
-            biggest = uniq[np.argmax(counts)]
-            labels_active = np.asarray(
-                [lab if lab in keep else biggest for lab in labels_active]
+        min_mass = max(2, int(0.05 * len(labels_active)))
+        big = uniq[np.argsort(-counts)][: self.max_speakers]
+        big = np.asarray([u for u in big if counts[list(uniq).index(u)] >= min_mass]) \
+            if len(labels_active) > 3 else big
+        if len(big) >= 1 and len(big) < len(uniq):
+            cents = np.stack(
+                [active[labels_active == u].mean(axis=0) for u in big]
             )
+            cents = cents / np.maximum(
+                np.linalg.norm(cents, axis=1, keepdims=True), 1e-8
+            )
+            labels_active = big[np.argmax(active @ cents.T, axis=1)]
+        # temporal median: a lone-window label between two agreeing
+        # neighbors is a boundary artifact, not a 0.75 s speaker
+        for pos in range(1, len(labels_active) - 1):
+            if (
+                labels_active[pos - 1] == labels_active[pos + 1]
+                and labels_active[pos] != labels_active[pos - 1]
+            ):
+                labels_active[pos] = labels_active[pos - 1]
 
-        # stitch consecutive same-speaker windows into turns
+        # stitch into turns with midpoint attribution: each overlapping
+        # window votes for its center hop-segment, so turns are contiguous
+        # and boundaries land within one hop of the true change
+        margin = (WINDOW_S - HOP_S) / 2
+        total_s = len(audio) / SAMPLE_RATE
+        relabel = {int(u): i for i, u in enumerate(dict.fromkeys(int(x) for x in labels_active))}
         turns: list[dict] = []
         for pos, wi in enumerate(active_idx):
-            speaker = f"SPEAKER_{int(labels_active[pos]):02d}"
-            start = starts[wi] / SAMPLE_RATE
-            end = (starts[wi] + win) / SAMPLE_RATE
+            speaker = f"SPEAKER_{relabel[int(labels_active[pos])]:02d}"
+            w0 = starts[wi] / SAMPLE_RATE
+            start = 0.0 if wi == 0 else w0 + margin
+            end = total_s if wi == len(starts) - 1 else w0 + WINDOW_S - margin
             if turns and turns[-1]["speaker"] == speaker and start <= turns[-1]["end"] + HOP_S:
-                turns[-1]["end"] = end
+                turns[-1]["end"] = max(turns[-1]["end"], end)
             else:
+                if turns and start < turns[-1]["end"]:
+                    start = turns[-1]["end"]
                 turns.append({"speaker": speaker, "start": start, "end": end})
         for t in turns:
             t["start"] = round(t["start"], 3)

@@ -142,3 +142,72 @@ def test_transcriptions_diarize_endpoint(monkeypatch):
         asyncio.get_event_loop_policy().new_event_loop().run_until_complete(body())
     finally:
         router._default_backend = original
+
+
+def test_der_metric_exact_match_and_mismatch():
+    from open_speech_tpu.models.diarize import diarization_error_rate
+
+    ref = [
+        {"speaker": "A", "start": 0.0, "end": 4.0},
+        {"speaker": "B", "start": 4.0, "end": 8.0},
+    ]
+    # perfect hyp under a different label alphabet: DER 0
+    hyp = [
+        {"speaker": "SPEAKER_01", "start": 0.0, "end": 4.0},
+        {"speaker": "SPEAKER_00", "start": 4.0, "end": 8.0},
+    ]
+    assert diarization_error_rate(ref, hyp) < 1e-6
+    # hyp missing the second turn entirely: 50% miss
+    assert abs(diarization_error_rate(ref, hyp[:1]) - 0.5) < 0.01
+    # one fused label: 50% confusion
+    fused = [{"speaker": "X", "start": 0.0, "end": 8.0}]
+    assert abs(diarization_error_rate(ref, fused) - 0.5) < 0.01
+
+
+def test_diarize_quality_der_bound():
+    """Quantitative quality gate (round-2 verdict #7): a labeled synthetic
+    two-speaker fixture with known turn boundaries must diarize under a
+    30% DER bound — speaker count exact, boundaries within the window hop.
+    (pyannote, the reference's engine, scores ~10-20% DER on real meeting
+    audio; this random-init conv embedder must at least nail clearly
+    distinct voices on clean audio.)"""
+    from open_speech_tpu.models.diarize import diarization_error_rate
+
+    ref = [
+        {"speaker": "A", "start": 0.0, "end": 4.0},
+        {"speaker": "B", "start": 4.0, "end": 8.0},
+        {"speaker": "A", "start": 8.0, "end": 11.0},
+        {"speaker": "B", "start": 11.0, "end": 14.0},
+    ]
+    audio = np.concatenate(
+        [
+            _speaker_audio(220, 4, 1),
+            _speaker_audio(520, 4, 2),
+            _speaker_audio(220, 3, 3),
+            _speaker_audio(520, 3, 4),
+        ]
+    )
+    turns = JaxDiarizer(threshold=0.2).diarize_audio(audio)
+    assert len({t["speaker"] for t in turns}) == 2
+    der = diarization_error_rate(ref, turns)
+    assert der <= 0.30, f"DER {der:.3f} > 0.30; turns={turns}"
+
+
+def test_diarize_quality_three_speakers():
+    """Speaker-count selection must not collapse a third voice (the
+    similarity-floor cut in _agglomerate, not a fixed K)."""
+    from open_speech_tpu.models.diarize import diarization_error_rate
+
+    ref = [
+        {"speaker": "A", "start": 0.0, "end": 4.0},
+        {"speaker": "B", "start": 4.0, "end": 8.0},
+        {"speaker": "C", "start": 8.0, "end": 12.0},
+    ]
+    audio = np.concatenate(
+        [_speaker_audio(220, 4, 1), _speaker_audio(520, 4, 2),
+         _speaker_audio(340, 4, 5)]
+    )
+    turns = JaxDiarizer(threshold=0.2).diarize_audio(audio)
+    assert len({t["speaker"] for t in turns}) == 3
+    der = diarization_error_rate(ref, turns)
+    assert der <= 0.30, f"DER {der:.3f} > 0.30; turns={turns}"
