@@ -254,9 +254,15 @@ class RealtimeSession:
         loop = asyncio.get_running_loop()
         model = self.config.model or settings.stt_model
         try:
-            result = await loop.run_in_executor(
-                _executor, _run_stt, audio_data, model
-            )
+            if settings.os_batcher_enabled:
+                # realtime commits share the continuous batcher's slot pool
+                # with streaming sessions (SURVEY §3.4: both directions feed
+                # the shared batcher) instead of a per-request executor run
+                result = await self._transcribe_batched(audio_data, model)
+            else:
+                result = await loop.run_in_executor(
+                    _executor, _run_stt, audio_data, model
+                )
         except Exception as e:  # noqa: BLE001
             logger.exception("Transcription failed in realtime session")
             await self._send(events.error(str(e), code="transcription_error"))
@@ -270,6 +276,30 @@ class RealtimeSession:
                 item_id, 0, transcript
             )
         )
+
+    async def _transcribe_batched(self, audio_pcm16: bytes, model: str) -> dict:
+        """One committed turn through the shared slot-pool batcher (same
+        mel/budget framing as server/streaming.py's batched path)."""
+        import jax.numpy as jnp
+
+        from open_speech_tpu.ops.audio import pcm16_to_float
+        from open_speech_tpu.ops.mel import log_mel_spectrogram, pad_or_trim
+        from open_speech_tpu.runtime.batcher_pool import get_batcher
+
+        backend = stt_router.get_backend(model)
+        entry = backend._ensure_model(model)
+        cfg, tok = entry["cfg"], entry["tok"]
+        batcher = await get_batcher(backend, model, "en")
+        pcm = pcm16_to_float(audio_pcm16)
+        window_samples = cfg.n_audio_ctx * 2 * 160
+        mel = log_mel_spectrogram(
+            pad_or_trim(jnp.asarray(pcm), window_samples), n_mels=cfg.n_mels
+        )
+        budget = -(-min(224, int(len(pcm) / 16000 * 12) + 12) // 16) * 16
+        tokens = await batcher.transcribe_window(
+            np.asarray(mel), max_new_tokens=budget
+        )
+        return {"text": tok.decode(tokens).strip()}
 
     # response.*
 
