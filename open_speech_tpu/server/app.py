@@ -597,6 +597,9 @@ async def stats_route(request: web.Request) -> web.Response:
     snap["gauges"]["streaming_sessions_active"] = len(_active_sessions)
     snap["batchers"] = pool_stats()
     snap["tts_batchers"] = tts_batcher_stats()
+    from open_speech_tpu.parallel.distributed import replica_info
+
+    snap["replica"] = replica_info()
     return web.json_response(snap)
 
 
@@ -1605,6 +1608,12 @@ def main() -> None:
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+    # multi-host: join the jax.distributed runtime BEFORE any jax device
+    # touch (no-op unless OS_DIST_* is set — see parallel/distributed.py
+    # for the DP-replica serving topology)
+    from open_speech_tpu.parallel.distributed import maybe_init_distributed
+
+    maybe_init_distributed()
     app = create_app()
     ssl_context = None
     if settings.os_ssl_enabled:
