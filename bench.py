@@ -197,6 +197,54 @@ def bench_asr(run_asr: bool = True) -> None:
             per_chunk * 1000, "ms", CHUNK_INTERVAL / per_chunk,
         )
 
+    # the REAL streaming interim path: O(n) incremental encoder — only new
+    # audio is block-encoded; the interim decode runs over a bucketed
+    # prefix (server/streaming.py:_transcribe_incremental). Measures one
+    # mid-utterance chunk update (append 100 ms + tail re-encode + decode).
+    if _want("stream_inc"):
+        from open_speech_tpu.models.whisper.decode import (
+            DecodeOptions,
+            greedy_decode,
+        )
+        from open_speech_tpu.models.whisper.streaming import (
+            StreamingWhisperEncoder,
+        )
+
+        enc_inc = StreamingWhisperEncoder(params, cfg)
+        rng2 = np.random.default_rng(1)
+        enc_inc.append_audio(
+            rng2.uniform(-0.3, 0.3, 10 * 16000).astype(np.float32)
+        )  # 10 s into the utterance
+        chunk = rng2.uniform(-0.3, 0.3, 1600).astype(np.float32)  # 100 ms
+        sot = sp.sot_sequence("en", "transcribe", timestamps=False)
+        inc_prompt = np.asarray([sot], np.int32)
+
+        def inc_step():
+            enc_inc.append_audio(chunk)
+            enc_states, bucket = enc_inc.interim_states()
+            budget = min(224, max(32, (bucket * 12 * 2) // 100 + 16))
+            budget = -(-budget // 16) * 16
+            opts = DecodeOptions(
+                language="en", timestamps=False, beam_size=1,
+                max_new_tokens=budget, suppress_blank=True,
+            )
+            return greedy_decode(
+                params, cfg, sp, enc_states, inc_prompt, opts
+            )
+
+        inc_step()  # compile (block program + bucketed decode)
+        laps = []
+        for _ in range(max(ITERS, 5)):
+            t0 = time.time()
+            inc_step()
+            laps.append(time.time() - t0)
+        per = float(np.median(laps))
+        emit(
+            "streaming STT incremental interim (1 session, O(n) block "
+            "encoder, bucketed greedy decode, mid-utterance)",
+            per * 1000, "ms", CHUNK_INTERVAL / per,
+        )
+
 
 # ── TTS ───────────────────────────────────────────────────────────────
 
@@ -412,7 +460,7 @@ def bench_real_weights() -> None:
 
 def main() -> None:
     note(f"backend={jax.default_backend()}")
-    if _want("asr") or _want("stream") or _want("beam"):
+    if any(_want(k) for k in ("asr", "stream", "beam", "stream_inc")):
         bench_asr(run_asr=_want("asr"))
     if _want("ttfa"):
         bench_tts_ttfa()

@@ -59,6 +59,13 @@ ALIASES: dict[str, str] = {
     "Systran/faster-whisper-large-v3": "large-v3",
     "deepdml/faster-whisper-large-v3-turbo-ct2": "large-v3-turbo",
     "Systran/faster-distil-whisper-large-v3": "distil-large-v3",
+    # distil .en family: MUST stay explicit — the fuzzy tail-strip would
+    # map them onto the non-distil presets (wrong decoder depth)
+    "Systran/faster-distil-whisper-small.en": "distil-small.en",
+    "Systran/faster-distil-whisper-medium.en": "distil-medium.en",
+    "distil-whisper/distil-small.en": "distil-small.en",
+    "distil-whisper/distil-medium.en": "distil-medium.en",
+    "distil-whisper/distil-large-v3": "distil-large-v3",
     "openai/whisper-large-v3-turbo": "large-v3-turbo",
     "openai/whisper-large-v3": "large-v3",
 }

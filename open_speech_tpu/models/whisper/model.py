@@ -78,6 +78,10 @@ PRESETS: dict[str, WhisperConfig] = {
     "distil-large-v3": WhisperConfig(
         128, 51866, 1500, 1280, 20, 32, 448, 1280, 20, 2, 100
     ),
+    # distil .en models (distil-whisper release table): full encoder depth,
+    # shallow decoder — small.en keeps 4 decoder layers, medium.en keeps 2
+    "distil-small.en": WhisperConfig(80, 51864, 1500, 768, 12, 12, 448, 768, 12, 4, 99),
+    "distil-medium.en": WhisperConfig(80, 51864, 1500, 1024, 16, 24, 448, 1024, 16, 2, 99),
     # test-size config: everything minimal, byte-level-friendly vocab
     "test-tiny": WhisperConfig(80, 384, 60, 64, 2, 2, 32, 64, 2, 2, 2),
 }

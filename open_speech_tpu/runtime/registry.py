@@ -21,23 +21,33 @@ _STT_DESCRIPTIONS = {
     "large-v3": "Large-v3, high accuracy",
     "large-v3-turbo": "Large-v3-turbo, near large-v3 accuracy at 3-4x speed",
     "distil-large-v3": "Distil-large-v3, near large-v3 quality at half size",
+    "distil-small.en": "Distil small.en, English-only, shallow decoder",
+    "distil-medium.en": "Distil medium.en, English-only, shallow decoder",
 }
 
 _STT_SIZES = {
     "tiny": 75, "tiny.en": 75, "base": 150, "base.en": 150,
     "small": 500, "small.en": 500, "medium": 1500, "medium.en": 1500,
     "large-v2": 2900, "large-v3": 3000, "large-v3-turbo": 1600,
-    "distil-large-v3": 1500,
+    "distil-large-v3": 1500, "distil-small.en": 350, "distil-medium.en": 800,
 }
 
 # (alias id, preset) — reference CT2 repo ids mapped onto the same models
 _STT_ALIASES = (
     ("Systran/faster-whisper-tiny", "tiny"),
+    ("Systran/faster-whisper-tiny.en", "tiny.en"),
     ("Systran/faster-whisper-base", "base"),
+    ("Systran/faster-whisper-base.en", "base.en"),
     ("Systran/faster-whisper-small", "small"),
+    ("Systran/faster-whisper-small.en", "small.en"),
     ("Systran/faster-whisper-medium", "medium"),
+    ("Systran/faster-whisper-medium.en", "medium.en"),
+    ("Systran/faster-whisper-large-v2", "large-v2"),
     ("Systran/faster-whisper-large-v3", "large-v3"),
     ("deepdml/faster-whisper-large-v3-turbo-ct2", "large-v3-turbo"),
+    ("Systran/faster-distil-whisper-small.en", "distil-small.en"),
+    ("Systran/faster-distil-whisper-medium.en", "distil-medium.en"),
+    ("Systran/faster-distil-whisper-large-v3", "distil-large-v3"),
 )
 
 # (short id, size_mb, description) for the piper voice catalog
