@@ -241,6 +241,21 @@ class JaxWhisperBackend:
         )
         encode(entry["params"], mel[None], cfg).block_until_ready()
         t0 = time.time()
+        # mel front-end ladder: transcribe() pads audio to bucketed window
+        # counts (+1 silent window) and slices via a traced-start program —
+        # warm the first rungs (short/typical files); deeper rungs compile
+        # once each (sub-second mel-only programs)
+        try:
+            from open_speech_tpu.models.whisper.transcribe import _mel_window
+
+            for nw in (1, 2, 3, 4):
+                padded = jnp.zeros((nw + 1) * window_samples, jnp.float32)
+                m = log_mel_spectrogram(padded, n_mels=cfg.n_mels)
+                _mel_window(
+                    m, jnp.int32(0), fpw=cfg.n_audio_ctx * 2
+                ).block_until_ready()
+        except Exception:  # noqa: BLE001
+            logger.exception("STT warmup (mel ladder) failed")
         # 30 s of silence drives mel+encode+detect+prefill+decode through
         # the public path at budget 224 (every full window of a long file).
         # fallback=False: silence must not trigger the temperature-retry
@@ -266,6 +281,48 @@ class JaxWhisperBackend:
                     logger.exception(
                         "STT warmup (beam=%d t=%.1f) failed", beam, temp
                     )
+        # prev-text conditioning buckets: from the second window of a long
+        # file on, the seek loop prepends [startofprev] + prev (bucketed to
+        # 4/8/16/... — transcribe._bucket_prev), each a distinct prompt
+        # shape => a distinct XLA program. Warm them here so a long file
+        # never stalls on a mid-request compile.
+        try:
+            from open_speech_tpu.models.whisper.transcribe import (
+                TranscribeOptions,
+                _decode_with_fallback,
+            )
+
+            sp = entry["tok"].special
+            enc_out = encode(entry["params"], mel[None], cfg)
+            room = cfg.n_text_ctx // 2 - 1
+            prev_buckets = [
+                int(b)
+                for b in str(settings.os_stt_precompile_prev_buckets).split(",")
+                if b.strip() and int(b) < room
+            ]
+            # `room` itself is always in _bucket_prev's ladder and is the
+            # steady-state shape of long transcriptions — always warm it
+            prev_buckets.append(room)
+            for beam, temp in ((1, 0.0), (5, 0.0), (1, 0.2)):
+                for bucket in prev_buckets:
+                    prompt = (
+                        [sp.startofprev]
+                        + [sp.eot - 1] * bucket
+                        + list(sp.sot_sequence("en", "transcribe"))
+                    )
+                    for budget in sorted(budgets):
+                        _decode_with_fallback(
+                            entry["params"], cfg, entry["tok"], enc_out,
+                            np.array([prompt], np.int32),
+                            TranscribeOptions(
+                                language="en", beam_size=beam,
+                                temperature=(temp,), max_new_tokens=budget,
+                                compression_ratio_threshold=None,
+                                logprob_threshold=None,
+                            ),
+                        )
+        except Exception:  # noqa: BLE001
+            logger.exception("STT warmup (prev buckets) failed")
         try:  # language-detect program (used when language is omitted)
             from open_speech_tpu.models.whisper.decode import detect_language
 

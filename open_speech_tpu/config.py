@@ -202,6 +202,10 @@ _DEFAULTS: dict[str, object] = {
     # greedy and beam-5 programs. "224" = the full-window budget every 30 s
     # segment of a long file hits; add smaller buckets for short clips.
     "os_stt_precompile_budgets": "224",
+    # Previous-text conditioning buckets warmed at load (prompt-shape
+    # ladder of transcribe._bucket_prev). The full-room bucket is always
+    # warmed; trim this list to shorten model-load warmup.
+    "os_stt_precompile_prev_buckets": "4,8,16,32,64,128",
     # jax.profiler trace output dir for /api/profiler/start|stop
     "os_profile_dir": "/tmp/open-speech-profile",
 }

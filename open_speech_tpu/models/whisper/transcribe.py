@@ -16,6 +16,7 @@ ceil(T/30) window steps regardless of output length.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
 import numpy as np
 
@@ -36,7 +37,6 @@ from open_speech_tpu.ops.mel import (
     N_SAMPLES,
     SAMPLE_RATE,
     log_mel_spectrogram,
-    pad_or_trim,
 )
 
 TIME_PER_FRAME = HOP_LENGTH / SAMPLE_RATE  # 0.01 s
@@ -79,6 +79,19 @@ class TranscribeOptions:
     max_new_tokens: int = 224
 
 
+# geometric ladder of mel window counts (last rung = 1 h; longer files
+# round up to multiples of it)
+_WINDOW_BUCKETS = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 120)
+
+
+@partial(jax.jit, static_argnames=("fpw",))
+def _mel_window(mel_full, seek, *, fpw: int):
+    """[n_mels, T], scalar seek -> [n_mels, fpw] window (seek is traced)."""
+    return jax.lax.dynamic_slice(
+        mel_full, (jnp.int32(0), seek), (mel_full.shape[0], fpw)
+    )
+
+
 def _bucket_prev(prev: list[int], room: int) -> list[int]:
     """Trim previous-text conditioning to a bucketed length.
 
@@ -116,14 +129,20 @@ def transcribe(
     frames_per_window = cfg.n_audio_ctx * 2
     window_samples = frames_per_window * HOP_LENGTH
 
-    # features for the whole file in one shot (stays on device). Length is
-    # padded up to a whole number of windows so jit sees a bounded set of
-    # shapes (one per 30 s bucket) instead of one per distinct file length.
+    # features for the whole file in one shot (stays on device). The device
+    # must see a BOUNDED shape set or every distinct upload length / seek
+    # offset compiles its own tiny program (~0.3 s each through a TPU
+    # relay): audio is zero-padded ON HOST to a geometric ladder of window
+    # counts plus one extra silent window, so mel has one shape per ladder
+    # rung and the tail window slice never clamps.
     n_windows = max(1, -(-len(audio) // window_samples))
-    content = jnp.asarray(audio)
-    mel_full = log_mel_spectrogram(
-        pad_or_trim(content, n_windows * window_samples), n_mels=cfg.n_mels
-    )  # [n_mels, T]
+    n_windows = next(
+        (b for b in _WINDOW_BUCKETS if b >= n_windows),
+        -(-n_windows // _WINDOW_BUCKETS[-1]) * _WINDOW_BUCKETS[-1],
+    )
+    padded = np.zeros((n_windows + 1) * window_samples, np.float32)
+    padded[: len(audio)] = audio
+    mel_full = log_mel_spectrogram(jnp.asarray(padded), n_mels=cfg.n_mels)
 
     language = opts.language
     language_prob = 1.0
@@ -138,11 +157,12 @@ def transcribe(
     seg_id = 0
     n_frames_total = max(n_frames_total, 1)
     while seek < n_frames_total:
-        if seek + frames_per_window <= mel_full.shape[1]:
-            window = mel_full[:, seek : seek + frames_per_window]
-        else:
-            pad = seek + frames_per_window - mel_full.shape[1]
-            window = jnp.pad(mel_full[:, seek:], ((0, 0), (0, pad)))
+        # traced-start slice: ONE program per mel shape, not one per seek
+        # offset (seek values follow decoded timestamps — unbounded set).
+        # The extra silent window above guarantees the slice never clamps.
+        window = _mel_window(
+            mel_full, jnp.int32(seek), fpw=frames_per_window
+        )
         window_frames = min(frames_per_window, n_frames_total - seek)
         time_offset = seek * TIME_PER_FRAME
 

@@ -66,9 +66,13 @@ def warm_backend(monkeypatch):
 
 
 def test_stt_no_compiles_after_warmup(warm_backend):
+    # 4 s spans >3 test-tiny windows (1.2 s each), so the seek loop also
+    # exercises the prev-text-conditioning prompt buckets — the shapes the
+    # round-3 warmup gained after an encoder+first-window-only warmup left
+    # them compiling mid-request on long files
     wav = codec.write_wav(
         np.random.default_rng(0)
-        .uniform(-0.2, 0.2, 3 * 16000)
+        .uniform(-0.2, 0.2, 4 * 16000)
         .astype(np.float32),
         16000,
     )
