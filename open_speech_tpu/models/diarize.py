@@ -82,25 +82,33 @@ def embed_windows(params, cfg: DiarizerConfig, mels):
     return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
 
 
-def _merge_trace(
-    embeddings: np.ndarray,
-) -> list[tuple[float, np.ndarray]]:
-    """Full average-linkage merge sequence on cosine similarity.
+def _agglomerate(
+    embeddings: np.ndarray, threshold: float, s_floor: float = 0.15
+) -> np.ndarray:
+    """Average-linkage clustering: threshold cut + small-cluster absorption.
 
-    Returns [(sim_of_merge_k, labels_before_merge_k)] down to one cluster;
-    callers cut the sequence by threshold or by the largest similarity gap.
+    The plain threshold cut leaves speaker-switch windows (which blend two
+    voices and resemble each other across switches) as spurious
+    mid-distance clusters. On utterance-centered embeddings the structure
+    is visible per merge: within-speaker merges sit near 1, boundary-blend
+    clusters are SMALL and join a bigger cluster at moderate positive
+    similarity, and cross-speaker merges join two SUBSTANTIAL clusters at
+    near-zero/negative similarity (centered d-vectors of distinct speakers
+    point apart). So merging proceeds while sim >= 1-threshold as usual,
+    and past that cut it continues ONLY for absorption merges — a small
+    cluster joining a larger one at sim >= s_floor. The threshold keeps
+    its meaning for speaker-vs-speaker decisions; the floor only governs
+    boundary-blend cleanup. Stops online (no full merge trace).
+    Ref bar: pyannote's clustering
+    (/root/reference/src/diarization/pyannote_diarizer.py:22).
     """
     n = len(embeddings)
+    if n == 1:
+        return np.zeros(1, np.int32)
+    stop = 1.0 - threshold
+    small = max(2, int(0.2 * n))
     clusters: list[list[int]] = [[i] for i in range(n)]
     centroids = [embeddings[i].copy() for i in range(n)]
-
-    def snap() -> np.ndarray:
-        lab = np.zeros(n, np.int32)
-        for idx, members in enumerate(clusters):
-            lab[np.asarray(members)] = idx
-        return lab
-
-    trace: list[tuple[float, np.ndarray]] = []
     while len(clusters) > 1:
         best, bi, bj = -2.0, -1, -1
         for i in range(len(clusters)):
@@ -116,45 +124,19 @@ def _merge_trace(
                 )
                 if sim > best:
                     best, bi, bj = sim, i, j
-        trace.append((best, snap()))
+        absorption = (
+            min(len(clusters[bi]), len(clusters[bj])) <= small
+            and best >= s_floor
+        )
+        if best < stop and not absorption:
+            break
         clusters[bi].extend(clusters[bj])
         centroids[bi] = embeddings[clusters[bi]].mean(axis=0)
         del clusters[bj], centroids[bj]
-    trace.append((-2.0, snap()))  # the single-cluster end state
-    return trace
-
-
-def _agglomerate(
-    embeddings: np.ndarray, threshold: float, s_floor: float = 0.15
-) -> np.ndarray:
-    """Clustering labels: threshold cut, extended to a similarity floor.
-
-    The threshold cut alone leaves speaker-switch windows (which blend two
-    voices and resemble each other across switches) as spurious mid-distance
-    clusters. On utterance-centered embeddings the structure is visible in
-    the merge-similarity sequence: within-speaker merges sit near 1,
-    boundary-blend absorptions merge at moderate positive similarity, and
-    cross-speaker merges go near-zero/negative (centered d-vectors of
-    distinct speakers point apart). So after the threshold cut, keep
-    merging while similarity stays above a positive floor — mixed clusters
-    are absorbed into their nearest true speaker — and stop at the first
-    sub-floor (cross-speaker) merge. Ref bar: pyannote's clustering
-    (/root/reference/src/diarization/pyannote_diarizer.py:22).
-    """
-    n = len(embeddings)
-    if n == 1:
-        return np.zeros(1, np.int32)
-    trace = _merge_trace(embeddings)
-    sims = [s for s, _ in trace[:-1]]
-    cut = next(
-        (
-            k
-            for k, s in enumerate(sims)
-            if s < min(1.0 - threshold, s_floor)
-        ),
-        len(sims),
-    )
-    return trace[cut][1]
+    labels = np.zeros(n, np.int32)
+    for idx, members in enumerate(clusters):
+        labels[np.asarray(members)] = idx
+    return labels
 
 
 def diarization_error_rate(
@@ -198,7 +180,7 @@ def diarization_error_rate(
     k = max(nr, nh)
     best_conf = None
     for perm in permutations(range(k), k):
-        mapped = np.asarray([perm[x] if 0 <= x < k else -1 for x in range(k)])
+        mapped = np.asarray(perm)
         conf = int((both & (r != np.where(h >= 0, mapped[h], -2))).sum())
         best_conf = conf if best_conf is None else min(best_conf, conf)
     return (miss + fa + (best_conf or 0)) / ref_speech
@@ -281,16 +263,12 @@ class JaxDiarizer:
         norms = np.linalg.norm(active, axis=1, keepdims=True)
         active = active / np.maximum(norms, 1e-8)
         labels_active = _agglomerate(active, self.threshold)
-        # windows straddling a speaker change blend both voices and tend to
-        # agglomerate into their own tiny clusters: absorb any cluster with
-        # marginal mass into the nearest substantial centroid (also caps
-        # speaker count)
+        # cap speaker count: windows of clusters beyond the max_speakers
+        # largest reassign to the nearest surviving centroid (boundary-blend
+        # clusters were already absorbed inside _agglomerate)
         uniq, counts = np.unique(labels_active, return_counts=True)
-        min_mass = max(2, int(0.05 * len(labels_active)))
-        big = uniq[np.argsort(-counts)][: self.max_speakers]
-        big = np.asarray([u for u in big if counts[list(uniq).index(u)] >= min_mass]) \
-            if len(labels_active) > 3 else big
-        if len(big) >= 1 and len(big) < len(uniq):
+        if len(uniq) > self.max_speakers:
+            big = uniq[np.argsort(-counts)][: self.max_speakers]
             cents = np.stack(
                 [active[labels_active == u].mean(axis=0) for u in big]
             )

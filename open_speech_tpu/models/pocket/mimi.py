@@ -433,10 +433,16 @@ class MimiStreamingDecoder:
     ):
         self.params = params
         self.cfg = cfg
-        # transformer context dominates the conv receptive fields
+        # the transformer attends t_context positions at the 25 Hz rate =
+        # t_context // down_stride TOKEN frames; conv receptive fields add
+        # a small margin. The halo must cover the full attention window or
+        # streamed samples diverge from mimi_decode past the halo (review
+        # finding: an old 64-frame cap broke bit-exactness after ~5 s).
         conv_halo = 4 + cfg.kernel_size + 4 * cfg.residual_kernel_size
-        self.halo = halo_frames if halo_frames is not None else min(
-            cfg.t_context + conv_halo, 64
+        self.halo = (
+            halo_frames
+            if halo_frames is not None
+            else cfg.t_context // cfg.down_stride + conv_halo
         )
         self.block = block_frames
         self._hist: np.ndarray | None = None  # [B, K, <=halo] history

@@ -21,6 +21,7 @@ Weights load via ``convert.py`` from a torch ``state_dict`` (moshi naming);
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from functools import partial
 from typing import Iterator
@@ -48,6 +49,8 @@ from open_speech_tpu.models.pocket.mimi import (
     init_mimi_params,
     mimi_encode,
 )
+
+logger = logging.getLogger(__name__)
 
 SAMPLE_RATE = 24_000
 
@@ -256,7 +259,18 @@ class PocketTTS:
             max_frames = max(4, int(len(text) * frames_per_char))
         max_delay = cfg.max_delay
         budget = cfg.max_ctx - start - n_ids - 1
-        max_frames = max(1, min(max_frames, budget - max_delay))
+        if budget - max_delay < 1:
+            # KV budget exhausted (prompt state + text fill max_ctx): there
+            # is no room to emit even one frame — forcing one would push
+            # pos past max_ctx and the clamped cache write would silently
+            # corrupt the last slot (review finding)
+            logger.warning(
+                "pocket generate_stream: context exhausted "
+                "(start=%d, n_ids=%d, max_ctx=%d); emitting nothing",
+                start, n_ids, cfg.max_ctx,
+            )
+            return
+        max_frames = min(max_frames, budget - max_delay)
 
         # text prefill: audio streams silent (initial); ids padded to a
         # shape bucket so any text length reuses one compiled program

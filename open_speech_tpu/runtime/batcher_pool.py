@@ -85,6 +85,33 @@ async def get_batcher(
         return batcher
 
 
+async def transcribe_pcm_batched(
+    backend, model_id: str, language: str, pcm, task: str = "transcribe"
+) -> dict:
+    """One utterance window through the shared batcher: mel framing,
+    duration-scaled token budget, token decode. The single batched-STT
+    entry both streaming sessions (server/streaming.py) and realtime
+    commits (server/realtime/server.py) submit through."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from open_speech_tpu.ops.mel import log_mel_spectrogram, pad_or_trim
+
+    entry = backend._ensure_model(model_id)
+    cfg, tok = entry["cfg"], entry["tok"]
+    batcher = await get_batcher(backend, model_id, language, task)
+    window_samples = cfg.n_audio_ctx * 2 * 160
+    duration_s = len(pcm) / 16000
+    mel = log_mel_spectrogram(
+        pad_or_trim(jnp.asarray(pcm), window_samples), n_mels=cfg.n_mels
+    )
+    budget = -(-min(224, int(duration_s * 12) + 12) // 16) * 16
+    tokens = await batcher.transcribe_window(
+        np.asarray(mel), max_new_tokens=budget
+    )
+    return {"text": tok.decode(tokens).strip()}
+
+
 async def shutdown_batchers() -> None:
     for batcher in list(_batchers.values()):
         await batcher.stop()

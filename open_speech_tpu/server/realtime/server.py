@@ -253,12 +253,19 @@ class RealtimeSession:
 
         loop = asyncio.get_running_loop()
         model = self.config.model or settings.stt_model
+        # OpenAI realtime extension: input_audio_transcription.language pins
+        # the language. The batcher's slot pool shares one prompt per
+        # (model, language), so only language-pinned sessions ride it —
+        # unpinned commits keep the executor path's per-commit auto-detect.
+        lang = (self.config.input_audio_transcription or {}).get("language")
         try:
-            if settings.os_batcher_enabled:
+            if settings.os_batcher_enabled and lang:
                 # realtime commits share the continuous batcher's slot pool
                 # with streaming sessions (SURVEY §3.4: both directions feed
                 # the shared batcher) instead of a per-request executor run
-                result = await self._transcribe_batched(audio_data, model)
+                result = await self._transcribe_batched(
+                    audio_data, model, lang
+                )
             else:
                 result = await loop.run_in_executor(
                     _executor, _run_stt, audio_data, model
@@ -277,29 +284,17 @@ class RealtimeSession:
             )
         )
 
-    async def _transcribe_batched(self, audio_pcm16: bytes, model: str) -> dict:
-        """One committed turn through the shared slot-pool batcher (same
-        mel/budget framing as server/streaming.py's batched path)."""
-        import jax.numpy as jnp
-
+    async def _transcribe_batched(
+        self, audio_pcm16: bytes, model: str, language: str
+    ) -> dict:
+        """One committed turn through the shared slot-pool batcher."""
         from open_speech_tpu.ops.audio import pcm16_to_float
-        from open_speech_tpu.ops.mel import log_mel_spectrogram, pad_or_trim
-        from open_speech_tpu.runtime.batcher_pool import get_batcher
+        from open_speech_tpu.runtime.batcher_pool import transcribe_pcm_batched
 
-        backend = stt_router.get_backend(model)
-        entry = backend._ensure_model(model)
-        cfg, tok = entry["cfg"], entry["tok"]
-        batcher = await get_batcher(backend, model, "en")
-        pcm = pcm16_to_float(audio_pcm16)
-        window_samples = cfg.n_audio_ctx * 2 * 160
-        mel = log_mel_spectrogram(
-            pad_or_trim(jnp.asarray(pcm), window_samples), n_mels=cfg.n_mels
+        return await transcribe_pcm_batched(
+            stt_router.get_backend(model), model, language,
+            pcm16_to_float(audio_pcm16),
         )
-        budget = -(-min(224, int(len(pcm) / 16000 * 12) + 12) // 16) * 16
-        tokens = await batcher.transcribe_window(
-            np.asarray(mel), max_new_tokens=budget
-        )
-        return {"text": tok.decode(tokens).strip()}
 
     # response.*
 

@@ -522,6 +522,14 @@ _IPA_NORM_SEQ = [
     ("tʃ", "ʧ"), ("dʒ", "ʤ"), ("tɕ", "ʨ"), ("dʑ", "ʥ"),
     ("g", "ɡ"), ("'", "ˈ"), ("ˑ", "ː"),
     ("‿", " "), ("|", " "), ("‖", " "), ("_", " "), ("͡", ""),
+    # precomposed nasal vowels (pt) -> base + combining tilde U+0303
+    # (both in the kokoro alphabet); ʏ (de/espeak) -> nearest in-vocab vowel
+    ("\u00e3", "a\u0303"),
+    ("\u1ebd", "e\u0303"),
+    ("\u0129", "i\u0303"),
+    ("\u00f5", "o\u0303"),
+    ("\u0169", "u\u0303"),
+    ("\u028f", "\u028a"),
 ]
 
 

@@ -187,6 +187,18 @@ def test_soak_mixed_realtime_and_streaming(soak_env, monkeypatch):
         s = RealtimeSession(ws, tts, model="test-tiny")
         s.config.turn_detection = None
         await s.initialize()
+        # language-pinned sessions ride the shared batcher (unpinned ones
+        # keep the executor path's per-commit auto-detect)
+        await s.handle_event(
+            {
+                "type": "session.update",
+                "session": {
+                    "input_audio_transcription": {
+                        "model": "test-tiny", "language": "en",
+                    }
+                },
+            }
+        )
         for _ in range(n_turns):
             pcm24 = (
                 rng.uniform(-0.3, 0.3, 24000) * 32767

@@ -184,3 +184,21 @@ def test_piper_phoneme_ids_framing():
     id_map = {"^": [1], "$": [2], "_": [0], "a": [7]}
     ids = piper_phoneme_ids(["a"], id_map)
     assert ids == [1, 0, 7, 0, 2]
+
+
+def test_kokoro_pt_nasals_and_norm_symbols_encode():
+    """pt nasal vowels (precomposed in the rule tables) and espeak-only
+    symbols normalize onto the kokoro alphabet instead of dropping
+    (review finding: vendored vocab stores base letter + combining tilde,
+    not precomposed codepoints)."""
+    from open_speech_tpu.tts.backends.kokoro_backend import KokoroBackend
+
+    b = KokoroBackend()
+    ids = b._encode_text("pão bom não", "pt")
+    assert len(ids) > 6
+    assert b.last_drop_rate == 0.0, b.last_drop_rate
+    # ʏ maps to a nearby in-vocab vowel rather than dropping
+    from open_speech_tpu.text.g2p_langs import normalize_ipa
+
+    out = normalize_ipa(list("nɔʏ"))
+    assert "ʏ" not in out and "ʊ" in out
