@@ -217,13 +217,20 @@ def bench_asr(run_asr: bool = True) -> None:
         )  # 10 s into the utterance
         chunk = rng2.uniform(-0.3, 0.3, 1600).astype(np.float32)  # 100 ms
         sot = sp.sot_sequence("en", "transcribe", timestamps=False)
-        inc_prompt = np.asarray([sot], np.int32)
+        # steady-state serving shape (server/streaming.py): LocalAgreement2's
+        # confirmed prefix is FORCED via the parallel prefill, and only the
+        # unconfirmed tail is generated — 128 forced + 48-token tail here
+        forced = list(
+            rng2.integers(sp.timestamp_begin // 2, size=128).astype(np.int32)
+        )
+        inc_prompt = np.asarray([list(sot) + forced], np.int32)
 
         def inc_step():
             enc_inc.append_audio(chunk)
             enc_states, bucket = enc_inc.interim_states()
             budget = min(224, max(32, (bucket * 12 * 2) // 100 + 16))
             budget = -(-budget // 16) * 16
+            budget = max(32, budget - len(forced))
             opts = DecodeOptions(
                 language="en", timestamps=False, beam_size=1,
                 max_new_tokens=budget, suppress_blank=True,

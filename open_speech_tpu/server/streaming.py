@@ -395,16 +395,34 @@ class StreamingSession:
         encoder = self._inc_encoder
         language = self.language or "en"
 
+        # confirmed-prefix conditioning: LocalAgreement2's stable prefix is
+        # forced into the prompt (parallel prefill = one device pass), so
+        # each interim only *generates* the unconfirmed tail instead of
+        # re-generating the whole utterance text — per-chunk decode cost
+        # stays ~constant as the utterance grows. Forced length snaps to a
+        # bucket ladder so prompt shapes stay bounded.
+        conf_words = list(self.agreement.confirmed_words)
+
         def work() -> dict:
             if new_bytes:
                 encoder.append_audio(pcm16_to_float(new_bytes))
             enc_states, bucket = encoder.interim_states()
             sp = tok.special
+            forced: list[int] = []
+            if conf_words:
+                conf_ids = tok.encode(" ".join(conf_words))
+                fb = 0
+                for b in (16, 32, 64, 96, 128, 160):
+                    if b <= len(conf_ids):
+                        fb = b
+                forced = [int(t) for t in conf_ids[:fb]]
             # budget follows the decode bucket, not the raw duration: one
             # compiled decode program per bucket instead of one per
-            # (duration-bucket x enc-bucket) pair
+            # (duration-bucket x enc-bucket) pair; the forced prefix
+            # (bucketed multiple of 16) subtracts from the generation tail
             budget = min(224, max(32, (bucket * 12 * 2) // 100 + 16))
             budget = -(-budget // 16) * 16
+            budget = max(32, budget - len(forced))
             opts = DecodeOptions(
                 language=language, timestamps=False, beam_size=1,
                 max_new_tokens=budget, suppress_blank=True,
@@ -413,9 +431,10 @@ class StreamingSession:
                 sot = sp.sot_sequence(language, "transcribe", timestamps=False)
             except ValueError:  # unknown language code: neutral default
                 sot = sp.sot_sequence("en", "transcribe", timestamps=False)
-            prompt = _np.asarray([sot], _np.int32)
+            prompt = _np.asarray([list(sot) + forced], _np.int32)
             res = greedy_decode(params, cfg, sp, enc_states, prompt, opts)
-            text = tok.decode(res.tokens[0][: res.lengths[0]]).strip()
+            tail = [int(t) for t in res.tokens[0][: res.lengths[0]]]
+            text = tok.decode(forced + tail).strip()
             return {"text": text}
 
         return await asyncio.get_running_loop().run_in_executor(
