@@ -236,7 +236,8 @@ def bench_asr(run_asr: bool = True) -> None:
                 max_new_tokens=budget, suppress_blank=True,
             )
             return greedy_decode(
-                params, cfg, sp, enc_states, inc_prompt, opts
+                params, cfg, sp, enc_states, inc_prompt, opts,
+                enc_len=np.asarray([enc_inc.real_positions], np.int32),
             )
 
         inc_step()  # compile (block program + bucketed decode)

@@ -158,7 +158,7 @@ def _apply_rules(
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
-def _prefill(params, prompt, cross_kv, self_kv, cfg: WhisperConfig):
+def _prefill(params, prompt, cross_kv, self_kv, cfg: WhisperConfig, enc_len=None):
     """Prefill prompt tokens [B, P] in ONE teacher-forced pass.
 
     A sequential per-token scan wastes the MXU: each step is a [B,1,d]
@@ -196,7 +196,7 @@ def _prefill(params, prompt, cross_kv, self_kv, cfg: WhisperConfig):
         h = h + linear(_merge_heads(attn), bp["attn"]["o"])
         hc = layer_norm(h, bp["ln_cross"])
         qc = _split_heads(linear(hc, bp["cross"]["q"]), n_head)
-        h = h + linear(_merge_heads(cross_attend(qc, ckv, b)), bp["cross"]["o"])
+        h = h + linear(_merge_heads(cross_attend(qc, ckv, b, enc_len)), bp["cross"]["o"])
         h = h + mlp(layer_norm(h, bp["ln_mlp"]), bp)
         return h, jnp.stack([k, v])  # [2, B, H, P, dh]
 
@@ -222,6 +222,7 @@ def greedy_decode(
     prompt: np.ndarray,  # [B, P] int32 (sot sequence, maybe with prefix)
     opts: DecodeOptions = DecodeOptions(),
     rng: jax.Array | None = None,
+    enc_len: np.ndarray | None = None,  # [B] real encoder positions (mask)
 ) -> DecodeResult:
     """Greedy (temperature=0) or sampled decode with whisper logit rules."""
     b, p_len = prompt.shape
@@ -241,6 +242,7 @@ def greedy_decode(
         suppress,
         rng,
         jnp.float32(opts.temperature),
+        None if enc_len is None else jnp.asarray(enc_len, jnp.int32),
         cfg=cfg,
         special=special,
         max_new=max_new,
@@ -286,6 +288,7 @@ def _greedy_impl(
     suppress,
     rng,
     temperature,
+    enc_len=None,
     *,
     cfg: WhisperConfig,
     special: SpecialTokens,
@@ -298,7 +301,9 @@ def _greedy_impl(
     b, p_len = prompt.shape
     cross_kv = precompute_cross_kv(params, enc_out, cfg)
     self_kv = init_self_kv(cfg, b, _cache_len(cfg, p_len, max_new), enc_out.dtype)
-    prefill_logits, self_kv = _prefill(params, prompt, cross_kv, self_kv, cfg)
+    prefill_logits, self_kv = _prefill(
+        params, prompt, cross_kv, self_kv, cfg, enc_len
+    )
     # no_speech prob: measured at the logits following the <|sot|> input
     sot_pos = jnp.argmax((prompt == special.sot).astype(jnp.int32), axis=1)  # [B]
     sot_logits = jnp.take_along_axis(
@@ -348,7 +353,7 @@ def _greedy_impl(
         max_ts = jnp.where(is_ts & ~finished, jnp.maximum(max_ts, tok), max_ts)
         new_finished = finished | now_eot
         next_logits, kv = decode_step(
-            params, tok[:, None], p_len + step_idx, kv, cross_kv, cfg
+            params, tok[:, None], p_len + step_idx, kv, cross_kv, cfg, enc_len
         )
         return (
             step_idx + 1,
@@ -463,6 +468,7 @@ def _beam_impl(
     prompt,
     enc_out,
     suppress,
+    enc_len=None,
     *,
     cfg: WhisperConfig,
     special: SpecialTokens,
@@ -483,10 +489,12 @@ def _beam_impl(
         cfg, b, _cache_len(cfg, prompt.shape[1], max_new), enc_out.dtype
     )
     prefill_logits, self_kv_b = _prefill(
-        params, prompt, cross_kv_b, self_kv_b, cfg
+        params, prompt, cross_kv_b, self_kv_b, cfg, enc_len
     )
     cross_kv = _repeat_kv(cross_kv_b, k)
     self_kv = _repeat_kv(self_kv_b, k)
+    if enc_len is not None:
+        enc_len = jnp.repeat(enc_len, k)  # beams ride the batch axis
     sot_pos = jnp.argmax((prompt == special.sot).astype(jnp.int32), axis=1)
     sot_logits = jnp.take_along_axis(
         prefill_logits.transpose(1, 0, 2), sot_pos[:, None, None], axis=1
@@ -543,7 +551,7 @@ def _beam_impl(
         max_ts = jnp.where(is_ts & ~finished, jnp.maximum(max_ts, tok), max_ts)
         new_finished = finished | (tok == special.eot)
         next_logits, kv = decode_step(
-            params, tok[:, None], p_len + step_idx, kv, cross_kv, cfg
+            params, tok[:, None], p_len + step_idx, kv, cross_kv, cfg, enc_len
         )
         return (
             step_idx + 1,

@@ -382,21 +382,27 @@ def precompute_cross_kv(params, enc_out, cfg: WhisperConfig):
     return _precompute_cross_kv_impl(params, enc_out, cfg.n_text_head)
 
 
-def cross_attend(qc, ckv, batch: int):
-    """Cross-attention against a per-layer cross-KV slice (either form)."""
+def cross_attend(qc, ckv, batch: int, enc_len=None):
+    """Cross-attention against a per-layer cross-KV slice (either form).
+
+    ``enc_len`` ([B] int32) masks encoder positions past the real audio —
+    the streaming interim path encodes only audio-backed blocks and masks
+    the rest instead of re-encoding silence to the bucket edge each chunk.
+    """
     if isinstance(ckv, dict):
-        t_enc = ckv["k"].shape[2]
-        enc_len = jnp.full((batch,), t_enc, jnp.int32)
+        if enc_len is None:
+            enc_len = jnp.full((batch,), ckv["k"].shape[2], jnp.int32)
         return decode_attention(
             qc, ckv["k"], ckv["v"], enc_len,
             k_scale=ckv["k_s"], v_scale=ckv["v_s"],
         )
-    enc_len = jnp.full((batch,), ckv.shape[3], jnp.int32)
+    if enc_len is None:
+        enc_len = jnp.full((batch,), ckv.shape[3], jnp.int32)
     return decode_attention(qc, ckv[0], ckv[1], enc_len)
 
 
 @partial(jax.jit, static_argnames=("n_head",), donate_argnums=(3,))
-def _decode_step_impl(params, tokens, pos, self_kv, cross_kv, n_head):
+def _decode_step_impl(params, tokens, pos, self_kv, cross_kv, n_head, enc_len=None):
     dec = params["decoder"]
     b = tokens.shape[0]
     x = embed_tokens(dec, tokens) + jax.lax.dynamic_slice_in_dim(
@@ -422,7 +428,7 @@ def _decode_step_impl(params, tokens, pos, self_kv, cross_kv, n_head):
         # cross-attn against precomputed enc K/V (bf16 or int8 packed)
         hc = layer_norm(h, bp["ln_cross"])
         qc = _split_heads(linear(hc, bp["cross"]["q"]), n_head)
-        attn_c = cross_attend(qc, ckv, b)
+        attn_c = cross_attend(qc, ckv, b, enc_len)
         h = h + linear(_merge_heads(attn_c), bp["cross"]["o"])
         h = h + mlp(layer_norm(h, bp["ln_mlp"]), bp)
         return h, jnp.stack([k_cache, v_cache])
@@ -435,7 +441,9 @@ def _decode_step_impl(params, tokens, pos, self_kv, cross_kv, n_head):
     return logits[:, 0], new_kv
 
 
-def decode_step(params, tokens, pos, self_kv, cross_kv, cfg: WhisperConfig):
+def decode_step(
+    params, tokens, pos, self_kv, cross_kv, cfg: WhisperConfig, enc_len=None
+):
     """One incremental decode position.
 
     tokens: [B, 1] int32 (current input token); pos: scalar int32 position;
@@ -443,4 +451,6 @@ def decode_step(params, tokens, pos, self_kv, cross_kv, cfg: WhisperConfig):
     cross_kv: from precompute_cross_kv.
     Returns (logits [B, vocab] float32, new self_kv).
     """
-    return _decode_step_impl(params, tokens, pos, self_kv, cross_kv, cfg.n_text_head)
+    return _decode_step_impl(
+        params, tokens, pos, self_kv, cross_kv, cfg.n_text_head, enc_len
+    )

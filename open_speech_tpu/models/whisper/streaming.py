@@ -188,16 +188,29 @@ class StreamingWhisperEncoder:
                 return b
         return min(DECODE_BUCKETS[-1], self.cfg.n_audio_ctx)
 
+    @property
+    def real_positions(self) -> int:
+        """Audio-backed encoder positions (for masked cross-attention)."""
+        return min(self.total_positions, self.cfg.n_audio_ctx)
+
     def interim_states(self):
         """(enc_states [1, bucket, D], bucket): committed prefix + a
-        freshly-encoded tail (real audio remainder + silence) to the
-        bucket edge. Tail blocks are recomputed per interim and not
-        committed — per-chunk work stays bounded by the bucket gap."""
+        freshly-encoded tail covering the real-audio remainder. Tail
+        blocks are recomputed per interim and not committed — per-chunk
+        work stays bounded by ONE block, because only audio-backed blocks
+        are encoded: positions between ``real_positions`` and the bucket
+        edge stay zero and the decoder masks them out via ``enc_len``
+        (re-encoding silence to the bucket edge cost ~4 blocks per interim
+        at long utterances; measured 100 ms/chunk of the 239 ms interim
+        budget on large-v3-turbo)."""
         bucket = self.decode_bucket()
         kc, vc, enc = self._kc, self._vc, self._enc
         p0 = self._committed
         last_start = self.cfg.n_audio_ctx - self.block_pos
-        while p0 < bucket:
+        encode_to = min(
+            bucket, -(-self.real_positions // self.block_pos) * self.block_pos
+        )
+        while p0 < encode_to:
             # a block starting past ctx-block_pos would clamp inside
             # dynamic_update_slice and desync positions from the mel
             # segment; start the final block earlier instead (the overlap

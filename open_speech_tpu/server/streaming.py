@@ -432,7 +432,10 @@ class StreamingSession:
             except ValueError:  # unknown language code: neutral default
                 sot = sp.sot_sequence("en", "transcribe", timestamps=False)
             prompt = _np.asarray([list(sot) + forced], _np.int32)
-            res = greedy_decode(params, cfg, sp, enc_states, prompt, opts)
+            res = greedy_decode(
+                params, cfg, sp, enc_states, prompt, opts,
+                enc_len=_np.asarray([encoder.real_positions], _np.int32),
+            )
             tail = [int(t) for t in res.tokens[0][: res.lengths[0]]]
             text = tok.decode(forced + tail).strip()
             return {"text": text}
