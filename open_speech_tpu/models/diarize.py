@@ -186,8 +186,98 @@ def diarization_error_rate(
     return (miss + fa + (best_conf or 0)) / ref_speech
 
 
+def turns_from_local_activity(
+    starts: list[int],
+    active: np.ndarray,  # [n_chunks, T, local_speakers] binary
+    keys: list[tuple[int, int]],  # (chunk, local_speaker) with an embedding
+    labels: np.ndarray,  # global label per key
+    n_samples: int,
+    frame_step: int,
+    min_on_s: float = 0.25,
+    max_gap_s: float = 0.25,
+) -> list[dict]:
+    """Stitch per-chunk local speaker activity into global speaker turns.
+
+    Overlap-add: chunks vote on shared frames per global speaker (>= half
+    the covering chunks must mark the frame active), then per-speaker runs
+    become turns — turns of DIFFERENT speakers may overlap (simultaneous
+    speech), matching pyannote's output contract. Short gaps are bridged
+    and sub-``min_on_s`` blips dropped.
+    """
+    if not keys:
+        return []
+    n_frames_total = -(-n_samples // frame_step)
+    n_global = int(np.max(labels)) + 1
+    votes = np.zeros((n_frames_total, n_global), np.float32)
+    cover = np.zeros((n_frames_total, n_global), np.float32)
+    t_chunk = active.shape[1]
+    for (ci, spk), g in zip(keys, labels):
+        f0 = starts[ci] // frame_step
+        hi = min(f0 + t_chunk, n_frames_total)
+        votes[f0:hi, g] += active[ci, : hi - f0, spk]
+        cover[f0:hi, g] += 1.0
+    act = votes >= np.maximum(cover, 1.0) / 2.0
+
+    sec = frame_step / SAMPLE_RATE
+    min_on = max(1, int(round(min_on_s / sec)))
+    max_gap = int(round(max_gap_s / sec))
+    order: dict[int, int] = {}
+    raw: list[dict] = []
+    for g in range(n_global):
+        on = act[:, g]
+        runs: list[list[int]] = []
+        f = 0
+        while f < len(on):
+            if on[f]:
+                e = f
+                while e + 1 < len(on) and on[e + 1]:
+                    e += 1
+                if runs and f - runs[-1][1] - 1 <= max_gap:
+                    runs[-1][1] = e  # bridge the short gap
+                else:
+                    runs.append([f, e])
+                f = e + 1
+            else:
+                f += 1
+        for a, b in runs:
+            if b - a + 1 < min_on:
+                continue
+            if g not in order:
+                order[g] = len(order)
+            raw.append(
+                {
+                    "_g": g,
+                    "start": round(a * sec, 3),
+                    "end": round(min((b + 1) * sec, n_samples / SAMPLE_RATE), 3),
+                }
+            )
+    raw.sort(key=lambda t: (t["start"], t["end"]))
+    # number speakers by first appearance in time
+    first_seen: dict[int, int] = {}
+    for t in raw:
+        if t["_g"] not in first_seen:
+            first_seen[t["_g"]] = len(first_seen)
+    return [
+        {
+            "speaker": f"SPEAKER_{first_seen[t['_g']]:02d}",
+            "start": t["start"],
+            "end": t["end"],
+        }
+        for t in raw
+    ]
+
+
 class JaxDiarizer:
-    """Windowed embedding diarizer with energy-based speech gating."""
+    """Windowed embedding diarizer with energy-based speech gating.
+
+    When a PyanNet segmentation checkpoint is available (the model inside
+    the reference's pyannote-3.1 pipeline, src/diarization/
+    pyannote_diarizer.py:22), diarization runs the full local-segmentation
+    -> speaker-embedding -> clustering recipe instead: per-frame speaker
+    activity over 10 s chunks gives VAD, speaker-change boundaries, AND
+    overlapping speech (the energy-gated path smears overlaps by
+    construction).
+    """
 
     def __init__(
         self,
@@ -195,11 +285,31 @@ class JaxDiarizer:
         cfg: DiarizerConfig = DiarizerConfig(),
         threshold: float = 0.35,
         max_speakers: int = 8,
+        seg=None,
     ):
         self.cfg = cfg
         self.params = params if params is not None else init_diarizer_params()
         self.threshold = threshold
         self.max_speakers = max_speakers
+        # PyanNet segmentation (params, cfg) — explicit, or auto-converted
+        # from an on-disk checkpoint
+        self.seg = seg
+        if self.seg is None:
+            from open_speech_tpu.models.segmentation import (
+                convert_segmentation,
+                find_segmentation_checkpoint,
+            )
+
+            ckpt = find_segmentation_checkpoint()
+            if ckpt is not None:
+                try:
+                    self.seg = convert_segmentation(ckpt)
+                except Exception:  # noqa: BLE001 — fall back to energy gating
+                    import logging
+
+                    logging.getLogger(__name__).exception(
+                        "Segmentation checkpoint %s failed to convert", ckpt
+                    )
         # trained d-vector path: converted GE2E (resemblyzer) weights give
         # real speaker embeddings; the conv fallback keeps the pipeline
         # runnable without a checkpoint
@@ -237,9 +347,95 @@ class JaxDiarizer:
             embed_windows(self.params, self.cfg, jnp.asarray(mels))
         )
 
+    def _diarize_segmented(self, audio: np.ndarray) -> list[dict]:
+        """PyanNet path: local activity -> per-(chunk, speaker) embeddings
+        -> global clustering -> overlap-aware turns."""
+        from open_speech_tpu.models.segmentation import (
+            CHUNK_SAMPLES,
+            powerset_to_multilabel,
+            segment_chunks,
+        )
+
+        seg_params, seg_cfg = self.seg
+        n = len(audio)
+        hop = CHUNK_SAMPLES // 2
+        padded = (
+            np.pad(audio, (0, CHUNK_SAMPLES - n)) if n < CHUNK_SAMPLES else audio
+        )
+        starts = list(range(0, max(1, len(padded) - CHUNK_SAMPLES + 1), hop))
+        if starts[-1] + CHUNK_SAMPLES < len(padded):  # tail chunk, padded
+            starts.append(len(padded) - CHUNK_SAMPLES)
+        chunks = np.stack(
+            [
+                np.pad(padded[s : s + CHUNK_SAMPLES],
+                       (0, max(0, s + CHUNK_SAMPLES - len(padded))))
+                for s in starts
+            ]
+        )
+        logp = np.asarray(segment_chunks(seg_params, jnp.asarray(chunks), seg_cfg))
+        active = powerset_to_multilabel(logp.argmax(-1), seg_cfg)  # [N,T,S]
+        # frame stride = product of the conv-stack strides (10 * 3^3 = 270)
+        frame_step = seg_cfg.sinc_stride * 27
+        # zero activity on frames past the real audio (padded tails)
+        for ci, s0 in enumerate(starts):
+            real = max(0, min(n - s0, CHUNK_SAMPLES)) // frame_step
+            active[ci, real:] = 0.0
+
+        win = int(WINDOW_S * SAMPLE_RATE)
+        hop_w = int(HOP_S * SAMPLE_RATE)
+        embs, keys = [], []
+        for ci, s0 in enumerate(starts):
+            for spk in range(seg_cfg.max_speakers):
+                frames = np.where(active[ci, :, spk] > 0)[0]
+                if len(frames) * frame_step < 0.4 * SAMPLE_RATE:
+                    continue  # <0.4 s of local speech: too little to embed
+                picks = [
+                    audio[s0 + f * frame_step : s0 + (f + 1) * frame_step]
+                    for f in frames
+                    if s0 + f * frame_step < n
+                ]
+                speech = np.concatenate(picks) if picks else np.zeros(0, np.float32)
+                if len(speech) < 0.4 * SAMPLE_RATE:
+                    continue
+                if len(speech) < win:  # tile up to one full window
+                    speech = np.tile(speech, -(-win // len(speech)))[:win]
+                wins = np.stack(
+                    [speech[o : o + win]
+                     for o in range(0, len(speech) - win + 1, hop_w)][:16]
+                )
+                e = self._embed(wins).mean(axis=0)
+                embs.append(e / max(float(np.linalg.norm(e)), 1e-8))
+                keys.append((ci, spk))
+        if not embs:
+            return []
+        emb = np.stack(embs)
+        centered = emb - emb.mean(axis=0, keepdims=True)
+        centered /= np.maximum(np.linalg.norm(centered, axis=1, keepdims=True), 1e-8)
+        labels = (
+            _agglomerate(centered, self.threshold)
+            if len(emb) > 1
+            else np.zeros(1, np.int32)
+        )
+        uniq, counts = np.unique(labels, return_counts=True)
+        if len(uniq) > self.max_speakers:
+            big = uniq[np.argsort(-counts)][: self.max_speakers]
+            cents = np.stack([centered[labels == u].mean(axis=0) for u in big])
+            cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-8)
+            labels = big[np.argmax(centered @ cents.T, axis=1)]
+        return turns_from_local_activity(
+            starts, active, keys, labels, n, frame_step
+        )
+
     def diarize_audio(self, audio: np.ndarray) -> list[dict]:
-        """float32 16 kHz mono -> [{speaker, start, end}] turns."""
+        """float32 16 kHz mono -> [{speaker, start, end}] turns.
+
+        Turns may overlap when the segmentation model is active (real
+        simultaneous speech); the energy-gated fallback emits
+        non-overlapping turns only.
+        """
         audio = np.asarray(audio, np.float32).reshape(-1)
+        if self.seg is not None and len(audio) > 0:
+            return self._diarize_segmented(audio)
         win = int(WINDOW_S * SAMPLE_RATE)
         hop = int(HOP_S * SAMPLE_RATE)
         if len(audio) < win:

@@ -211,3 +211,79 @@ def test_diarize_quality_three_speakers():
     assert len({t["speaker"] for t in turns}) == 3
     der = diarization_error_rate(ref, turns)
     assert der <= 0.30, f"DER {der:.3f} > 0.30; turns={turns}"
+
+
+def test_turns_from_local_activity_overlap():
+    """Two global speakers with simultaneous speech -> overlapping turns."""
+    from open_speech_tpu.models.diarize import turns_from_local_activity
+
+    step = 270
+    t = 60  # frames per chunk
+    active = np.zeros((1, t, 3), np.float32)
+    active[0, 5:30, 0] = 1.0   # local spk 0 talks frames 5-30
+    active[0, 20:55, 1] = 1.0  # local spk 1 overlaps frames 20-30
+    turns = turns_from_local_activity(
+        [0], active, [(0, 0), (0, 1)], np.array([0, 1]), t * step, step
+    )
+    assert len({t_["speaker"] for t_ in turns}) == 2
+    a = next(t_ for t_ in turns if t_["speaker"] == "SPEAKER_00")
+    b = next(t_ for t_ in turns if t_["speaker"] == "SPEAKER_01")
+    assert a["start"] < b["start"] < a["end"], "overlap must be preserved"
+
+
+def test_turns_from_local_activity_chunk_vote():
+    """Frames covered by two chunks need a majority vote, gaps bridge."""
+    from open_speech_tpu.models.diarize import turns_from_local_activity
+
+    step = 270
+    t = 40
+    active = np.zeros((2, t, 3), np.float32)
+    active[0, 0:40, 0] = 1.0    # chunk 0 says active through its window
+    active[1, 0:20, 2] = 1.0    # chunk 1 (starting at frame 20) agrees 20-39
+    # both map to global speaker 0; chunk 1's local spk 2 == same voice
+    turns = turns_from_local_activity(
+        [0, 20 * step], active, [(0, 0), (1, 2)], np.array([0, 0]),
+        60 * step, step,
+    )
+    assert len(turns) == 1
+    assert turns[0]["speaker"] == "SPEAKER_00"
+    assert turns[0]["start"] == 0.0
+    # chunk1 votes against frames 40-59 (cover=1, vote=0) -> turn ends ~40
+    assert abs(turns[0]["end"] - 40 * step / 16000) < 0.05
+
+
+def test_turns_min_duration_and_gap_bridge():
+    from open_speech_tpu.models.diarize import turns_from_local_activity
+
+    step = 270
+    active = np.zeros((1, 100, 3), np.float32)
+    active[0, 10:40, 0] = 1.0
+    active[0, 44:70, 0] = 1.0   # 4-frame gap (~68ms) -> bridged
+    active[0, 90:93, 0] = 1.0   # 3 frames (~50ms) -> dropped
+    turns = turns_from_local_activity(
+        [0], active, [(0, 0)], np.array([0]), 100 * step, step
+    )
+    assert len(turns) == 1
+    assert turns[0]["start"] == round(10 * step / 16000, 3)
+
+
+def test_diarize_segmented_mechanics():
+    """Random-init PyanNet through the full segmented pipeline: runs,
+    returns well-formed (possibly empty) turns, no energy gate involved."""
+    from open_speech_tpu.models.segmentation import (
+        SegmentationConfig,
+        init_segmentation_params,
+    )
+
+    cfg = SegmentationConfig(
+        n_sinc=8, conv_hidden=12, lstm_hidden=8, lstm_layers=1,
+        linear_hidden=8,
+    )
+    seg = (init_segmentation_params(cfg=cfg), cfg)
+    d = JaxDiarizer(threshold=0.2, seg=seg)
+    audio = np.concatenate([_speaker_audio(220, 6, 1), _speaker_audio(520, 6, 2)])
+    turns = d.diarize_audio(audio)
+    assert isinstance(turns, list)
+    for t in turns:
+        assert set(t) == {"speaker", "start", "end"}
+        assert 0.0 <= t["start"] < t["end"] <= len(audio) / 16000 + 0.02

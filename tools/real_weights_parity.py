@@ -108,11 +108,38 @@ def run_vad(onnx_path: str, audio_path: str) -> dict:
     }
 
 
+def run_segmentation(ckpt: str, audio_path: str) -> dict:
+    """PyanNet checkpoint -> speaker turns on a real file (+ overlaps)."""
+    import numpy as np
+
+    from open_speech_tpu.models.diarize import JaxDiarizer
+    from open_speech_tpu.models.segmentation import convert_segmentation
+    from open_speech_tpu.ops import audio as codec
+
+    seg = convert_segmentation(ckpt)
+    pcm, _rate = codec.read_wav(open(audio_path, "rb").read())
+    turns = JaxDiarizer(seg=seg).diarize_audio(np.asarray(pcm))
+    overlap = sum(
+        1
+        for a in turns
+        for b in turns
+        if a is not b and a["start"] < b["start"] < a["end"]
+        and a["speaker"] != b["speaker"]
+    )
+    return {
+        "n_turns": len(turns),
+        "n_speakers": len({t["speaker"] for t in turns}),
+        "overlapping_pairs": overlap,
+        "turns": turns[:20],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--whisper")
     ap.add_argument("--kokoro")
     ap.add_argument("--vad")
+    ap.add_argument("--segmentation")
     ap.add_argument("--voices-dir")
     ap.add_argument("--audio")
     ap.add_argument("--expected")
@@ -129,6 +156,8 @@ def main() -> None:
         )
     if args.vad:
         report["vad"] = run_vad(args.vad, args.audio)
+    if args.segmentation:
+        report["segmentation"] = run_segmentation(args.segmentation, args.audio)
     if not report:
         ap.print_help()
         sys.exit(1)
