@@ -372,7 +372,15 @@ class JaxDiarizer:
                 for s in starts
             ]
         )
-        logp = np.asarray(segment_chunks(seg_params, jnp.asarray(chunks), seg_cfg))
+        # fixed-size batches: one compiled program regardless of file length
+        seg_batch = 8
+        logp_parts = []
+        for i in range(0, len(chunks), seg_batch):
+            part = chunks[i : i + seg_batch]
+            fill = np.pad(part, ((0, seg_batch - len(part)), (0, 0)))
+            lp = np.asarray(segment_chunks(seg_params, jnp.asarray(fill), seg_cfg))
+            logp_parts.append(lp[: len(part)])
+        logp = np.concatenate(logp_parts)
         active = powerset_to_multilabel(logp.argmax(-1), seg_cfg)  # [N,T,S]
         # frame stride = product of the conv-stack strides (10 * 3^3 = 270)
         frame_step = seg_cfg.sinc_stride * 27
@@ -383,7 +391,8 @@ class JaxDiarizer:
 
         win = int(WINDOW_S * SAMPLE_RATE)
         hop_w = int(HOP_S * SAMPLE_RATE)
-        embs, keys = [], []
+        n_wins = 16  # fixed per-(chunk,speaker) window count: static shapes
+        win_sets, keys = [], []
         for ci, s0 in enumerate(starts):
             for spk in range(seg_cfg.max_speakers):
                 frames = np.where(active[ci, :, spk] > 0)[0]
@@ -397,18 +406,28 @@ class JaxDiarizer:
                 speech = np.concatenate(picks) if picks else np.zeros(0, np.float32)
                 if len(speech) < 0.4 * SAMPLE_RATE:
                     continue
-                if len(speech) < win:  # tile up to one full window
-                    speech = np.tile(speech, -(-win // len(speech)))[:win]
-                wins = np.stack(
-                    [speech[o : o + win]
-                     for o in range(0, len(speech) - win + 1, hop_w)][:16]
+                # tile cyclically so exactly n_wins strided windows exist —
+                # every (chunk, speaker) embeds with the same array shape
+                need = win + (n_wins - 1) * hop_w
+                if len(speech) < need:
+                    speech = np.tile(speech, -(-need // len(speech)))[:need]
+                win_sets.append(
+                    np.stack(
+                        [speech[o : o + win]
+                         for o in range(0, hop_w * n_wins, hop_w)]
+                    )
                 )
-                e = self._embed(wins).mean(axis=0)
-                embs.append(e / max(float(np.linalg.norm(e)), 1e-8))
                 keys.append((ci, spk))
-        if not embs:
+        if not win_sets:
             return []
-        emb = np.stack(embs)
+        # ONE batched dispatch, rows padded to a power-of-2 bucket so long
+        # files reuse a handful of compiled programs instead of one per count
+        flat = np.concatenate(win_sets)  # [K*n_wins, win]
+        rows = 1 << (len(flat) - 1).bit_length()
+        flat = np.pad(flat, ((0, rows - len(flat)), (0, 0)))
+        all_emb = self._embed(flat)[: len(win_sets) * n_wins]
+        emb = all_emb.reshape(len(win_sets), n_wins, -1).mean(axis=1)
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-8)
         centered = emb - emb.mean(axis=0, keepdims=True)
         centered /= np.maximum(np.linalg.norm(centered, axis=1, keepdims=True), 1e-8)
         labels = (
