@@ -310,28 +310,55 @@ class JaxDiarizer:
                     logging.getLogger(__name__).exception(
                         "Segmentation checkpoint %s failed to convert", ckpt
                     )
-        # trained d-vector path: converted GE2E (resemblyzer) weights give
-        # real speaker embeddings; the conv fallback keeps the pipeline
-        # runnable without a checkpoint
+        # trained embedding path, preferred first: WeSpeaker ResNet34 (the
+        # model pyannote-3.1 itself embeds with), then GE2E (resemblyzer)
+        # d-vectors; the conv fallback keeps the pipeline runnable without
+        # any checkpoint
+        self.wespeaker = None
         self.ge2e = None
-        from open_speech_tpu.models.ge2e import (
-            convert_ge2e,
-            find_ge2e_checkpoint,
+        from open_speech_tpu.models.wespeaker import (
+            convert_wespeaker,
+            find_wespeaker_checkpoint,
         )
 
-        ckpt = find_ge2e_checkpoint()
-        if ckpt is not None:
+        ws_ckpt = find_wespeaker_checkpoint()
+        if ws_ckpt is not None:
             try:
-                self.ge2e = convert_ge2e(ckpt)
-            except Exception:  # noqa: BLE001 — fall back to conv embedder
+                self.wespeaker = convert_wespeaker(ws_ckpt)
+            except Exception:  # noqa: BLE001 — fall through to GE2E/conv
                 import logging
 
                 logging.getLogger(__name__).exception(
-                    "GE2E checkpoint %s failed to convert", ckpt
+                    "WeSpeaker checkpoint %s failed to convert", ws_ckpt
                 )
+        if self.wespeaker is None:
+            from open_speech_tpu.models.ge2e import (
+                convert_ge2e,
+                find_ge2e_checkpoint,
+            )
+
+            ckpt = find_ge2e_checkpoint()
+            if ckpt is not None:
+                try:
+                    self.ge2e = convert_ge2e(ckpt)
+                except Exception:  # noqa: BLE001 — fall back to conv embedder
+                    import logging
+
+                    logging.getLogger(__name__).exception(
+                        "GE2E checkpoint %s failed to convert", ckpt
+                    )
 
     def _embed(self, windows: np.ndarray) -> np.ndarray:
         """[N, win_samples] → [N, E] L2-normalized speaker embeddings."""
+        if self.wespeaker is not None:
+            from open_speech_tpu.models.wespeaker import (
+                kaldi_fbank,
+                wespeaker_embed,
+            )
+
+            params, _cfg = self.wespeaker
+            fb = kaldi_fbank(jnp.asarray(windows))
+            return np.asarray(wespeaker_embed(params, fb))
         if self.ge2e is not None:
             from open_speech_tpu.models.ge2e import ge2e_embed, ge2e_mel
 

@@ -108,6 +108,31 @@ def run_vad(onnx_path: str, audio_path: str) -> dict:
     }
 
 
+def run_wespeaker(ckpt: str, audio_path: str) -> dict:
+    """WeSpeaker checkpoint -> embedding self-consistency on a real file."""
+    import numpy as np
+
+    from open_speech_tpu.models.wespeaker import (
+        convert_wespeaker,
+        kaldi_fbank,
+        wespeaker_embed,
+    )
+    from open_speech_tpu.ops import audio as codec
+
+    params, cfg = convert_wespeaker(ckpt)
+    pcm, _rate = codec.read_wav(open(audio_path, "rb").read())
+    pcm = np.asarray(pcm, np.float32)
+    win = 24000
+    if len(pcm) < 2 * win:
+        pcm = np.tile(pcm, -(-2 * win // max(len(pcm), 1)))
+    wins = np.stack([pcm[:win], pcm[win : 2 * win]])
+    emb = np.asarray(wespeaker_embed(params, kaldi_fbank(wins)))
+    return {
+        "embed_dim": int(emb.shape[1]),
+        "same_file_cosine": float(emb[0] @ emb[1]),
+    }
+
+
 def run_segmentation(ckpt: str, audio_path: str) -> dict:
     """PyanNet checkpoint -> speaker turns on a real file (+ overlaps)."""
     import numpy as np
@@ -140,6 +165,7 @@ def main() -> None:
     ap.add_argument("--kokoro")
     ap.add_argument("--vad")
     ap.add_argument("--segmentation")
+    ap.add_argument("--wespeaker")
     ap.add_argument("--voices-dir")
     ap.add_argument("--audio")
     ap.add_argument("--expected")
@@ -158,6 +184,8 @@ def main() -> None:
         report["vad"] = run_vad(args.vad, args.audio)
     if args.segmentation:
         report["segmentation"] = run_segmentation(args.segmentation, args.audio)
+    if args.wespeaker:
+        report["wespeaker"] = run_wespeaker(args.wespeaker, args.audio)
     if not report:
         ap.print_help()
         sys.exit(1)
