@@ -142,11 +142,14 @@ def _agglomerate(
 def diarization_error_rate(
     ref: list[dict], hyp: list[dict], step_s: float = 0.01
 ) -> float:
-    """Frame-based DER with optimal speaker mapping.
+    """Frame-based DER with optimal speaker mapping, overlap-aware.
 
-    ref/hyp: [{speaker, start, end}] single-speaker turns (the shape
-    diarize_audio emits). DER = (miss + false alarm + confusion) /
-    ref-speech-time, minimized over ref↔hyp label permutations — the
+    ref/hyp: [{speaker, start, end}] turns; turns of different speakers
+    MAY overlap (simultaneous speech — the segmented pipeline emits such
+    turns). Per frame with Nref/Nhyp active speakers and Ncorrect matched
+    under the best global label mapping (NIST md-eval accounting):
+    miss = max(0, Nref-Nhyp), fa = max(0, Nhyp-Nref), confusion =
+    min(Nref, Nhyp) - Ncorrect; DER = sum / total ref speaker-time — the
     metric pyannote (the reference's quality bar,
     src/diarization/pyannote_diarizer.py:22) is evaluated with.
     """
@@ -157,33 +160,37 @@ def diarization_error_rate(
     end = max(t["end"] for t in ref + hyp)
     n = int(round(end / step_s)) + 1
 
-    def labels_of(turns):
-        lab = np.full(n, -1, np.int32)
+    def activity_of(turns):
         names = sorted({t["speaker"] for t in turns})
         idx = {s: i for i, s in enumerate(names)}
+        act = np.zeros((n, max(len(names), 1)), bool)
         for t in turns:
             a = int(round(t["start"] / step_s))
             b = int(round(t["end"] / step_s))
-            lab[a:b] = idx[t["speaker"]]
-        return lab, len(names)
+            act[a:b, idx[t["speaker"]]] = True
+        return act, len(names)
 
-    r, nr = labels_of(ref)
-    h, nh = labels_of(hyp)
-    ref_speech = int((r >= 0).sum())
+    r, nr = activity_of(ref)
+    h, nh = activity_of(hyp)
+    n_ref = r.sum(axis=1)
+    n_hyp = h.sum(axis=1)
+    ref_speech = int(n_ref.sum())
     if ref_speech == 0:
         return 0.0
-    miss = int(((r >= 0) & (h < 0)).sum())
-    fa = int(((r < 0) & (h >= 0)).sum())
-    both = (r >= 0) & (h >= 0)
+    miss = int(np.maximum(n_ref - n_hyp, 0).sum())
+    fa = int(np.maximum(n_hyp - n_ref, 0).sum())
+    matched_cap = np.minimum(n_ref, n_hyp)
     # best assignment of hyp labels onto ref labels (speaker counts are
-    # small here; brute force over permutations of the larger side)
+    # small here; brute force over injections of the smaller side)
     k = max(nr, nh)
-    best_conf = None
+    best_correct = 0
+    r_pad = np.pad(r, ((0, 0), (0, k - r.shape[1])))
+    h_pad = np.pad(h, ((0, 0), (0, k - h.shape[1])))
     for perm in permutations(range(k), k):
-        mapped = np.asarray(perm)
-        conf = int((both & (r != np.where(h >= 0, mapped[h], -2))).sum())
-        best_conf = conf if best_conf is None else min(best_conf, conf)
-    return (miss + fa + (best_conf or 0)) / ref_speech
+        correct = int((r_pad[:, list(perm)] & h_pad).sum())
+        best_correct = max(best_correct, correct)
+    confusion = int(matched_cap.sum()) - best_correct
+    return (miss + fa + confusion) / ref_speech
 
 
 def turns_from_local_activity(

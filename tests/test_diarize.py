@@ -287,3 +287,30 @@ def test_diarize_segmented_mechanics():
     for t in turns:
         assert set(t) == {"speaker", "start", "end"}
         assert 0.0 <= t["start"] < t["end"] <= len(audio) / 16000 + 0.02
+
+
+def test_der_overlap_aware():
+    """Overlapping turns score correctly: perfect overlap hyp -> DER 0;
+    missing the overlapped speaker counts as miss, not confusion."""
+    from open_speech_tpu.models.diarize import diarization_error_rate
+
+    ref = [
+        {"speaker": "A", "start": 0.0, "end": 10.0},
+        {"speaker": "B", "start": 4.0, "end": 8.0},  # overlaps A
+    ]
+    assert diarization_error_rate(ref, ref) == 0.0
+
+    # hyp misses the overlapped speaker entirely: 4s missed of 14
+    # speaker-seconds of reference speech
+    hyp = [{"speaker": "X", "start": 0.0, "end": 10.0}]
+    der = diarization_error_rate(ref, hyp)
+    assert abs(der - 4.0 / 14.0) < 0.01
+
+    # hyp hallucinates overlap: 4s false alarm on 10 ref speaker-seconds
+    ref2 = [{"speaker": "A", "start": 0.0, "end": 10.0}]
+    hyp2 = [
+        {"speaker": "X", "start": 0.0, "end": 10.0},
+        {"speaker": "Y", "start": 2.0, "end": 6.0},
+    ]
+    der2 = diarization_error_rate(ref2, hyp2)
+    assert abs(der2 - 4.0 / 10.0) < 0.01
