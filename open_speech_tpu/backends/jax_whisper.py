@@ -334,13 +334,50 @@ class JaxWhisperBackend:
             logger.exception("STT warmup (detect) failed")
         if settings.os_stream_incremental:
             try:  # block-causal incremental encoder program (streaming WS)
+                from open_speech_tpu.models.whisper.decode import (
+                    DecodeOptions,
+                    greedy_decode,
+                )
                 from open_speech_tpu.models.whisper.streaming import (
+                    DECODE_BUCKETS,
+                    FORCED_BUCKETS,
                     StreamingWhisperEncoder,
+                    forced_room,
+                    interim_budget,
                 )
 
                 senc = StreamingWhisperEncoder(entry["params"], cfg)
                 senc.append_audio(np.zeros(16000, np.float32))
                 senc.interim_states()
+                # interim decode programs: keyed by (enc bucket, prompt len,
+                # budget) with enc_len-masked cross-attention. Warm fb 0/16/32
+                # at every bucket and the full forced ladder at the top
+                # bucket (long utterances are where big prefixes occur) —
+                # otherwise each ladder crossing compiles mid-stream.
+                sp = entry["tok"].special
+                sot = list(sp.sot_sequence("en", "transcribe", timestamps=False))
+                buckets = [b for b in DECODE_BUCKETS if b <= cfg.n_audio_ctx]
+                if cfg.n_audio_ctx not in buckets:
+                    buckets.append(cfg.n_audio_ctx)
+                room = forced_room(cfg, len(sot))
+                for bucket in buckets:
+                    enc_states = jnp.zeros(
+                        (1, bucket, cfg.n_audio_state), self._dtype()
+                    )
+                    fbs = (0, 16, 32) if bucket < buckets[-1] else (
+                        (0,) + FORCED_BUCKETS
+                    )
+                    for fb in (f for f in fbs if f <= room):
+                        prompt = np.array([sot + [sp.eot - 1] * fb], np.int32)
+                        greedy_decode(
+                            entry["params"], cfg, sp, enc_states, prompt,
+                            DecodeOptions(
+                                language="en", timestamps=False, beam_size=1,
+                                max_new_tokens=interim_budget(bucket, fb),
+                                suppress_blank=True,
+                            ),
+                            enc_len=np.array([bucket], np.int32),
+                        )
             except Exception:  # noqa: BLE001
                 logger.exception("STT warmup (streaming) failed")
         logger.info(

@@ -228,7 +228,6 @@ def turns_from_local_activity(
     sec = frame_step / SAMPLE_RATE
     min_on = max(1, int(round(min_on_s / sec)))
     max_gap = int(round(max_gap_s / sec))
-    order: dict[int, int] = {}
     raw: list[dict] = []
     for g in range(n_global):
         on = act[:, g]
@@ -249,8 +248,6 @@ def turns_from_local_activity(
         for a, b in runs:
             if b - a + 1 < min_on:
                 continue
-            if g not in order:
-                order[g] = len(order)
             raw.append(
                 {
                     "_g": g,
@@ -454,12 +451,19 @@ class JaxDiarizer:
                 keys.append((ci, spk))
         if not win_sets:
             return []
-        # ONE batched dispatch, rows padded to a power-of-2 bucket so long
-        # files reuse a handful of compiled programs instead of one per count
+        # batched dispatches, rows padded to a power-of-2 bucket capped at
+        # 512 so long files reuse a handful of compiled programs AND never
+        # allocate unbounded arrays (an hour of audio is ~2000 win_sets;
+        # one flat dispatch would be tens of GB of fbank intermediates)
         flat = np.concatenate(win_sets)  # [K*n_wins, win]
-        rows = 1 << (len(flat) - 1).bit_length()
-        flat = np.pad(flat, ((0, rows - len(flat)), (0, 0)))
-        all_emb = self._embed(flat)[: len(win_sets) * n_wins]
+        cap = 512
+        parts = []
+        for i in range(0, len(flat), cap):
+            part = flat[i : i + cap]
+            rows = min(cap, 1 << (len(part) - 1).bit_length())
+            part = np.pad(part, ((0, rows - len(part)), (0, 0)))
+            parts.append(self._embed(part)[: min(cap, len(flat) - i)])
+        all_emb = np.concatenate(parts)
         emb = all_emb.reshape(len(win_sets), n_wins, -1).mean(axis=1)
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-8)
         centered = emb - emb.mean(axis=0, keepdims=True)

@@ -90,13 +90,9 @@ def convert_ge2e(src) -> tuple[dict, GE2EConfig]:
     lstm.bias_*_l{k} [4H] (i,f,g,o gate order — same as our scan),
     linear.weight [E, H], linear.bias [E].
     """
-    if not isinstance(src, dict):
-        import torch
+    from open_speech_tpu.models.ckptutil import load_state_dict
 
-        raw = torch.load(src, map_location="cpu", weights_only=True)
-        raw = raw.get("model_state", raw)
-        src = {k: v.numpy() for k, v in raw.items()}
-    src = {k.removeprefix("module."): np.asarray(v) for k, v in src.items()}
+    src = load_state_dict(src, strip_prefixes=("module.",))
 
     layers = sorted(
         int(k.split("_l")[-1]) for k in src if k.startswith("lstm.weight_ih_l")

@@ -34,7 +34,6 @@ against the asteroid implementation in one place.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from functools import partial
 from itertools import combinations
@@ -236,16 +235,9 @@ def convert_segmentation(src) -> tuple[dict, SegmentationConfig]:
       linear.{0,1}.{weight,bias}, classifier.{weight,bias}
     Gate order i,f,g,o matches the scan below.
     """
-    if not isinstance(src, dict):
-        import torch
+    from open_speech_tpu.models.ckptutil import load_state_dict
 
-        raw = torch.load(src, map_location="cpu", weights_only=True)
-        raw = raw.get("state_dict", raw.get("model_state", raw))
-        src = {k: v.numpy() for k, v in raw.items()}
-    src = {
-        k.removeprefix("module.").removeprefix("model."): np.asarray(v)
-        for k, v in src.items()
-    }
+    src = load_state_dict(src)
 
     n_layers = 1 + max(
         int(k.rsplit("_l", 1)[1].removesuffix("_reverse"))
@@ -393,16 +385,9 @@ def segment_chunks(params, chunks, cfg: SegmentationConfig = SegmentationConfig(
 
 def find_segmentation_checkpoint() -> Path | None:
     """OS_SEGMENTATION_CKPT_PATH, then the HF cache layout."""
-    env = os.environ.get("OS_SEGMENTATION_CKPT_PATH", "")
-    candidates = [Path(env)] if env else []
-    hf = Path(
-        os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface")
-    ) / "hub"
-    if hf.is_dir():
-        candidates += sorted(
-            hf.glob("models--pyannote--segmentation-3.0/snapshots/*/pytorch_model.bin")
-        )
-    for c in candidates:
-        if c.is_file():
-            return c
-    return None
+    from open_speech_tpu.models.ckptutil import find_checkpoint
+
+    return find_checkpoint(
+        "OS_SEGMENTATION_CKPT_PATH",
+        ("models--pyannote--segmentation-3.0/snapshots/*/pytorch_model.bin",),
+    )

@@ -17,7 +17,6 @@ under a layout transpose the compiler folds away.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
@@ -112,17 +111,11 @@ def convert_wespeaker(src) -> tuple[dict, WeSpeakerConfig]:
     .shortcut.1.* (also accepted as 'downsample'), seg_1.{weight,bias}.
     BatchNorms fold into scale/bias; conv weights [O,I,kh,kw] -> HWIO.
     """
-    if not isinstance(src, dict):
-        import torch
+    from open_speech_tpu.models.ckptutil import load_state_dict
 
-        raw = torch.load(src, map_location="cpu", weights_only=True)
-        raw = raw.get("state_dict", raw.get("model_state", raw))
-        src = {k: v.numpy() for k, v in raw.items()}
-    src = {
-        k.removeprefix("module.").removeprefix("model.")
-         .removeprefix("speaker_encoder."): np.asarray(v)
-        for k, v in src.items()
-    }
+    src = load_state_dict(
+        src, strip_prefixes=("module.", "model.", "speaker_encoder.")
+    )
 
     def bn(prefix):
         return _fold_bn(
@@ -268,19 +261,10 @@ def wespeaker_embed(params, fbank: jnp.ndarray) -> jnp.ndarray:
 
 def find_wespeaker_checkpoint() -> Path | None:
     """OS_WESPEAKER_CKPT_PATH, then the HF cache layout."""
-    env = os.environ.get("OS_WESPEAKER_CKPT_PATH", "")
-    candidates = [Path(env)] if env else []
-    hf = Path(
-        os.environ.get("HF_HOME", Path.home() / ".cache" / "huggingface")
-    ) / "hub"
-    if hf.is_dir():
-        candidates += sorted(
-            hf.glob(
-                "models--pyannote--wespeaker-voxceleb-resnet34-LM/"
-                "snapshots/*/pytorch_model.bin"
-            )
-        )
-    for c in candidates:
-        if c.is_file():
-            return c
-    return None
+    from open_speech_tpu.models.ckptutil import find_checkpoint
+
+    return find_checkpoint(
+        "OS_WESPEAKER_CKPT_PATH",
+        ("models--pyannote--wespeaker-voxceleb-resnet34-LM/"
+         "snapshots/*/pytorch_model.bin",),
+    )

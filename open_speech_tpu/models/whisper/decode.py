@@ -399,6 +399,7 @@ def beam_decode(
     enc_out,
     prompt: np.ndarray,  # [B, P]
     opts: DecodeOptions = DecodeOptions(),
+    enc_len: np.ndarray | None = None,  # [B] real encoder positions (mask)
 ) -> DecodeResult:
     """Beam search (default beam 5, matching the reference backend's CT2 call).
 
@@ -420,6 +421,7 @@ def beam_decode(
         jnp.asarray(prompt, jnp.int32),
         enc_out,
         suppress,
+        None if enc_len is None else jnp.asarray(enc_len, jnp.int32),
         cfg=cfg,
         special=special,
         beam=k,

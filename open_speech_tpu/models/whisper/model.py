@@ -388,7 +388,11 @@ def cross_attend(qc, ckv, batch: int, enc_len=None):
     ``enc_len`` ([B] int32) masks encoder positions past the real audio —
     the streaming interim path encodes only audio-backed blocks and masks
     the rest instead of re-encoding silence to the bucket edge each chunk.
+    Clamped to >=1: an all-masked row would softmax over -inf to NaN;
+    attending one silent frame is the harmless degenerate case.
     """
+    if enc_len is not None:
+        enc_len = jnp.maximum(enc_len, 1)
     if isinstance(ckv, dict):
         if enc_len is None:
             enc_len = jnp.full((batch,), ckv["k"].shape[2], jnp.int32)

@@ -44,6 +44,35 @@ from open_speech_tpu.ops.attention import flash_attention
 
 BLOCK_POS = 128  # encoder positions per block (2.56 s of audio)
 DECODE_BUCKETS = (256, 512, 1024, 1500)
+# confirmed-prefix ladder for interim decodes: forced token counts snap to
+# these so prompt shapes stay bounded (see server/streaming.py work())
+FORCED_BUCKETS = (16, 32, 64, 96, 128, 160)
+
+
+def forced_bucket(n_confirmed_tokens: int, room: int = 1 << 30) -> int:
+    """Largest ladder step <= the confirmed token count (0 below the
+    ladder). ``room`` caps the step so sot + prefix + a generation tail
+    still fit the model's text context (tiny test configs, long prefixes).
+    """
+    fb = 0
+    for b in FORCED_BUCKETS:
+        if b <= n_confirmed_tokens and b <= room:
+            fb = b
+    return fb
+
+
+def forced_room(cfg, sot_len: int) -> int:
+    """Max forced-prefix length leaving >=32 generated tokens + EOT."""
+    return max(0, cfg.n_text_ctx - sot_len - 33)
+
+
+def interim_budget(bucket: int, n_forced: int) -> int:
+    """max_new_tokens for an interim decode at this (enc bucket, forced
+    prefix) pair — the SINGLE source of the shape math, shared by the
+    serving path and the load-time warmup so they cannot drift."""
+    budget = min(224, max(32, (bucket * 12 * 2) // 100 + 16))
+    budget = -(-budget // 16) * 16
+    return max(32, budget - n_forced)
 
 
 @partial(jax.jit, static_argnames=("n_head", "npos"))

@@ -384,6 +384,9 @@ class StreamingSession:
         )
         from open_speech_tpu.models.whisper.streaming import (
             StreamingWhisperEncoder,
+            forced_bucket,
+            forced_room,
+            interim_budget,
         )
         from open_speech_tpu.ops.audio import pcm16_to_float
 
@@ -408,29 +411,28 @@ class StreamingSession:
                 encoder.append_audio(pcm16_to_float(new_bytes))
             enc_states, bucket = encoder.interim_states()
             sp = tok.special
+            try:
+                sot = sp.sot_sequence(language, "transcribe", timestamps=False)
+            except ValueError:  # unknown language code: neutral default
+                sot = sp.sot_sequence("en", "transcribe", timestamps=False)
             forced: list[int] = []
             if conf_words:
-                conf_ids = tok.encode(" ".join(conf_words))
-                fb = 0
-                for b in (16, 32, 64, 96, 128, 160):
-                    if b <= len(conf_ids):
-                        fb = b
+                # leading space: whisper transcript tokens are space-prefixed
+                # BPE pieces; encoding without it produces token ids the
+                # model never emits after SOT (openai-whisper encodes
+                # prefixes as ' ' + text.strip())
+                conf_ids = tok.encode(" " + " ".join(conf_words))
+                fb = forced_bucket(len(conf_ids), forced_room(cfg, len(sot)))
                 forced = [int(t) for t in conf_ids[:fb]]
             # budget follows the decode bucket, not the raw duration: one
             # compiled decode program per bucket instead of one per
             # (duration-bucket x enc-bucket) pair; the forced prefix
             # (bucketed multiple of 16) subtracts from the generation tail
-            budget = min(224, max(32, (bucket * 12 * 2) // 100 + 16))
-            budget = -(-budget // 16) * 16
-            budget = max(32, budget - len(forced))
+            budget = interim_budget(bucket, len(forced))
             opts = DecodeOptions(
                 language=language, timestamps=False, beam_size=1,
                 max_new_tokens=budget, suppress_blank=True,
             )
-            try:
-                sot = sp.sot_sequence(language, "transcribe", timestamps=False)
-            except ValueError:  # unknown language code: neutral default
-                sot = sp.sot_sequence("en", "transcribe", timestamps=False)
             prompt = _np.asarray([list(sot) + forced], _np.int32)
             res = greedy_decode(
                 params, cfg, sp, enc_states, prompt, opts,

@@ -117,3 +117,47 @@ def test_tts_batcher_all_buckets_precompiled(monkeypatch):
         for _ in batcher.synthesize(ids, style, 1.0):
             pass
     assert counter.compiles == [], counter.compiles[:5]
+
+
+def test_interim_forced_prefix_decode_warm(warm_backend):
+    """The streaming interim decode — forced confirmed-prefix prompt,
+    enc_len-masked cross-attention, ladder budgets — must be covered by
+    the load-time warmup at every (bucket, forced) pair the session can
+    produce, else ladder crossings compile mid-stream."""
+    from open_speech_tpu.models.whisper.decode import (
+        DecodeOptions,
+        greedy_decode,
+    )
+    from open_speech_tpu.models.whisper.streaming import (
+        DECODE_BUCKETS,
+        FORCED_BUCKETS,
+        StreamingWhisperEncoder,
+        forced_room,
+        interim_budget,
+    )
+
+    entry = warm_backend._models["test-tiny"]
+    cfg = entry["cfg"]
+    sp = entry["tok"].special
+    sot = list(sp.sot_sequence("en", "transcribe", timestamps=False))
+    enc = StreamingWhisperEncoder(entry["params"], cfg)
+    enc.append_audio(np.zeros(16000, np.float32))
+    enc_states, bucket = enc.interim_states()
+    top = max([b for b in DECODE_BUCKETS if b <= cfg.n_audio_ctx],
+              default=cfg.n_audio_ctx)
+    fbs = (0, 16, 32) if bucket < top else (0,) + FORCED_BUCKETS
+    fbs = tuple(f for f in fbs if f <= forced_room(cfg, len(sot)))
+    assert fbs, "test config leaves no forced-prefix room at all"
+    with _count_compiles() as counter:
+        for fb in fbs:
+            prompt = np.array([sot + [sp.eot - 1] * fb], np.int32)
+            greedy_decode(
+                entry["params"], cfg, sp, enc_states, prompt,
+                DecodeOptions(
+                    language="en", timestamps=False, beam_size=1,
+                    max_new_tokens=interim_budget(bucket, fb),
+                    suppress_blank=True,
+                ),
+                enc_len=np.array([enc.real_positions], np.int32),
+            )
+    assert counter.compiles == [], counter.compiles[:5]

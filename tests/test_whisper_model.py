@@ -169,3 +169,46 @@ def test_fallback_tokenizer_roundtrip(tok):
     assert tok.decode(ids) == "hello world"
     # specials stripped on decode
     assert tok.decode(ids + [tok.special.eot]) == "hello world"
+
+
+def test_enc_len_mask_equals_truncated_encoder(params, enc_out, tok):
+    """Masked cross-attention over zero-padded encoder states must produce
+    EXACTLY the tokens of decoding over the truncated states (the streaming
+    interim path relies on this: only audio-backed blocks are encoded, the
+    rest masked via enc_len). Covers greedy AND beam."""
+    sp = tok.special
+    prompt = np.array([sp.sot_sequence("en")] * 2, np.int32)
+    keep = CFG.n_audio_ctx // 2
+    trunc = np.asarray(enc_out)[:, :keep]
+    padded = np.concatenate(
+        [trunc, np.zeros_like(np.asarray(enc_out)[:, keep:])], axis=1
+    )
+    enc_len = np.array([keep, keep], np.int32)
+    opts = DecodeOptions(max_new_tokens=8)
+
+    g_trunc = greedy_decode(params, CFG, sp, jnp.asarray(trunc), prompt, opts)
+    g_mask = greedy_decode(
+        params, CFG, sp, jnp.asarray(padded), prompt, opts, enc_len=enc_len
+    )
+    assert np.array_equal(g_trunc.tokens, g_mask.tokens)
+    np.testing.assert_allclose(
+        g_trunc.avg_logprob, g_mask.avg_logprob, atol=1e-4
+    )
+
+    b_opts = DecodeOptions(max_new_tokens=8, beam_size=2)
+    b_trunc = beam_decode(params, CFG, sp, jnp.asarray(trunc), prompt, b_opts)
+    b_mask = beam_decode(
+        params, CFG, sp, jnp.asarray(padded), prompt, b_opts, enc_len=enc_len
+    )
+    assert np.array_equal(b_trunc.tokens, b_mask.tokens)
+
+
+def test_enc_len_zero_is_safe(params, enc_out, tok):
+    """enc_len=0 must not NaN (all-masked softmax); it clamps to 1 frame."""
+    sp = tok.special
+    prompt = np.array([sp.sot_sequence("en")], np.int32)
+    res = greedy_decode(
+        params, CFG, sp, jnp.asarray(np.asarray(enc_out)[:1]), prompt,
+        DecodeOptions(max_new_tokens=4), enc_len=np.array([0], np.int32),
+    )
+    assert np.isfinite(res.avg_logprob).all()
