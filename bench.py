@@ -466,8 +466,22 @@ def bench_real_weights() -> None:
             note(f"real_weights kokoro failed: {e!r}")
 
 
+def _wait_for_backend(attempts: int = 6, delay_s: float = 30.0) -> str:
+    """TPU relay init can fail transiently (UNAVAILABLE); retry before
+    giving up so a brief outage doesn't void a whole bench run."""
+    for i in range(attempts):
+        try:
+            return jax.default_backend()
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            note(f"backend init failed ({e!r}); retry {i + 1}/{attempts}")
+            time.sleep(delay_s)
+    raise RuntimeError("unreachable")
+
+
 def main() -> None:
-    note(f"backend={jax.default_backend()}")
+    note(f"backend={_wait_for_backend()}")
     if any(_want(k) for k in ("asr", "stream", "beam", "stream_inc")):
         bench_asr(run_asr=_want("asr"))
     if _want("ttfa"):
