@@ -314,3 +314,63 @@ def test_der_overlap_aware():
     ]
     der2 = diarization_error_rate(ref2, hyp2)
     assert abs(der2 - 4.0 / 10.0) < 0.01
+
+
+def test_segmented_pipeline_quality_with_oracle_activity(monkeypatch):
+    """End-to-end quality of the segmented path given correct local
+    activity: with ground-truth per-frame speaker activity injected in
+    place of the (untrained here) PyanNet forward, the embedding +
+    clustering + overlap-add stitching must recover both speakers and
+    their turns within a DER bound. Proves every stage downstream of the
+    neural net (which has its own converter-parity tests)."""
+    from open_speech_tpu.models import segmentation as seg_mod
+    from open_speech_tpu.models.diarize import diarization_error_rate
+    from open_speech_tpu.models.segmentation import (
+        SegmentationConfig,
+        init_segmentation_params,
+        powerset_classes,
+    )
+
+    sr = 16000
+    cfg = SegmentationConfig(
+        n_sinc=8, conv_hidden=12, lstm_hidden=8, lstm_layers=1, linear_hidden=8
+    )
+    # 24 s: A [0,8), B [8,16), A [16,24) — spans three 10 s chunks (hop 5 s)
+    ref = [
+        {"speaker": "A", "start": 0.0, "end": 8.0},
+        {"speaker": "B", "start": 8.0, "end": 16.0},
+        {"speaker": "A", "start": 16.0, "end": 24.0},
+    ]
+    audio = np.concatenate(
+        [_speaker_audio(220, 8, 1), _speaker_audio(520, 8, 2),
+         _speaker_audio(220, 8, 3)]
+    )
+
+    classes = powerset_classes(cfg.max_speakers, cfg.max_overlap)
+    cls_of = {frozenset(s): i for i, s in enumerate(classes)}
+    frame_step = cfg.sinc_stride * 27
+
+    def fake_segment_chunks(params, chunks, scfg=cfg):
+        chunks = np.asarray(chunks)
+        t = 160000 // frame_step
+        out = np.full((len(chunks), t, scfg.n_classes), -20.0, np.float32)
+        # chunk start offsets are recovered from the pipeline's hop grid
+        for ci in range(len(chunks)):
+            s0 = ci * 80000  # hop = CHUNK_SAMPLES // 2
+            for f in range(t):
+                mid = (s0 + f * frame_step + frame_step // 2) / sr
+                # map global speakers to stable local slots (A->0, B->1)
+                local = frozenset(
+                    0 if turn["speaker"] == "A" else 1
+                    for turn in ref
+                    if turn["start"] <= mid < turn["end"]
+                )
+                out[ci, f, cls_of[local]] = 0.0
+        return out
+
+    monkeypatch.setattr(seg_mod, "segment_chunks", fake_segment_chunks)
+    d = JaxDiarizer(threshold=0.2, seg=(init_segmentation_params(cfg=cfg), cfg))
+    turns = d.diarize_audio(audio)
+    assert len({t["speaker"] for t in turns}) == 2
+    der = diarization_error_rate(ref, turns)
+    assert der <= 0.25, f"DER {der:.3f} > 0.25; turns={turns}"
