@@ -417,6 +417,37 @@ def bench_converted_ckpt() -> None:
         note(f"converted_ckpt_e2e failed: {e!r}")
         emit("converted_ckpt_e2e (tiny fixture -> transcription)",
              0.0, "ok", 0.0)
+    try:
+        from open_speech_tpu.models.diarize import JaxDiarizer
+
+        fixtures = os.path.join(
+            os.path.dirname(__file__), "tests", "fixtures", "diarize"
+        )
+        os.environ["OS_SEGMENTATION_CKPT_PATH"] = os.path.join(
+            fixtures, "segmentation.bin"
+        )
+        os.environ["OS_WESPEAKER_CKPT_PATH"] = os.path.join(
+            fixtures, "wespeaker.bin"
+        )
+        try:
+            t0 = time.time()
+            d = JaxDiarizer(threshold=0.2)
+            t = np.arange(16000 * 11) / 16000
+            wav = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+            turns = d.diarize_audio(wav)
+            ok = (
+                d.seg is not None and d.wespeaker is not None
+                and isinstance(turns, list)
+            )
+            emit("converted_ckpt_diarize (tiny fixtures -> turns)",
+                 1.0 if ok else 0.0, "ok", 1.0 if ok else 0.0)
+            note(f"converted_ckpt_diarize wall={time.time() - t0:.1f}s")
+        finally:
+            os.environ.pop("OS_SEGMENTATION_CKPT_PATH", None)
+            os.environ.pop("OS_WESPEAKER_CKPT_PATH", None)
+    except Exception as e:  # noqa: BLE001
+        note(f"converted_ckpt_diarize failed: {e!r}")
+        emit("converted_ckpt_diarize (tiny fixtures -> turns)", 0.0, "ok", 0.0)
 
 
 def bench_real_weights() -> None:
