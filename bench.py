@@ -423,6 +423,10 @@ def bench_converted_ckpt() -> None:
         fixtures = os.path.join(
             os.path.dirname(__file__), "tests", "fixtures", "diarize"
         )
+        old_env = {
+            k: os.environ.get(k)
+            for k in ("OS_SEGMENTATION_CKPT_PATH", "OS_WESPEAKER_CKPT_PATH")
+        }
         os.environ["OS_SEGMENTATION_CKPT_PATH"] = os.path.join(
             fixtures, "segmentation.bin"
         )
@@ -443,8 +447,11 @@ def bench_converted_ckpt() -> None:
                  1.0 if ok else 0.0, "ok", 1.0 if ok else 0.0)
             note(f"converted_ckpt_diarize wall={time.time() - t0:.1f}s")
         finally:
-            os.environ.pop("OS_SEGMENTATION_CKPT_PATH", None)
-            os.environ.pop("OS_WESPEAKER_CKPT_PATH", None)
+            for k, v in old_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
     except Exception as e:  # noqa: BLE001
         note(f"converted_ckpt_diarize failed: {e!r}")
         emit("converted_ckpt_diarize (tiny fixtures -> turns)", 0.0, "ok", 0.0)
@@ -497,18 +504,62 @@ def bench_real_weights() -> None:
             note(f"real_weights kokoro failed: {e!r}")
 
 
-def _wait_for_backend(attempts: int = 6, delay_s: float = 30.0) -> str:
-    """TPU relay init can fail transiently (UNAVAILABLE); retry before
-    giving up so a brief outage doesn't void a whole bench run."""
+def _probe_backend(timeout_s: float) -> str | None:
+    """Probe backend init in a child process.
+
+    The relay's two failure modes are errors *and* indefinite hangs, and a
+    failed in-process init permanently caches a cpu-only backend set in
+    jax.  A subprocess contains both: a hang is bounded by the timeout and
+    a failure can't poison this process's backend cache."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if out.returncode != 0:
+        return None
+    lines = out.stdout.strip().splitlines()
+    return lines[-1] if lines else None
+
+
+def _wait_for_backend(
+    attempts: int = 6, delay_s: float = 30.0, probe_timeout_s: float = 180.0
+) -> str:
+    """TPU relay init can fail or hang transiently; probe out-of-process
+    until it answers so a brief outage doesn't void (or silently
+    CPU-degrade) a whole bench run, then init in-process."""
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # Explicit CPU run: the axon plugin ignores the env var, so pin
+        # via jax.config and skip the relay probe entirely.
+        jax.config.update("jax_platforms", "cpu")
+        return jax.default_backend()
+    expected = None
     for i in range(attempts):
+        expected = _probe_backend(probe_timeout_s)
+        if expected is not None:
+            break
+        if i == attempts - 1:
+            raise RuntimeError(
+                f"backend init failed/hung after {attempts} probes"
+            )
+        note(f"backend probe failed/hung; retry {i + 1}/{attempts}")
+        time.sleep(delay_s)
+    plat = jax.default_backend()
+    if expected is not None and plat != expected:
+        # An earlier in-process failure cached a cpu-only backend set while
+        # the probe now sees the real platform — clear and re-init.
         try:
-            return jax.default_backend()
-        except RuntimeError as e:
-            if i == attempts - 1:
-                raise
-            note(f"backend init failed ({e!r}); retry {i + 1}/{attempts}")
-            time.sleep(delay_s)
-    raise RuntimeError("unreachable")
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+            plat = jax.default_backend()
+        except Exception as e:  # noqa: BLE001
+            note(f"backend cache clear failed ({e!r}); staying on {plat}")
+    return plat
 
 
 def main() -> None:

@@ -350,13 +350,27 @@ def test_segmented_pipeline_quality_with_oracle_activity(monkeypatch):
     cls_of = {frozenset(s): i for i, s in enumerate(classes)}
     frame_step = cfg.sinc_stride * 27
 
+    # Replicate the pipeline's chunk grid (hop grid + end-aligned tail
+    # chunk) so the injected ground truth lines up with the real starts;
+    # chunks arrive batched with zero-fill rows, so each row is mapped to
+    # its start by content rather than by index.
+    chunk_n = seg_mod.CHUNK_SAMPLES
+    hop = chunk_n // 2
+    grid = list(range(0, max(1, len(audio) - chunk_n + 1), hop))
+    if grid[-1] + chunk_n < len(audio):
+        grid.append(len(audio) - chunk_n)
+    start_of = {
+        audio[s : s + 1000].astype(np.float32).tobytes(): s for s in grid
+    }
+
     def fake_segment_chunks(params, chunks, scfg=cfg):
         chunks = np.asarray(chunks)
-        t = 160000 // frame_step
+        t = chunk_n // frame_step
         out = np.full((len(chunks), t, scfg.n_classes), -20.0, np.float32)
-        # chunk start offsets are recovered from the pipeline's hop grid
         for ci in range(len(chunks)):
-            s0 = ci * 80000  # hop = CHUNK_SAMPLES // 2
+            s0 = start_of.get(chunks[ci, :1000].astype(np.float32).tobytes())
+            if s0 is None:  # zero-fill row: sliced off by the pipeline
+                continue
             for f in range(t):
                 mid = (s0 + f * frame_step + frame_step // 2) / sr
                 # map global speakers to stable local slots (A->0, B->1)
@@ -373,4 +387,4 @@ def test_segmented_pipeline_quality_with_oracle_activity(monkeypatch):
     turns = d.diarize_audio(audio)
     assert len({t["speaker"] for t in turns}) == 2
     der = diarization_error_rate(ref, turns)
-    assert der <= 0.25, f"DER {der:.3f} > 0.25; turns={turns}"
+    assert der <= 0.12, f"DER {der:.3f} > 0.12; turns={turns}"
