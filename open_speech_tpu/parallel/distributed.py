@@ -74,10 +74,25 @@ def replica_info() -> dict:
 
     Works before/without init: a plain single-process server reports
     replica 0 of 1.
+
+    Never *triggers* backend init: callers sit on the server's event
+    loop, and a first device touch there blocks the loop for the whole
+    plugin bring-up (seconds on a healthy TPU tunnel, unbounded on a
+    wedged one) while holding the GIL — every route including /health
+    stops answering. Until some real model load has initialized the
+    backends from an executor thread, report the uninitialized shape.
     """
     try:
         import jax
+        from jax._src import xla_bridge as _xb
 
+        if not _xb.backends_are_initialized():
+            return {
+                "replica": 0,
+                "replica_count": 1,
+                "local_devices": 0,
+                "global_devices": 0,
+            }
         return {
             "replica": jax.process_index(),
             "replica_count": jax.process_count(),

@@ -617,7 +617,12 @@ async def profiler_start(request: web.Request) -> web.Response:
     try:
         import jax
 
-        jax.profiler.start_trace(trace_dir)
+        # Executor: start_trace touches the backend, and a first device
+        # touch on the loop thread blocks every route for the whole
+        # plugin bring-up.
+        await asyncio.get_running_loop().run_in_executor(
+            None, lambda: jax.profiler.start_trace(trace_dir)
+        )
     except Exception as e:  # noqa: BLE001
         raise ApiError(500, f"Failed to start trace: {e}")
     _profiler_active["dir"] = trace_dir
@@ -631,7 +636,9 @@ async def profiler_stop(request: web.Request) -> web.Response:
     try:
         import jax
 
-        jax.profiler.stop_trace()
+        await asyncio.get_running_loop().run_in_executor(
+            None, jax.profiler.stop_trace
+        )
     except Exception as e:  # noqa: BLE001
         raise ApiError(500, f"Failed to stop trace: {e}")
     return web.json_response({"status": "stopped", "dir": trace_dir})

@@ -293,6 +293,38 @@ def test_voice_presets(mock_stt):
     client_test(body)
 
 
+def test_voice_presets_from_yaml(tmp_path, monkeypatch):
+    """TTS_VOICES_CONFIG yaml overrides the built-in presets
+    (reference tests/test_voice_presets.py yaml-load behaviors)."""
+    from open_speech_tpu.server.app import (
+        DEFAULT_VOICE_PRESETS,
+        _load_voice_presets,
+    )
+
+    cfg = tmp_path / "voices.yml"
+    cfg.write_text(
+        "presets:\n"
+        "  - name: Test\n"
+        "    voice: af_heart\n"
+        "    speed: 1.2\n"
+        "    description: Test preset\n"
+    )
+    monkeypatch.setenv("TTS_VOICES_CONFIG", str(cfg))
+    presets = _load_voice_presets()
+    assert len(presets) == 1 and presets[0]["name"] == "Test"
+
+    # bare-list yaml is accepted too
+    cfg.write_text("- name: Solo\n  voice: am_puck\n")
+    assert _load_voice_presets()[0]["name"] == "Solo"
+
+    # missing file and malformed yaml both fall back to defaults
+    monkeypatch.setenv("TTS_VOICES_CONFIG", str(tmp_path / "absent.yml"))
+    assert _load_voice_presets() == DEFAULT_VOICE_PRESETS
+    cfg.write_text(":: not yaml [")
+    monkeypatch.setenv("TTS_VOICES_CONFIG", str(cfg))
+    assert _load_voice_presets() == DEFAULT_VOICE_PRESETS
+
+
 # ── TTS speech ────────────────────────────────────────────────────────
 
 

@@ -47,10 +47,44 @@ def test_env_wiring(monkeypatch):
 
 
 def test_replica_info_single_process():
+    import jax
+
+    jax.devices()  # backends up: report the real single-process shape
     info = distributed.replica_info()
     assert info["replica"] == 0
     assert info["replica_count"] == 1
     assert info["local_devices"] >= 1
+
+
+def test_replica_info_never_initializes_backends():
+    """A /api/stats or /health poll on a fresh server must not be the
+    thing that brings up the device plugin: first backend init blocks
+    the event loop (GIL held) for the whole plugin bring-up — minutes
+    on a wedged TPU tunnel. Runs in a subprocess for a genuinely
+    uninitialized jax."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from jax._src import xla_bridge as xb\n"
+        "from open_speech_tpu.parallel.distributed import replica_info\n"
+        "assert not xb.backends_are_initialized()\n"
+        "info = replica_info()\n"
+        "assert not xb.backends_are_initialized(), 'replica_info inited backends'\n"
+        "assert info == {'replica': 0, 'replica_count': 1,"
+        " 'local_devices': 0, 'global_devices': 0}, info\n"
+        "jax.devices()\n"
+        "assert replica_info()['local_devices'] >= 1\n"
+        "print('OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK" in out.stdout
 
 
 def test_stats_route_reports_replica(monkeypatch):
