@@ -208,6 +208,7 @@ def bench_asr(run_asr: bool = True) -> None:
         )
         from open_speech_tpu.models.whisper.streaming import (
             StreamingWhisperEncoder,
+            interim_budget,
         )
 
         enc_inc = StreamingWhisperEncoder(params, cfg)
@@ -228,9 +229,9 @@ def bench_asr(run_asr: bool = True) -> None:
         def inc_step():
             enc_inc.append_audio(chunk)
             enc_states, bucket = enc_inc.interim_states()
-            budget = min(224, max(32, (bucket * 12 * 2) // 100 + 16))
-            budget = -(-budget // 16) * 16
-            budget = max(32, budget - len(forced))
+            # the serving path's shape math, not a copy of it — the bench
+            # must compile exactly the programs the server runs
+            budget = interim_budget(bucket, len(forced))
             opts = DecodeOptions(
                 language="en", timestamps=False, beam_size=1,
                 max_new_tokens=budget, suppress_blank=True,

@@ -110,6 +110,9 @@ def _agglomerate(
     clusters: list[list[int]] = [[i] for i in range(n)]
     centroids = [embeddings[i].copy() for i in range(n)]
     while len(clusters) > 1:
+        # best pair among ELIGIBLE merges (not the global best pair:
+        # two large near-stop clusters must not mask a qualifying
+        # small-cluster absorption elsewhere)
         best, bi, bj = -2.0, -1, -1
         for i in range(len(clusters)):
             for j in range(i + 1, len(clusters)):
@@ -122,13 +125,13 @@ def _agglomerate(
                         + 1e-9
                     )
                 )
-                if sim > best:
+                absorption = (
+                    min(len(clusters[i]), len(clusters[j])) <= small
+                    and sim >= s_floor
+                )
+                if (sim >= stop or absorption) and sim > best:
                     best, bi, bj = sim, i, j
-        absorption = (
-            min(len(clusters[bi]), len(clusters[bj])) <= small
-            and best >= s_floor
-        )
-        if best < stop and not absorption:
+        if bi < 0:
             break
         clusters[bi].extend(clusters[bj])
         centroids[bi] = embeddings[clusters[bi]].mean(axis=0)
@@ -153,8 +156,6 @@ def diarization_error_rate(
     metric pyannote (the reference's quality bar,
     src/diarization/pyannote_diarizer.py:22) is evaluated with.
     """
-    from itertools import permutations
-
     if not ref:
         return 0.0 if not hyp else float("inf")
     end = max(t["end"] for t in ref + hyp)
@@ -180,15 +181,17 @@ def diarization_error_rate(
     miss = int(np.maximum(n_ref - n_hyp, 0).sum())
     fa = int(np.maximum(n_hyp - n_ref, 0).sum())
     matched_cap = np.minimum(n_ref, n_hyp)
-    # best assignment of hyp labels onto ref labels (speaker counts are
-    # small here; brute force over injections of the smaller side)
-    k = max(nr, nh)
-    best_correct = 0
-    r_pad = np.pad(r, ((0, 0), (0, k - r.shape[1])))
-    h_pad = np.pad(h, ((0, 0), (0, k - h.shape[1])))
-    for perm in permutations(range(k), k):
-        correct = int((r_pad[:, list(perm)] & h_pad).sum())
-        best_correct = max(best_correct, correct)
+    # best 1:1 assignment of hyp labels onto ref labels: the objective
+    # sum_j overlap(ref[map(j)], hyp[j]) is separable per pair, so the
+    # Hungarian algorithm finds the md-eval-optimal mapping in
+    # O(max(nr,nh)^3) instead of brute-forcing k! permutations
+    from scipy.optimize import linear_sum_assignment
+
+    overlap = (
+        r[:, :nr].astype(np.int64).T @ h[:, :nh].astype(np.int64)
+    )  # [nr, nh] frames where ref i and hyp j are both active
+    rows, cols = linear_sum_assignment(overlap, maximize=True)
+    best_correct = int(overlap[rows, cols].sum())
     confusion = int(matched_cap.sum()) - best_correct
     return (miss + fa + confusion) / ref_speech
 

@@ -192,18 +192,27 @@ def _rms(x, p):
 
 
 def _rope(q, k, positions, head_dim):
-    """Interleaved-pair RoPE; positions broadcastable to [T]."""
+    """Interleaved-pair RoPE.
+
+    positions is either [T] (shared across the batch — prefill) or
+    [B, T] (per-example step positions — batched decode); the angle
+    table is aligned to q/k's [B, H, T, D] layout in both cases.
+    """
     half = head_dim // 2
     freqs = 10000.0 ** (-jnp.arange(half, dtype=jnp.float32) / half)
     ang = positions[..., None].astype(jnp.float32) * freqs  # [..., T, half]
     cos, sin = jnp.cos(ang), jnp.sin(ang)
+    if ang.ndim == 2:  # [T, half] -> [1, 1, T, half]
+        cos, sin = cos[None, None], sin[None, None]
+    else:  # [B, T, half] -> [B, 1, T, half] (broadcast over heads)
+        cos, sin = cos[:, None], sin[:, None]
 
     def rot(x):  # [B, H, T, D]
         xr = x.reshape(*x.shape[:-1], half, 2)
         x0, x1 = xr[..., 0], xr[..., 1]
-        c = cos[None, None]
-        s = sin[None, None]
-        return jnp.stack([x0 * c - x1 * s, x0 * s + x1 * c], -1).reshape(x.shape)
+        return jnp.stack(
+            [x0 * cos - x1 * sin, x0 * sin + x1 * cos], -1
+        ).reshape(x.shape)
 
     return rot(q), rot(k)
 
@@ -378,22 +387,68 @@ def depformer_forward(params, cfg: PocketLMConfig, h, text_tok, audio_toks):
 def depformer_sample(params, cfg: PocketLMConfig, h, text_tok, key, temp):
     """Autoregressive depth sampling → tokens [B, n_q].
 
-    Sequential over the K stages (K is small and static). temp <= 0 → argmax.
+    Incremental over the K stages with per-layer stage K/V caches: each
+    stage runs ONE single-position layer pass (O(K) total depth work per
+    generated frame) rather than re-running the full K-stage
+    depformer_forward per stage (O(K²)) — this sits inside the per-frame
+    generation hot loop. temp <= 0 → argmax.
     """
     b = h.shape[0]
+    nh, hd = cfg.dep_heads, cfg.dep_d_model // cfg.dep_heads
+    wq = params["dep_layers"]["qkv"]["w"]  # [L, K, Dd, 3Dd]
+    n_layers = wq.shape[0]
+    dt = wq.dtype
     toks = jnp.full((b, cfg.n_q), cfg.audio_initial, jnp.int32)
+    kc0 = jnp.zeros((n_layers, b, nh, cfg.n_q, hd), dt)
+    vc0 = jnp.zeros((n_layers, b, nh, cfg.n_q, hd), dt)
+    proj = jnp.einsum("bd,kde->kbe", h, params["dep_in"])  # [K, B, Dd]
 
     def stage(s, carry):
-        toks, key = carry
-        logits = depformer_forward(params, cfg, h, text_tok, toks)[:, s]
+        toks, key, kc, vc = carry
+        sp = jnp.maximum(s - 1, 0)
+        prev = jnp.where(
+            s == 0,
+            params["dep_text_emb"][text_tok],
+            params["dep_emb"][sp, toks[:, sp]],
+        )
+        x = proj[s] + prev  # [B, Dd]
+        att_mask = jnp.arange(cfg.n_q) <= s  # stages 0..s are live
+
+        def layer(xx, inp):
+            p, kcl, vcl = inp
+            hn = _rms(xx, p["ln1"])
+            qkv = hn @ p["qkv"]["w"][s]
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = q.reshape(b, nh, hd)
+            kcl = kcl.at[:, :, s].set(k.reshape(b, nh, hd).astype(kcl.dtype))
+            vcl = vcl.at[:, :, s].set(v.reshape(b, nh, hd).astype(vcl.dtype))
+            logits = jnp.einsum(
+                "bhd,bhkd->bhk", q, kcl, preferred_element_type=jnp.float32
+            ) * (hd**-0.5)
+            logits = jnp.where(att_mask[None, None], logits, -1e30)
+            probs = jax.nn.softmax(logits, -1).astype(vcl.dtype)
+            att = jnp.einsum("bhk,bhkd->bhd", probs, vcl)
+            att = att.reshape(b, cfg.dep_d_model).astype(xx.dtype)
+            xx = xx + att @ p["out"]["w"][s]
+            hn = _rms(xx, p["ln2"])
+            a_g, b_g = jnp.split(hn @ p["gate_in"]["w"][s], 2, axis=-1)
+            xx = xx + (jax.nn.silu(a_g) * b_g) @ p["gate_out"]["w"][s]
+            return xx, (kcl, vcl)
+
+        x, (kc, vc) = jax.lax.scan(
+            layer, x, (params["dep_layers"], kc, vc)
+        )
+        logits = x @ params["linears"][s]
         key, sub = jax.random.split(key)
         greedy = jnp.argmax(logits, -1).astype(jnp.int32)
         sampled = jax.random.categorical(sub, logits / jnp.maximum(temp, 1e-6))
         tok = jnp.where(temp > 0, sampled.astype(jnp.int32), greedy)
         toks = toks.at[:, s].set(tok)
-        return toks, key
+        return toks, key, kc, vc
 
-    toks, _ = jax.lax.fori_loop(0, cfg.n_q, stage, (toks, key))
+    toks, _, _, _ = jax.lax.fori_loop(
+        0, cfg.n_q, stage, (toks, key, kc0, vc0)
+    )
     return toks
 
 

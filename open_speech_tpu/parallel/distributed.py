@@ -69,6 +69,37 @@ def maybe_init_distributed() -> bool:
     return True
 
 
+_warned_probe = False
+
+
+def _backends_initialized() -> bool:
+    """True once some code path has brought jax backends up.
+
+    Uses jax-internal probes (there is no public "are backends up
+    without initializing them" API). If a jax upgrade removes both,
+    assume initialized — the real topology call is then correct, just
+    loop-blocking on its very first use — and warn once so the
+    regression is visible rather than silently reporting replica 0/1
+    forever.
+    """
+    global _warned_probe
+    try:
+        from jax._src import xla_bridge as _xb
+
+        try:
+            return bool(_xb.backends_are_initialized())
+        except AttributeError:
+            return bool(getattr(_xb, "_backends", None))
+    except Exception:  # noqa: BLE001
+        if not _warned_probe:
+            _warned_probe = True
+            logger.warning(
+                "jax backend-state probe unavailable (jax internals "
+                "changed?); replica_info may block on first backend init"
+            )
+        return True
+
+
 def replica_info() -> dict:
     """This process's position in the serving fleet (for /health, metrics).
 
@@ -84,9 +115,8 @@ def replica_info() -> dict:
     """
     try:
         import jax
-        from jax._src import xla_bridge as _xb
 
-        if not _xb.backends_are_initialized():
+        if not _backends_initialized():
             return {
                 "replica": 0,
                 "replica_count": 1,

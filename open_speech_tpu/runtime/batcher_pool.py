@@ -102,13 +102,21 @@ async def transcribe_pcm_batched(
     batcher = await get_batcher(backend, model_id, language, task)
     window_samples = cfg.n_audio_ctx * 2 * 160
     duration_s = len(pcm) / 16000
-    mel = log_mel_spectrogram(
-        pad_or_trim(jnp.asarray(pcm), window_samples), n_mels=cfg.n_mels
-    )
+
+    def _mel() -> np.ndarray:
+        # Device compute + the blocking np.asarray sync stay off the
+        # event loop: the first call compiles the mel program (seconds
+        # through a TPU tunnel) and every call blocks until device-done.
+        return np.asarray(
+            log_mel_spectrogram(
+                pad_or_trim(jnp.asarray(pcm), window_samples),
+                n_mels=cfg.n_mels,
+            )
+        )
+
+    mel = await asyncio.get_running_loop().run_in_executor(None, _mel)
     budget = -(-min(224, int(duration_s * 12) + 12) // 16) * 16
-    tokens = await batcher.transcribe_window(
-        np.asarray(mel), max_new_tokens=budget
-    )
+    tokens = await batcher.transcribe_window(mel, max_new_tokens=budget)
     return {"text": tok.decode(tokens).strip()}
 
 

@@ -804,7 +804,10 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
             status=200, headers={"Content-Type": content_type}
         )
         resp.enable_chunked_encoding()
-        await resp.prepare(request)
+        # prepare() is deferred until the first audio chunk: errors that
+        # strike before any byte is sent (G2P vocab mismatch, bad voice,
+        # synth failure at t=0) must surface as a real error response,
+        # not a clean 200 with empty audio
 
         import queue as _queue
         import threading
@@ -837,14 +840,33 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
                 chunk_queue.put(None)
 
         threading.Thread(target=_producer, daemon=True).start()
+        prepared = False
         while True:
             item = await loop.run_in_executor(None, chunk_queue.get)
             if item is None:
                 break
             if isinstance(item, Exception):
-                logger.error("Streaming TTS failed: %s", item)
-                break
+                if not prepared:
+                    # nothing sent yet — return a real error envelope
+                    # (ValueError = request-shaped problem, e.g. text the
+                    # checkpoint vocab cannot express; else server fault)
+                    status = 400 if isinstance(item, ValueError) else 500
+                    raise ApiError(status, f"TTS failed: {item}")
+                # bytes already on the wire: abort the transfer so the
+                # client sees truncation, not a clean end-of-stream
+                # (returning would let aiohttp write a clean EOF chunk)
+                logger.error("Streaming TTS failed mid-stream: %s", item)
+                if request.transport is not None:
+                    request.transport.abort()
+                raise ApiError(
+                    500, f"TTS failed mid-stream: {item}"
+                )
+            if not prepared:
+                await resp.prepare(request)
+                prepared = True
             await resp.write(item)
+        if not prepared:
+            await resp.prepare(request)
         await resp.write_eof()
         return resp
 

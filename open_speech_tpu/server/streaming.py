@@ -465,38 +465,19 @@ class StreamingSession:
         )
 
     async def _transcribe_batched(self) -> dict:
-        """Continuous-batching path: all live sessions share device steps."""
-        import jax.numpy as jnp
-
+        """Continuous-batching path: all live sessions share device steps
+        via the single shared entry (runtime/batcher_pool.py), same as
+        realtime commits — one copy of the window/budget math."""
         from open_speech_tpu.ops.audio import pcm16_to_float
-        from open_speech_tpu.ops.mel import log_mel_spectrogram, pad_or_trim
-        from open_speech_tpu.runtime.batcher_pool import get_batcher
+        from open_speech_tpu.runtime.batcher_pool import (
+            transcribe_pcm_batched,
+        )
 
         backend = backend_router.get_backend(self.model)
-        entry = backend._ensure_model(self.model)
-        cfg, tok = entry["cfg"], entry["tok"]
-        batcher = await get_batcher(backend, self.model, self.language)
         pcm = pcm16_to_float(bytes(self.utterance_audio))
-        duration_s = len(pcm) / INTERNAL_SAMPLE_RATE
-        window_samples = cfg.n_audio_ctx * 2 * 160
-
-        def _mel() -> np.ndarray:
-            # Device compute + the blocking np.asarray sync stay off the
-            # event loop: the first call compiles the mel program
-            # (seconds on TPU) and every call blocks until device-done.
-            return np.asarray(
-                log_mel_spectrogram(
-                    pad_or_trim(jnp.asarray(pcm), window_samples),
-                    n_mels=cfg.n_mels,
-                )
-            )
-
-        mel = await asyncio.get_running_loop().run_in_executor(None, _mel)
-        budget = -(-min(224, int(duration_s * 12) + 12) // 16) * 16
-        tokens = await batcher.transcribe_window(
-            mel, max_new_tokens=budget
+        return await transcribe_pcm_batched(
+            backend, self.model, self.language, pcm
         )
-        return {"text": tok.decode(tokens).strip()}
 
     async def _transcribe_utterance(self):
         if len(self.utterance_audio) < 3200:  # <100 ms: skip

@@ -195,8 +195,18 @@ class PocketTTSBackend:
 
     # ── prompt-state resolution (the voice) ───────────────────────────
 
+    def _cache_get(self, key: str) -> PromptState | None:
+        """LRU hit: move to the back so hot voices outlive cold ones."""
+        state = self._prompt_cache.get(key)
+        if state is not None:
+            self._prompt_cache.pop(key)
+            self._prompt_cache[key] = state
+        return state
+
     def _cache_put(self, key: str, state: PromptState) -> None:
         if len(self._prompt_cache) >= _PROMPT_CACHE_MAX:
+            # dict preserves insertion order; with _cache_get refreshing
+            # position on hit, the front is the least-recently-used entry
             self._prompt_cache.pop(next(iter(self._prompt_cache)))
         self._prompt_cache[key] = state
 
@@ -221,7 +231,7 @@ class PocketTTSBackend:
 
     def _speaker_state(self, voice: str) -> PromptState:
         name = voice.removeprefix("pocket/").lower()
-        state = self._prompt_cache.get(name)
+        state = self._cache_get(name)
         if state is None:
             state = self._model.state_for_audio_prompt(
                 self._prompt_pcm_for_name(name)
@@ -231,7 +241,7 @@ class PocketTTSBackend:
 
     def _clone_state(self, reference_audio: bytes) -> PromptState:
         key = "sha:" + hashlib.sha256(reference_audio).hexdigest()
-        state = self._prompt_cache.get(key)
+        state = self._cache_get(key)
         if state is None:
             pcm = self._load_prompt_wav(reference_audio)
             state = self._model.state_for_audio_prompt(pcm)
@@ -240,7 +250,7 @@ class PocketTTSBackend:
 
     def _design_state(self, description: str) -> PromptState:
         key = "design:" + description
-        state = self._prompt_cache.get(key)
+        state = self._cache_get(key)
         if state is None:
             pcm = _synthetic_prompt(description, self._model.sample_rate)
             state = self._model.state_for_audio_prompt(pcm)

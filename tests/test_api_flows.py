@@ -122,6 +122,73 @@ def test_stream_tts_endpoint_chunks():
     client_test(body)
 
 
+def test_stream_tts_error_before_first_byte_is_a_real_error():
+    """A synth failure before any audio byte (e.g. G2P vocab mismatch
+    rejection) must return an error envelope, not a clean 200 with
+    empty body."""
+    import open_speech_tpu.server.app as app_mod
+
+    def boom(**kwargs):
+        raise ValueError("text not expressible in checkpoint vocab")
+
+    orig = app_mod.tts_router.synthesize
+    app_mod.tts_router.synthesize = boom
+    try:
+        async def body(client):
+            resp = await client.post(
+                "/v1/audio/speech?stream=true",
+                json={"input": "x", "model": "kokoro",
+                      "response_format": "pcm"},
+            )
+            assert resp.status == 400, await resp.text()
+            data = await resp.json()
+            assert "vocab" in data["error"]["message"]
+
+        client_test(body)
+    finally:
+        app_mod.tts_router.synthesize = orig
+
+
+def test_stream_tts_midstream_error_aborts_not_clean_eof():
+    """If synthesis dies after bytes were sent, the transfer is aborted
+    (client sees an error/truncation), never a clean end-of-stream."""
+    import aiohttp
+
+    import open_speech_tpu.server.app as app_mod
+
+    def half_then_die(**kwargs):
+        tone = 0.3 * np.sin(
+            2 * np.pi * 440 * np.arange(24000) / 24000
+        ).astype(np.float32)
+        yield tone  # non-silent: flushes through the trim/normalize PP
+        yield tone
+        raise RuntimeError("vocoder failure mid-utterance")
+
+    orig = app_mod.tts_router.synthesize
+    app_mod.tts_router.synthesize = half_then_die
+    try:
+        async def body(client):
+            got_clean_eof = False
+            try:
+                resp = await client.post(
+                    "/v1/audio/speech?stream=true",
+                    json={"input": "x", "model": "kokoro",
+                          "response_format": "pcm"},
+                )
+                assert resp.status == 200  # headers were already sent
+                await resp.read()
+                got_clean_eof = True
+            except (aiohttp.ClientPayloadError,
+                    aiohttp.ServerDisconnectedError,
+                    aiohttp.ClientOSError):
+                pass  # aborted transfer: the correct signal
+            assert not got_clean_eof, "mid-stream failure looked like EOF"
+
+        client_test(body)
+    finally:
+        app_mod.tts_router.synthesize = orig
+
+
 def test_metrics_after_tts():
     async def body(client):
         await client.post(

@@ -204,6 +204,77 @@ def test_prefill_matches_stepwise_decode(lm_pair):
     )
 
 
+def test_depformer_sample_incremental_matches_full_forward(lm_pair):
+    """The KV-cached O(K) depth sampler picks exactly the tokens the
+    full teacher-forced depformer_forward would (argmax mode), at every
+    stage — guards the incremental rewrite of depformer_sample."""
+    from open_speech_tpu.models.pocket.lm import (
+        depformer_forward,
+        depformer_sample,
+    )
+
+    _, params, cfg = lm_pair
+    rng = np.random.default_rng(13)
+    b = 2
+    h = jnp.asarray(rng.standard_normal((b, cfg.d_model)), jnp.float32)
+    text_tok = jnp.asarray(rng.integers(0, cfg.text_card, b), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    got = np.asarray(
+        depformer_sample(params, cfg, h, text_tok, key, jnp.float32(0.0))
+    )
+
+    # reference: re-run the full forward per stage (the pre-rewrite form)
+    toks = np.full((b, cfg.n_q), cfg.audio_initial, np.int32)
+    for s in range(cfg.n_q):
+        logits = depformer_forward(
+            params, cfg, h, text_tok, jnp.asarray(toks)
+        )[:, s]
+        toks[:, s] = np.argmax(np.asarray(logits), -1)
+
+    np.testing.assert_array_equal(got, toks)
+
+
+def test_temporal_step_batched_matches_per_example(lm_pair):
+    """B>1 decode steps (per-example positions) equal running each
+    example alone — guards the RoPE angle/batch broadcast in _rope,
+    which previously mis-aligned (or raised) for pos shape [B, 1]."""
+    _, params, cfg = lm_pair
+    rng = np.random.default_rng(11)
+    b, t = 3, 5
+    xs = jnp.asarray(rng.standard_normal((b, t, cfg.d_model)), jnp.float32)
+    # examples at staggered positions, like a continuous batcher's slots
+    offsets = np.array([0, 3, 9], np.int32)
+
+    caches = init_caches(cfg, b)
+    batched = []
+    for i in range(t):
+        h, caches = temporal_step(
+            params, cfg, xs[:, i], caches,
+            jnp.asarray(offsets + i, jnp.int32),
+        )
+        batched.append(np.asarray(h))
+
+    for ex in range(b):
+        c1 = init_caches(cfg, 1)
+        # reproduce the staggered start by pre-filling zeros up to offset
+        for j in range(int(offsets[ex])):
+            _, c1 = temporal_step(
+                params, cfg,
+                jnp.zeros((1, cfg.d_model), jnp.float32), c1,
+                jnp.full((1,), j, jnp.int32),
+            )
+        for i in range(t):
+            h1, c1 = temporal_step(
+                params, cfg, xs[ex : ex + 1, i], c1,
+                jnp.full((1,), int(offsets[ex]) + i, jnp.int32),
+            )
+            np.testing.assert_allclose(
+                h1[0], batched[i][ex], atol=2e-5,
+                err_msg=f"ex={ex} step={i}",
+            )
+
+
 def test_load_checkpoint_roundtrip(tmp_path, hf_mimi, lm_pair):
     """safetensors dir → load_checkpoint → PocketTTS generates audio."""
     from safetensors.numpy import save_file
