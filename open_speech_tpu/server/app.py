@@ -840,6 +840,11 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
                 chunk_queue.put(None)
 
         threading.Thread(target=_producer, daemon=True).start()
+        import time as _time
+
+        t_start = _time.monotonic()
+        ttfa_s: float | None = None
+        sent_bytes = 0
         prepared = False
         while True:
             item = await loop.run_in_executor(None, chunk_queue.get)
@@ -864,10 +869,25 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
             if not prepared:
                 await resp.prepare(request)
                 prepared = True
+                ttfa_s = _time.monotonic() - t_start
+            sent_bytes += len(item)
             await resp.write(item)
         if not prepared:
             await resp.prepare(request)
         await resp.write_eof()
+        if ttfa_s is not None:
+            # audio seconds only meaningful for raw pcm16; compressed
+            # formats report 0 (rtfx histogram then skips the sample)
+            audio_s = (
+                sent_bytes / (native_rate * 2)
+                if req.response_format == "pcm"
+                else 0.0
+            )
+            metrics.record_tts(
+                ttfa_seconds=ttfa_s,
+                audio_seconds=audio_s,
+                wall_seconds=_time.monotonic() - t_start,
+            )
         return resp
 
     # effects/design/clone change the audio but are not part of the cache

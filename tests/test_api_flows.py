@@ -119,6 +119,11 @@ def test_stream_tts_endpoint_chunks():
         pcm = np.frombuffer(body_bytes, dtype="<i2")
         assert pcm.size == len(body_bytes) // 2
 
+        # streamed requests show up in the TTFA metrics too
+        stats = await (await client.get("/api/stats")).json()
+        assert stats["counters"].get("tts_requests_total", 0) >= 1
+        assert stats["histograms"]["tts_ttfa_seconds"]["count"] >= 1
+
     client_test(body)
 
 
