@@ -135,7 +135,11 @@ def _apply_rules(
     mask_mono = is_ts_col & (cols < ts_floor[:, None])
     logits = jnp.where(mask_ts | mask_text | mask_mono, NEG_INF, logits)
 
-    # sample begin: cap the initial timestamp
+    # sample begin: only timestamps may open a sequence (openai:
+    # "suppress generating non-timestamp tokens at the beginning",
+    # timing.py ApplyTimestampRules — unconditional, not only when the
+    # timestamp mass wins), capped at the max initial timestamp
+    logits = jnp.where(begin & ~is_ts_col, NEG_INF, logits)
     logits = jnp.where(
         begin & is_ts_col & (cols > max_initial_ts_tok), NEG_INF, logits
     )

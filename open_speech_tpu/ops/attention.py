@@ -86,7 +86,7 @@ def mha_reference(
 
 def _flash_kernel(
     *refs,
-    scale, causal, block_q, block_k, kv_len, dyn,
+    scale, causal, block_q, block_k, kv_len, dyn, causal_offs=0,
 ):
     if dyn:
         # scalar-prefetched per-example valid kv lengths [B]
@@ -119,10 +119,12 @@ def _flash_kernel(
         elif kv_len is not None:  # static padding mask (seq padded to blocks)
             s = jnp.where(cols < kv_len, s, NEG_INF)
         if causal:
+            # end-aligned (standard decode alignment, matching
+            # mha_reference): query row i attends keys <= i + (t_k - t_q)
             rows = q_idx * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
-            s = jnp.where(cols <= rows, s, NEG_INF)
+            s = jnp.where(cols <= rows + causal_offs, s, NEG_INF)
         m_prev = m_ref[:]  # [block_q, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -138,8 +140,8 @@ def _flash_kernel(
         m_ref[:] = m_new
 
     live = True
-    if causal:  # skip kv blocks fully above the diagonal
-        live = kv_idx * block_k <= q_idx * block_q + (block_q - 1)
+    if causal:  # skip kv blocks fully above the (end-aligned) diagonal
+        live = kv_idx * block_k <= q_idx * block_q + (block_q - 1) + causal_offs
     if dyn:  # skip kv blocks fully beyond the valid length
         live = live & (kv_idx * block_k < limit)
 
@@ -182,6 +184,7 @@ def _flash_call(q, k, v, kv_length, causal, scale, block_q, block_k,
         _flash_kernel, scale=scale, causal=causal,
         block_q=block_q, block_k=block_k,
         kv_len=None if dyn else (t_k if pad_k else None), dyn=dyn,
+        causal_offs=t_k - t_q,  # end alignment for rectangular q/k
     )
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j, *_: (b_, h_, i, 0)),

@@ -32,7 +32,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from open_speech_tpu.models.whisper.decode import _apply_rules, _suppress_mask, DecodeOptions
+from open_speech_tpu.models.whisper.decode import (
+    DecodeOptions,
+    _apply_rules,
+    _blank_tokens,
+    _suppress_mask,
+)
 from open_speech_tpu.models.whisper.model import (
     WhisperConfig,
     _merge_heads,
@@ -58,6 +63,14 @@ logger = logging.getLogger(__name__)
 def _set_exception_if_pending(future: "asyncio.Future", exc: Exception) -> None:
     if not future.done():
         future.set_exception(exc)
+
+
+def _set_result_if_pending(future: "asyncio.Future", value) -> None:
+    # a concurrent stop()/_fail_all may have already failed this future
+    # from the event loop while the tick was still running in its
+    # executor thread — setting a result then would raise InvalidStateError
+    if not future.done():
+        future.set_result(value)
 
 
 # ──────────────────────────────────────────────────────────────────────
@@ -137,21 +150,6 @@ def _ruled_argmax(
     tok = jnp.argmax(ruled, axis=-1).astype(jnp.int32)
     tok = jnp.where(active, tok, special.eot)
     return tok
-
-
-@partial(
-    jax.jit,
-    static_argnames=("special", "timestamps", "max_init_tok", "blank"),
-)
-def _select_tokens(
-    logits, step_idx, last, penult, max_ts, suppress, active,
-    *, special, timestamps, max_init_tok, blank,
-):
-    return _ruled_argmax(
-        logits, step_idx, last, penult, max_ts, suppress, active,
-        special=special, timestamps=timestamps,
-        max_init_tok=max_init_tok, blank=blank,
-    )
 
 
 @partial(
@@ -278,6 +276,7 @@ class ContinuousBatcher:
         # o-projection all-reduce GSPMD already inserts. Without this the
         # pool commits to one device and jit rejects the mixed placement
         # (SURVEY §5 distributed serving; round-2 verdict missing #3).
+        self._cache_dtype = cache_dtype
         kv_sharding = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
@@ -306,6 +305,7 @@ class ContinuousBatcher:
             (cfg.n_text_layer, 2, slots, cfg.n_text_head, cfg.n_audio_ctx, dh),
             cache_dtype,
         )
+        self._kv_sharding = kv_sharding
         if kv_sharding is not None:
             self._self_kv = jax.device_put(self._self_kv, kv_sharding)
             self._cross_kv = jax.device_put(self._cross_kv, kv_sharding)
@@ -335,8 +335,15 @@ class ContinuousBatcher:
         self._suppress = jnp.asarray(
             _suppress_mask(cfg.n_vocab, special, opts)
         )
-        self._max_init_tok = special.timestamp_begin + 50
-        self._blank = (220 if special.eot > 50000 else 32, special.eot)
+        # shared with decode.py so the batcher and greedy/beam paths can
+        # never diverge on suppression constants
+        self._max_init_tok = special.timestamp_begin + int(
+            round(opts.max_initial_timestamp / 0.02)
+        )
+        self._blank = _blank_tokens(special, opts)
+        # bumped whenever in-flight work is failed; a tick that observes a
+        # stale epoch discards its results instead of racing _fail_all
+        self._epoch = 0
         self.stats = {"ticks": 0, "completed": 0, "peak_occupancy": 0}
 
     # ── public API ────────────────────────────────────────────────────
@@ -354,18 +361,18 @@ class ContinuousBatcher:
                 pass
             self._task = None
         self._fail_all(RuntimeError("batcher stopped"))
-        while not self._queue.empty():  # pending submissions never ran
-            _mel, _max_new, future = self._queue.get_nowait()
-            if not future.done():
-                future.get_loop().call_soon_threadsafe(
-                    _set_exception_if_pending, future,
-                    RuntimeError("batcher stopped"),
-                )
+        self._drain_queue(RuntimeError("batcher stopped"))
 
     async def transcribe_window(
         self, mel: np.ndarray, max_new_tokens: int | None = None
     ) -> list[int]:
         """Submit one mel window [n_mels, 2*n_audio_ctx]; awaits token ids."""
+        mel = np.asarray(mel)
+        expect = (self.cfg.n_mels, self.cfg.n_audio_ctx * 2)
+        if mel.shape != expect:
+            # reject here, not inside the admission batch: a malformed
+            # request must never take co-batched healthy requests down
+            raise ValueError(f"mel window shape {mel.shape} != {expect}")
         if self._task is None:
             self.start()
         future: asyncio.Future = asyncio.get_running_loop().create_future()
@@ -414,13 +421,21 @@ class ContinuousBatcher:
                     consecutive_failures,
                 )
                 self._fail_all(e)
+                # the failed block donated the self-KV pool: its buffer is
+                # invalidated whether or not the computation finished, so
+                # "keep serving" requires a fresh pool
+                self._reset_pools()
                 if consecutive_failures >= 3:
                     logger.error("Batcher giving up after repeated failures")
+                    # queued-but-never-admitted callers must not hang: the
+                    # scheduler is dead until a new submission restarts it
+                    self._drain_queue(e)
                     self._task = None
                     return
                 await asyncio.sleep(0.1 * consecutive_failures)
 
     def _fail_all(self, exc: Exception) -> None:
+        self._epoch += 1  # any in-flight tick discards its results
         for slot in list(self._slots):
             state = self._slots.pop(slot)
             self._active[slot] = False
@@ -429,8 +444,41 @@ class ContinuousBatcher:
                     _set_exception_if_pending, state.future, exc
                 )
 
+    def _drain_queue(self, exc: Exception) -> None:
+        while not self._queue.empty():  # pending submissions never ran
+            _mel, _max_new, future = self._queue.get_nowait()
+            if not future.done():
+                future.get_loop().call_soon_threadsafe(
+                    _set_exception_if_pending, future, exc
+                )
+
+    def _reset_pools(self) -> None:
+        """Fresh KV pools after a failed tick.
+
+        _slot_decode_block donates the self-KV argument; once a block
+        fails mid-flight the old buffer may be invalidated, and reusing
+        it would fail every subsequent tick (turning one transient device
+        error into a permanently dead batcher)."""
+        cfg = self.cfg
+        dh = cfg.n_text_state // cfg.n_text_head
+        self._self_kv = jnp.zeros(
+            (
+                cfg.n_text_layer, 2, self.n_slots, cfg.n_text_head,
+                self._cache_len, dh,
+            ),
+            self._cache_dtype,
+        )
+        if self._kv_sharding is not None:
+            self._self_kv = jax.device_put(self._self_kv, self._kv_sharding)
+
     async def _admit(self) -> bool:
-        """Claim free slots for queued requests; run encode + prefill."""
+        """Claim free slots for queued requests; run encode + prefill.
+
+        A failing admission (bad mel shape, device error during encode or
+        prefill) fails ONLY the requests being admitted and releases their
+        slots — requests already decoding on other slots are untouched,
+        and the popped futures can never be stranded un-failed.
+        """
         free = [i for i in range(self.n_slots) if not self._active[i]]
         batch: list[tuple[int, np.ndarray, int, asyncio.Future]] = []
         while free and not self._queue.empty():
@@ -438,20 +486,42 @@ class ContinuousBatcher:
             batch.append((free.pop(0), mel, max_new, future))
         if not batch:
             return False
-        mels = jnp.asarray(np.stack([b[1] for b in batch]))
         loop = asyncio.get_running_loop()
-        enc_out = await loop.run_in_executor(
-            None, lambda: encode(self.params, mels, self.cfg)
+        try:
+            # all device work (encode, cross-KV scatter, prompt prefill)
+            # stays off the event loop: the first admission compiles, and
+            # behind a network relay every prefill step is a roundtrip
+            await loop.run_in_executor(None, lambda: self._admit_device(batch))
+        except Exception as e:  # noqa: BLE001
+            logger.exception(
+                "Batcher admission failed for %d request(s)", len(batch)
+            )
+            for slot, _mel, _max_new, future in batch:
+                self._slots.pop(slot, None)
+                self._active[slot] = False
+                if not future.done():
+                    future.get_loop().call_soon_threadsafe(
+                        _set_exception_if_pending, future, e
+                    )
+            return False
+        self.stats["peak_occupancy"] = max(
+            self.stats["peak_occupancy"], self.occupancy
         )
-        # dense cross-KV: the batcher's pooled buffer stores bf16 rows
+        return True
+
+    def _admit_device(self, batch) -> None:
+        """Executor-thread half of admission (device compute + state)."""
+        mels = jnp.asarray(np.stack([b[1] for b in batch]))
+        enc_out = encode(self.params, mels, self.cfg)
+        # dense cross-KV: the batcher's pooled buffer stores bf16 rows;
+        # one batched scatter for all claimed slots (a per-slot loop would
+        # copy the full multi-GB pool once per admitted request)
         cross = _dense_cross_kv(self.params, enc_out, self.cfg.n_text_head)
         cross = cross.astype(self._cross_kv.dtype)
-        # prefill the prompt into each claimed slot
+        slot_ids = jnp.asarray([b[0] for b in batch], jnp.int32)
+        self._cross_kv = self._cross_kv.at[:, :, slot_ids].set(cross)
         prompt = np.array(self._prompt, np.int32)
-        for row, (slot, _mel, max_new, future) in enumerate(batch):
-            self._cross_kv = self._cross_kv.at[:, :, slot].set(
-                cross[:, :, row]
-            )
+        for slot, _mel, max_new, future in batch:
             self._slots[slot] = _Slot(
                 future=future, max_new=max_new, started_at=time.monotonic()
             )
@@ -482,10 +552,6 @@ class ContinuousBatcher:
                 self._pos[slot] += 1
         for slot, *_ in batch:
             self._tokens[slot] = prompt[-1]
-        self.stats["peak_occupancy"] = max(
-            self.stats["peak_occupancy"], self.occupancy
-        )
-        return True
 
     def _tick(self) -> None:
         """Advance all live slots ``steps_per_tick`` positions (executor).
@@ -497,6 +563,7 @@ class ContinuousBatcher:
         # np.array copies: jnp.asarray on CPU may zero-copy-alias numpy
         # buffers, and the scheduler mutates these arrays after dispatching
         # the (async) computation
+        epoch = self._epoch
         packed, self._self_kv = _slot_decode_block(
             self.params,
             jnp.asarray(np.array(self._tokens[:, None])),
@@ -519,6 +586,11 @@ class ContinuousBatcher:
             blank=self._blank,
         )
         packed = np.asarray(packed)  # the ONE host sync per tick
+        if epoch != self._epoch:
+            # stop()/_fail_all ran while this tick was in flight: the
+            # slots were already failed and the scheduler state rebuilt —
+            # applying this tick's state would resurrect retired slots
+            return
         k = self.steps_per_tick
         emitted = packed[:k]  # [K, S]
         # device state is authoritative after the block; mirror it BEFORE
@@ -543,7 +615,7 @@ class ContinuousBatcher:
                     self.stats["completed"] += 1
                     del self._slots[slot]
                     state.future.get_loop().call_soon_threadsafe(
-                        state.future.set_result, state.tokens
+                        _set_result_if_pending, state.future, state.tokens
                     )
                     break
         self.stats["ticks"] += 1

@@ -166,3 +166,106 @@ def test_oversized_budget_clamped_to_pool_capacity(setup):
 
     out, cache_len = _run(go())
     assert len(out) <= cache_len  # never exceeds the pool's KV positions
+
+
+def test_bad_admission_fails_only_that_request(setup):
+    """A malformed submission (wrong mel shape) fails its own future and
+    leaves the batcher serving: a concurrent healthy request and a
+    follow-up request both complete."""
+    params, tok = setup
+    sp = tok.special
+
+    async def go():
+        b = ContinuousBatcher(params, CFG, sp, slots=4, max_new_tokens=8)
+        b.start()
+        try:
+            good = asyncio.create_task(
+                b.transcribe_window(_mel(1))
+            )
+            bad = asyncio.create_task(
+                b.transcribe_window(_mel(2)[:, :7])  # wrong window length
+            )
+            done = await asyncio.wait_for(
+                asyncio.gather(good, bad, return_exceptions=True), 300
+            )
+            after = await asyncio.wait_for(b.transcribe_window(_mel(3)), 300)
+        finally:
+            await b.stop()
+        return done, after
+
+    (good_res, bad_res), after = _run(go())
+    ok = [r for r in (good_res, bad_res) if isinstance(r, list)]
+    errs = [r for r in (good_res, bad_res) if isinstance(r, Exception)]
+    assert len(errs) == 1, (good_res, bad_res)  # exactly the malformed one
+    assert len(ok) == 1
+    assert isinstance(after, list)  # scheduler survived
+
+
+def test_tick_failure_recovers_and_serves_again(setup, monkeypatch):
+    """A device failure mid-tick fails the in-flight request but the
+    batcher rebuilds its (donated) KV pool and serves the next request —
+    the advertised fail-slots-keep-serving behavior."""
+    import open_speech_tpu.runtime.batcher as batcher_mod
+
+    params, tok = setup
+    sp = tok.special
+    real_block = batcher_mod._slot_decode_block
+    boom = {"n": 1}
+
+    def flaky_block(*args, **kwargs):
+        if boom["n"]:
+            boom["n"] -= 1
+            raise RuntimeError("injected device error")
+        return real_block(*args, **kwargs)
+
+    monkeypatch.setattr(batcher_mod, "_slot_decode_block", flaky_block)
+
+    async def go():
+        b = ContinuousBatcher(params, CFG, sp, slots=2, max_new_tokens=8)
+        b.start()
+        try:
+            first = await asyncio.wait_for(
+                asyncio.gather(
+                    b.transcribe_window(_mel(4)), return_exceptions=True
+                ),
+                300,
+            )
+            second = await asyncio.wait_for(b.transcribe_window(_mel(5)), 300)
+        finally:
+            await b.stop()
+        return first[0], second
+
+    first, second = _run(go())
+    assert isinstance(first, Exception)  # in-flight request failed honestly
+    assert isinstance(second, list)  # pool was rebuilt; serving continued
+
+
+def test_giveup_fails_queued_requests(setup, monkeypatch):
+    """When the loop gives up after repeated failures, queued-but-never-
+    admitted futures are failed too instead of hanging forever."""
+    import open_speech_tpu.runtime.batcher as batcher_mod
+
+    params, tok = setup
+    sp = tok.special
+
+    def always_boom(*args, **kwargs):
+        raise RuntimeError("persistent device error")
+
+    monkeypatch.setattr(batcher_mod, "_slot_decode_block", always_boom)
+
+    async def go():
+        # 1 slot: the second submission stays queued while the first fails
+        b = ContinuousBatcher(params, CFG, sp, slots=1, max_new_tokens=8)
+        b.start()
+        try:
+            t1 = asyncio.create_task(b.transcribe_window(_mel(6)))
+            t2 = asyncio.create_task(b.transcribe_window(_mel(7)))
+            t3 = asyncio.create_task(b.transcribe_window(_mel(8)))
+            return await asyncio.wait_for(
+                asyncio.gather(t1, t2, t3, return_exceptions=True), 300
+            )
+        finally:
+            await b.stop()
+
+    results = _run(go())
+    assert all(isinstance(r, Exception) for r in results), results

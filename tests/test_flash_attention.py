@@ -61,6 +61,20 @@ def test_masked_causal_flash_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.parametrize("t_q,t_k", [(8, 40), (16, 64), (24, 24)])
+def test_causal_rectangular_is_end_aligned(t_q, t_k):
+    """causal=True with t_k != t_q uses decode alignment (query end maps
+    to key end), matching mha_reference — the kernel previously
+    start-aligned the diagonal, silently truncating history on TPU."""
+    q, k, v = _qkv(t_q=t_q, t_k=t_k, seed=7)
+    kv_len = jnp.asarray([t_k, t_k], jnp.int32)
+    ref = mha_reference(q, k, v, causal=True)
+    out = _flash_attention_tpu_dyn(
+        q, k, v, kv_len, causal=True, block_q=8, block_k=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 def test_masked_flash_pads_ragged_kv():
     """kv not a block multiple: padding masked, result still matches."""
     q, k, v = _qkv(t_k=50, seed=3)
