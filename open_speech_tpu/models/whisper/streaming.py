@@ -75,8 +75,7 @@ def interim_budget(bucket: int, n_forced: int) -> int:
     return max(32, budget - n_forced)
 
 
-@partial(jax.jit, static_argnames=("n_head", "npos"))
-def _encode_block_impl(params, mel_seg, pos_start, kcache, vcache, enc_buf,
+def _encode_block_body(params, mel_seg, pos_start, kcache, vcache, enc_buf,
                        *, n_head: int, npos: int):
     """Encode ``npos`` new positions given the cached prefix.
 
@@ -125,6 +124,18 @@ def _encode_block_impl(params, mel_seg, pos_start, kcache, vcache, enc_buf,
     x = layer_norm(x, enc["ln_post"])
     enc_buf = jax.lax.dynamic_update_slice_in_dim(enc_buf, x, pos_start, axis=1)
     return kcache, vcache, enc_buf
+
+
+# Two jit entries over one body: committed blocks discard the old caches,
+# so donating them lets XLA update the (large-v3: ~250 MB/session) KV +
+# encoder buffers in place; interim tail blocks keep the committed state
+# live and must copy.
+_encode_block_impl = partial(
+    jax.jit, static_argnames=("n_head", "npos")
+)(_encode_block_body)
+_encode_block_donating = partial(
+    jax.jit, static_argnames=("n_head", "npos"), donate_argnums=(3, 4, 5)
+)(_encode_block_body)
 
 
 class StreamingWhisperEncoder:
@@ -198,7 +209,8 @@ class StreamingWhisperEncoder:
 
     def _encode_block(self, p0: int, commit: bool):
         mel_seg = self._mel_segment(p0, self.block_pos)
-        kc, vc, enc = _encode_block_impl(
+        impl = _encode_block_donating if commit else _encode_block_impl
+        kc, vc, enc = impl(
             self.params, mel_seg, p0, self._kc, self._vc, self._enc,
             n_head=self.cfg.n_audio_head, npos=self.block_pos,
         )

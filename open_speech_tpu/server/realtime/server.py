@@ -102,6 +102,7 @@ class RealtimeSession:
         self.config = SessionConfig(model=model or settings.stt_model)
         self.audio_buffer: InputAudioBuffer | None = None
         self._last_item_id: str | None = None
+        self._pending_item_id: str | None = None
         self._cancelled_responses: set[str] = set()
         self._current_response_id: str | None = None
         self._last_commit_at = time.monotonic()
@@ -206,15 +207,21 @@ class RealtimeSession:
 
         for evt in vad_events:
             if evt["type"] == "speech_started":
+                # one item id spans the whole turn: speech_started,
+                # speech_stopped, and the committed conversation item all
+                # carry it, so clients can pre-create/correlate the
+                # pending user item (OpenAI Realtime semantics)
+                self._pending_item_id = events._item_id()
                 await self._send(
                     events.input_audio_buffer_speech_started(
-                        evt["audio_start_ms"], events._item_id()
+                        evt["audio_start_ms"], self._pending_item_id
                     )
                 )
             elif evt["type"] == "speech_stopped":
                 await self._send(
                     events.input_audio_buffer_speech_stopped(
-                        evt["audio_end_ms"], events._item_id()
+                        evt["audio_end_ms"],
+                        self._pending_item_id or events._item_id(),
                     )
                 )
                 await self._finalize_turn()
@@ -236,7 +243,10 @@ class RealtimeSession:
         if not audio_data or len(audio_data) < _MIN_COMMIT_BYTES:
             return
 
-        item_id = events._item_id()
+        # reuse the turn's pending id (minted at speech_started) so the
+        # committed item correlates with the VAD events that announced it
+        item_id = self._pending_item_id or events._item_id()
+        self._pending_item_id = None
         self._last_item_id = item_id
         await self._send(events.input_audio_buffer_committed(item_id, None))
         await self._send(
@@ -350,6 +360,7 @@ class RealtimeSession:
             self.tts_router, text_to_speak, tts_model, self.config.voice,
             loop, queue,
         )
+        cancelled_early = False
         try:
             while True:
                 item = await queue.get()
@@ -358,7 +369,11 @@ class RealtimeSession:
                 if isinstance(item, Exception):
                     raise item
                 if resp_id in self._cancelled_responses:
-                    continue  # drain the producer, drop the audio
+                    # stop consuming NOW: response.done(cancelled) must
+                    # not wait for the whole synthesis to finish; the
+                    # producer drains into the queue in the background
+                    cancelled_early = True
+                    break
                 audio_data = encode_pcm16_to_format(
                     float_to_pcm16(item), native_rate, out_format
                 )
@@ -371,10 +386,21 @@ class RealtimeSession:
             self._current_response_id = None
             return
         finally:
-            await asyncio.wait([producer])
+            if cancelled_early:
+                # detach: swallow any late producer error instead of
+                # blocking the cancel acknowledgement on a slow vocoder
+                producer.add_done_callback(
+                    lambda f: f.cancelled() or f.exception()
+                )
+            else:
+                await asyncio.wait([producer])
 
         if resp_id in self._cancelled_responses:
             self._cancelled_responses.discard(resp_id)
+            # the response lifecycle must still terminate: clients block
+            # on response.done regardless of how the response ended
+            response_obj["status"] = "cancelled"
+            await self._send(events.response_done(response_obj))
             self._current_response_id = None
             return
 
@@ -445,7 +471,12 @@ async def realtime_endpoint(ws, tts_router, model: str = "") -> None:
                 )
                 await ws.close(code=4008, message=b"Session idle timeout")
                 break
-            if msg.type in (WSMsgType.CLOSE, WSMsgType.CLOSING, WSMsgType.ERROR):
+            if msg.type in (
+                WSMsgType.CLOSE,
+                WSMsgType.CLOSING,
+                WSMsgType.CLOSED,  # e.g. idle-timeout close inside a handler
+                WSMsgType.ERROR,
+            ):
                 break
             if msg.type != WSMsgType.TEXT:
                 continue

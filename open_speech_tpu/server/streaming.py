@@ -57,6 +57,24 @@ MAX_UTTERANCE_BYTES = MAX_UTTERANCE_SECONDS * INTERNAL_SAMPLE_RATE * 2
 MIN_SAMPLE_RATE = 8000
 MAX_SAMPLE_RATE = 192000
 
+# accepted ?encoding= values → canonical name. The reference accepts the
+# parameter but silently ignores it (src/streaming.py:537); here G.711 is
+# actually decoded (telephony callers) and unknown codecs are rejected at
+# connect instead of being transcribed as PCM16 noise.
+_ENCODINGS = {
+    "pcm_s16le": "pcm_s16le",
+    "linear16": "pcm_s16le",
+    "mulaw": "mulaw",
+    "ulaw": "mulaw",
+    "g711_ulaw": "mulaw",
+    "alaw": "alaw",
+    "g711_alaw": "alaw",
+}
+
+
+def _canonical_encoding(name: str) -> str:
+    return _ENCODINGS[str(name).lower()]
+
 # Dedicated pool so streaming work can't starve REST requests (reference :50)
 _streaming_executor = concurrent.futures.ThreadPoolExecutor(
     max_workers=4, thread_name_prefix="stream-transcribe"
@@ -135,11 +153,15 @@ class StreamingSession:
         interim_results: bool,
         endpointing_ms: int,
         vad_enabled: bool = True,
+        encoding: str = "pcm_s16le",
     ):
         self.ws = ws
         self.session_id = str(uuid.uuid4())
         self.model = model
         self.language = language
+        # mulaw/alaw frames are decoded to PCM16 at ingress (LUT, ~free);
+        # everything downstream runs in the PCM16 domain
+        self.encoding = _canonical_encoding(encoding)
         self.client_sample_rate = sample_rate
         self.needs_resample = sample_rate != INTERNAL_SAMPLE_RATE
         self.interim_results = interim_results
@@ -168,6 +190,7 @@ class StreamingSession:
         self._inc_encoder = None
         self._inc_fed = 0  # utterance bytes already fed to the encoder
         self._inc_broken = False  # backend unsupported: stop probing
+        self._inc_failures = 0  # consecutive runtime failures
 
     async def run(self):
         self._running = True
@@ -181,6 +204,16 @@ class StreamingSession:
             logger.error("[%s] Failed to load model: %s", self.session_id[:8], e)
             await self._send_event(
                 {"type": "error", "message": f"Failed to load model: {e}"}
+            )
+            # still a proper session teardown: clients keying on
+            # session.end must not see a bare socket drop
+            await self._send_event(
+                {
+                    "type": "session.end",
+                    "reason": "model_load_failed",
+                    "transcriptions": 0,
+                    "errors": 1,
+                }
             )
             return
 
@@ -241,7 +274,34 @@ class StreamingSession:
             # language/interim_results apply to subsequent utterances.
             rate = data.get("sample_rate")
             if rate:
-                self.client_sample_rate = int(rate)
+                try:
+                    rate = int(rate)
+                except (TypeError, ValueError):
+                    rate = -1
+                if not (MIN_SAMPLE_RATE <= rate <= MAX_SAMPLE_RATE):
+                    # same bounds the connect path enforces; an accepted
+                    # tiny rate would make chunk_bytes 0 and turn
+                    # _handle_audio into an event-loop-blocking spin
+                    await self._send_event(
+                        {
+                            "type": "error",
+                            "message": (
+                                "Invalid sample_rate: must be "
+                                f"{MIN_SAMPLE_RATE}-{MAX_SAMPLE_RATE}"
+                            ),
+                        }
+                    )
+                    return
+                if rate != self.client_sample_rate:
+                    # buffered bytes were captured at the old rate and the
+                    # running clock is in old-rate samples: finalize the
+                    # in-flight utterance first, then rebase the sample
+                    # counter so elapsed time stays continuous
+                    await self._flush()
+                    self.total_samples = int(
+                        self.total_samples * rate / self.client_sample_rate
+                    )
+                    self.client_sample_rate = rate
                 self.needs_resample = (
                     self.client_sample_rate != INTERNAL_SAMPLE_RATE
                 )
@@ -255,6 +315,11 @@ class StreamingSession:
                 self.interim_results = bool(data["interim_results"])
 
     async def _handle_audio(self, data: bytes):
+        if self.encoding != "pcm_s16le":
+            from open_speech_tpu.ops.audio import alaw_decode, ulaw_decode
+
+            dec = ulaw_decode if self.encoding == "mulaw" else alaw_decode
+            data = dec(np.frombuffer(data, np.uint8)).astype("<i2").tobytes()
         if len(data) % 2 != 0:
             data = data[:-1]
         if not data:
@@ -333,7 +398,11 @@ class StreamingSession:
             ):
                 result = await self._transcribe_incremental()
             if result is None:
-                if settings.os_batcher_enabled:
+                # the shared batcher builds one prompt per (model, lang)
+                # and would coerce None to forced-English; only
+                # language-pinned sessions ride it (same guard as the
+                # realtime commit path), auto-detect stays per-request
+                if settings.os_batcher_enabled and self.language:
                     result = await self._transcribe_batched()
                 else:
                     result = await self._transcribe_executor()
@@ -393,8 +462,8 @@ class StreamingSession:
         if self._inc_encoder is None or self._inc_encoder.params is not params:
             self._inc_encoder = StreamingWhisperEncoder(params, cfg)
             self._inc_fed = 0
-        new_bytes = bytes(self.utterance_audio[self._inc_fed :])
-        self._inc_fed = len(self.utterance_audio)
+        new_len = len(self.utterance_audio)
+        new_bytes = bytes(self.utterance_audio[self._inc_fed : new_len])
         encoder = self._inc_encoder
         language = self.language or "en"
 
@@ -409,6 +478,10 @@ class StreamingSession:
         def work() -> dict:
             if new_bytes:
                 encoder.append_audio(pcm16_to_float(new_bytes))
+            # mark consumed only after the encoder actually took the
+            # audio: advancing before a failed append would leave a
+            # permanent hole in every later interim hypothesis
+            self._inc_fed = new_len
             enc_states, bucket = encoder.interim_states()
             sp = tok.special
             try:
@@ -442,9 +515,29 @@ class StreamingSession:
             text = tok.decode(forced + tail).strip()
             return {"text": text}
 
-        return await asyncio.get_running_loop().run_in_executor(
-            _streaming_executor, work
-        )
+        try:
+            result = await asyncio.get_running_loop().run_in_executor(
+                _streaming_executor, work
+            )
+            self._inc_failures = 0
+            return result
+        except Exception as e:  # noqa: BLE001
+            # runtime failure (device hiccup, unsupported kernel): fall
+            # back to the per-request path for this chunk — the encoder
+            # state is still consistent because _inc_fed only advances
+            # after a successful append — and stop probing if persistent
+            self._inc_failures = getattr(self, "_inc_failures", 0) + 1
+            logger.warning(
+                "[%s] Incremental interim failed (%d): %s",
+                self.session_id[:8], self._inc_failures, e,
+            )
+            if self._inc_failures >= 3:
+                self._inc_broken = True
+                logger.warning(
+                    "[%s] Disabling incremental path after repeated "
+                    "failures", self.session_id[:8],
+                )
+            return None
 
     async def _transcribe_executor(self) -> dict:
         """Per-request path: whole inference on the streaming executor."""
@@ -602,6 +695,15 @@ async def streaming_endpoint(
             ).encode(),
         )
         return
+    if str(encoding).lower() not in _ENCODINGS:
+        await ws.close(
+            code=1008,
+            message=(
+                f"Unsupported encoding {encoding!r}: one of "
+                f"{sorted(set(_ENCODINGS))}"
+            ).encode(),
+        )
+        return
 
     vad_enabled = vad if vad is not None else settings.stt_vad_enabled
     session = StreamingSession(
@@ -612,6 +714,7 @@ async def streaming_endpoint(
         interim_results=interim_results,
         endpointing_ms=endpointing,
         vad_enabled=vad_enabled,
+        encoding=encoding,
     )
     _active_sessions[session.session_id] = session
     try:

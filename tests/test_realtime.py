@@ -346,3 +346,7 @@ def test_response_cancel_preempts_streaming(monkeypatch):
     # streaming started, then stopped well before the 50-chunk total
     assert "response.created" in types
     assert deltas < 40
+    # the lifecycle still terminates: a cancelled response must emit
+    # response.done with status "cancelled" (clients block on it)
+    dones = [e for e in ws.sent if e["type"] == "response.done"]
+    assert dones and dones[-1]["response"]["status"] == "cancelled"

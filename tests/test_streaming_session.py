@@ -271,3 +271,88 @@ def test_config_message_retunes_session(monkeypatch):
     assert session.chunk_bytes == int(8000 * 0.1) * 2  # 100ms default chunk
     assert session.language == "de"
     assert session.interim_results is False
+
+
+def test_session_model_load_failure_still_ends_session(monkeypatch):
+    """Even a model-load failure terminates with session.end, not a bare
+    socket drop (clients key teardown on it)."""
+    from open_speech_tpu.server import streaming as S
+
+    mock = MagicMock()
+    mock.is_model_loaded.return_value = False
+    mock.load_model.side_effect = RuntimeError("no such model")
+    monkeypatch.setattr(S, "backend_router", mock)
+    ws = DummyWS([])
+    session = StreamingSession(
+        ws, model="bad", language=None, sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(session.run())
+    assert [e["type"] for e in ws.sent] == ["error", "session.end"]
+    assert ws.sent[1]["reason"] == "model_load_failed"
+
+
+def test_config_rejects_out_of_range_sample_rate(monkeypatch):
+    """A config message cannot set a rate the connect path would reject —
+    an accepted tiny rate would zero chunk_bytes and spin the loop."""
+    _patch_router(monkeypatch)
+    ws = DummyWS([])
+    session = StreamingSession(
+        ws, model="m", language=None, sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    for bad in (1, 0, -5, 7999, 1_000_000, "nope"):
+        _run(session._handle_text(
+            json.dumps({"type": "config", "sample_rate": bad})
+        ))
+        assert session.client_sample_rate == 16000
+        assert session.chunk_bytes > 0
+    assert all(e["type"] == "error" for e in ws.sent)
+
+
+def test_config_rate_switch_rebases_clock_and_flushes(monkeypatch):
+    """Switching rates mid-stream keeps elapsed time continuous and
+    finalizes audio captured at the old rate."""
+    _patch_router(monkeypatch, text="before switch")
+    ws = DummyWS([])
+    session = StreamingSession(
+        ws, model="m", language=None, sample_rate=16000,
+        interim_results=False, endpointing_ms=300, vad_enabled=False,
+    )
+
+    async def drive():
+        await session._handle_audio(_pcm(200))  # 200 ms at 16 kHz
+        await session._handle_text('{"type":"config","sample_rate":8000}')
+
+    _run(drive())
+    # 0.2 s at 16 kHz == 1600 samples at 8 kHz
+    assert session.client_sample_rate == 8000
+    assert session.total_samples == 1600
+    # in-flight utterance finalized at the switch
+    finals = [e for e in ws.sent if e.get("is_final")]
+    assert finals and finals[-1]["speech_final"]
+
+
+def test_mulaw_encoding_decoded_at_ingress(monkeypatch):
+    """?encoding=mulaw frames are G.711-decoded before chunking (the
+    reference accepts the param and silently ignores it)."""
+    from open_speech_tpu.ops.audio import ulaw_encode
+
+    router = _patch_router(monkeypatch, text="telephone words")
+    ws = DummyWS([])
+    session = StreamingSession(
+        ws, model="m", language=None, sample_rate=8000,
+        interim_results=False, endpointing_ms=300, vad_enabled=False,
+        encoding="mulaw",
+    )
+    pcm = (np.ones(8000, np.int16) * 5000)  # 1 s at 8 kHz
+    ulaw = ulaw_encode(pcm).tobytes()
+
+    async def drive():
+        await session._handle_audio(ulaw)
+        await session._flush()
+
+    _run(drive())
+    assert router.transcribe.called
+    # decoded stream is PCM16: one second of 8 kHz audio was accounted
+    assert session.total_samples == 8000
