@@ -106,6 +106,25 @@ class KokoroConfig:
 # ──────────────────────────────────────────────────────────────────────
 
 
+def compress_durations(pred_dur, budget: int):
+    """Scale integer frame durations [B, T] into a frame budget.
+
+    No-op (bit-identical) when the total fits — torch parity holds for
+    every utterance the reference could render. When over budget,
+    rounding happens on the CUMULATIVE grid (round the scaled ends, then
+    diff): per-duration round()/ceil()/floor-at-1 after scaling can
+    overshoot the budget (e.g. every scaled duration at 1.875 rounds to
+    2), which would clip n_frames and silently cut the utterance tail —
+    the exact failure compression exists to prevent. Monotone ends keep
+    the diffs >= 0 and the compressed total lands exactly on the budget.
+    """
+    total = jnp.sum(pred_dur, axis=1, keepdims=True)
+    scale = jnp.minimum(1.0, budget / jnp.maximum(total, 1.0))
+    ends_r = jnp.round(jnp.cumsum(pred_dur * scale, axis=1))
+    comp = jnp.diff(ends_r, axis=1, prepend=0.0)
+    return jnp.where(scale < 1.0, comp, pred_dur)
+
+
 def _ln(x, p, eps=1e-5):
     x32 = x.astype(jnp.float32)
     mean = x32.mean(-1, keepdims=True)
@@ -546,12 +565,7 @@ def encode_utterance(params, cfg: KokoroConfig, phonemes, ph_len, style, speed):
     dur_logits = _linear(x, params["pred"]["dur_proj"])  # [B, T, max_dur]
     duration = jax.nn.sigmoid(dur_logits).sum(-1) / speed[:, None]
     pred_dur = jnp.maximum(jnp.round(duration), 1.0) * mask[..., 0]
-    # compress over-long utterances into the frame bucket instead of
-    # truncating mid-word (a no-op when they fit: scale==1 keeps the
-    # integer durations bit-identical, so torch parity is unaffected)
-    total = jnp.sum(pred_dur, axis=1, keepdims=True)
-    scale = jnp.minimum(1.0, cfg.max_frames / jnp.maximum(total, 1.0))
-    pred_dur = jnp.maximum(jnp.round(pred_dur * scale), 1.0) * mask[..., 0]
+    pred_dur = compress_durations(pred_dur, cfg.max_frames) * mask[..., 0]
 
     ends = jnp.cumsum(pred_dur, axis=1)
     n_frames = jnp.clip(ends[:, -1].astype(jnp.int32), 1, cfg.max_frames)

@@ -497,11 +497,13 @@ def synthesize_vits(
     w = jnp.exp(logw) * mask / speed[:, None, None]  # length_scale = 1/speed
     w_ceil = jnp.ceil(w)[..., 0]  # [B, P]
     # compress over-long utterances into the frame bucket instead of
-    # truncating (no-op when they fit; masked rows stay zero)
-    total = jnp.sum(w_ceil, axis=1, keepdims=True)
-    w_ceil = jnp.ceil(
-        w_ceil * jnp.minimum(1.0, f_max / jnp.maximum(total, 1.0))
-    )
+    # truncating (no-op when they fit; masked rows stay zero); cumulative
+    # rounding — per-duration ceil() after scaling strictly overshoots
+    # the budget and would clip the utterance tail (see
+    # kokoro.model.compress_durations, the shared scheme)
+    from open_speech_tpu.models.kokoro.model import compress_durations
+
+    w_ceil = compress_durations(w_ceil, f_max)
     ends = jnp.cumsum(w_ceil, axis=1)
     n_frames = jnp.clip(ends[:, -1].astype(jnp.int32), 1, f_max)
 

@@ -33,6 +33,7 @@ logger = logging.getLogger(__name__)
 
 BATCH_BUCKETS = (1, 4, 16, 64)  # few buckets = few compiled programs
 GATHER_WINDOW_S = 0.010  # wait this long for peers before launching
+_STOP = object()  # queue sentinel ending a stopped batcher's thread
 
 
 def _bucket(n: int) -> int:
@@ -48,10 +49,15 @@ class TTSBatcher:
     def __init__(self, params, cfg, max_batch: int = 64) -> None:
         self.params = params
         self.cfg = cfg
-        self.max_batch = max_batch
+        # the bucket arrays in _run_batch are sized by BATCH_BUCKETS;
+        # a larger max_batch would index past them and fail every
+        # co-batched request
+        self.max_batch = min(max_batch, BATCH_BUCKETS[-1])
         self._queue: queue.Queue = queue.Queue()
         self._thread: threading.Thread | None = None
         self._lock = threading.Lock()
+        self._stopping = False
+        self._last_batch_end = 0.0
         self.stats = {"batches": 0, "jobs": 0, "peak_batch": 0}
 
     def _ensure_thread(self) -> None:
@@ -61,6 +67,16 @@ class TTSBatcher:
                     target=self._loop, daemon=True, name="tts-batcher"
                 )
                 self._thread.start()
+
+    def stop(self) -> None:
+        """End the scheduler thread and release the params reference.
+
+        Without this, a replaced batcher (model reload) leaves a daemon
+        thread blocked on its private queue forever, pinning the old
+        device parameter set — repeated reloads leak HBM until OOM.
+        """
+        self._stopping = True
+        self._queue.put(_STOP)
 
     def precompile(self, buckets=(4,)) -> None:
         """Compile the batched programs ahead of traffic: the first
@@ -86,6 +102,8 @@ class TTSBatcher:
         speed: float,
     ) -> Iterator[np.ndarray]:
         """Submit one utterance; yields float32 audio chunks as they land."""
+        if self._stopping:
+            raise RuntimeError("tts batcher stopped (model was reloaded)")
         self._ensure_thread()
         out: queue.Queue = queue.Queue()
         self._queue.put((phoneme_ids, style, speed, out))
@@ -100,9 +118,19 @@ class TTSBatcher:
     # ── scheduler thread ──────────────────────────────────────────────
 
     def _gather(self) -> list:
-        jobs = [self._queue.get()]
         import time
 
+        jobs = [self._queue.get()]
+        # idle arrival with no queued peers: launch immediately — the
+        # gather window would add its full length to every solo
+        # request's TTFA for nothing. Requests landing during the
+        # in-flight batch queue up and coalesce on the next pass, and a
+        # recent batch (<50 ms ago) implies a burst, so then we do wait.
+        if (
+            self._queue.empty()
+            and time.monotonic() - self._last_batch_end > 0.05
+        ):
+            return jobs
         deadline = time.monotonic() + GATHER_WINDOW_S
         while len(jobs) < self.max_batch:
             timeout = deadline - time.monotonic()
@@ -115,8 +143,21 @@ class TTSBatcher:
         return jobs
 
     def _loop(self) -> None:
+        import time
+
         while True:
             jobs = self._gather()
+            if self._stopping:
+                err = RuntimeError("tts batcher stopped")
+                for job in jobs:
+                    if job is not _STOP:
+                        job[-1].put(err)
+                        job[-1].put(None)
+                self.params = None  # release the device buffers promptly
+                return
+            jobs = [j for j in jobs if j is not _STOP]
+            if not jobs:
+                continue
             try:
                 self._run_batch(jobs)
             except Exception as e:  # noqa: BLE001
@@ -124,6 +165,7 @@ class TTSBatcher:
                 for *_rest, out in jobs:
                     out.put(e)
                     out.put(None)
+            self._last_batch_end = time.monotonic()
 
     def _run_batch(self, jobs: list) -> None:
         from open_speech_tpu.models.kokoro.model import (
@@ -188,15 +230,20 @@ def get_tts_batcher(backend) -> TTSBatcher:
     with _registry_lock:
         b = _batchers.get(key)
         if b is None or b.params is not backend._params:
+            if b is not None:
+                b.stop()  # end the old thread; drop the old params
             b = TTSBatcher(backend._params, backend._cfg)
             _batchers[key] = b
         return b
 
 
 def tts_batcher_stats() -> dict:
-    return {str(k): dict(b.stats) for k, b in _batchers.items()}
+    with _registry_lock:  # snapshot: get_tts_batcher may insert concurrently
+        return {str(k): dict(b.stats) for k, b in _batchers.items()}
 
 
 def reset_tts_batchers() -> None:
     with _registry_lock:
+        for b in _batchers.values():
+            b.stop()
         _batchers.clear()

@@ -127,6 +127,7 @@ class KokoroBackend:
         self._loaded_at: float | None = None
         self._last_used: float | None = None
         self._g2p = get_g2p()
+        self._from_checkpoint = False
         self._voice_cache: dict[str, np.ndarray] = {}
         # IPA char -> token id from a converted checkpoint's config.json;
         # None = internal ARPAbet id space (English only)
@@ -184,8 +185,10 @@ class KokoroBackend:
                 max_frames=self._cfg.max_frames,
             )
             self._vocab = self._load_vocab(ckpt)
+            self._from_checkpoint = True
             logger.info("kokoro weights converted from %s", ckpt)
         else:
+            self._from_checkpoint = False
             self._params = init_kokoro_params(jax.random.PRNGKey(7), self._cfg)
             logger.warning(
                 "No kokoro checkpoint found (OS_KOKORO_CKPT_PATH unset); "
@@ -276,6 +279,16 @@ class KokoroBackend:
                     torch.load(pack, map_location="cpu", weights_only=True).numpy()
                 )
         if rows is None:
+            if self._from_checkpoint:
+                # real weights + hashed-noise style = garbage audio served
+                # as success; make the misconfiguration loud
+                logger.warning(
+                    "kokoro voice %r has no converted voice pack "
+                    "(OS_KOKORO_VOICES_DIR unset or %s.pt missing) — "
+                    "conditioning CONVERTED weights on a random style "
+                    "vector; audio will not sound like the voice",
+                    voice_id, voice_id,
+                )
             rows = voice_vector(voice_id, 2 * self._cfg.style_dim)[None, :]
         self._voice_cache[voice_id] = rows
         return rows
@@ -406,7 +419,9 @@ class KokoroBackend:
             self.load_model("kokoro")
         self._last_used = time.time()
         voice = voice or "af_heart"
-        lang = lang_code_from_voice_id(
+        # an explicit language request wins over the voice-id prefix
+        # (the server routes ?language= here; matching piper_jax)
+        lang = lang_code or lang_code_from_voice_id(
             voice.split("+")[0].split("(")[0].strip()
         )
         if not self.supports_language(lang):
@@ -421,7 +436,11 @@ class KokoroBackend:
         for sentence in split_sentences(text) or [text]:
             ids = self._encode_text(sentence, lang)[: self._cfg.max_phonemes]
             n = len(ids)
-            style_vec = self._style_for(voice, n)
+            # style row is indexed by the RAW phoneme count: ids carry the
+            # two boundary 0-pads, but the reference selects
+            # pack[len(ps)-1] on the unpadded phoneme string
+            # (models/kokoro/convert.py:288, src/tts/backends/kokoro.py)
+            style_vec = self._style_for(voice, max(n - 2, 1))
             if use_batcher:
                 # concurrent requests share one batched device program
                 from open_speech_tpu.runtime.tts_batcher import get_tts_batcher

@@ -471,3 +471,30 @@ def test_piper_speaker_changes_output(router):
         outs.append(np.asarray(audio[0, : int(n[0]) * cfg.samples_per_frame]))
     m = min(len(outs[0]), len(outs[1]))
     assert m == 0 or not np.allclose(outs[0][:m], outs[1][:m])
+
+
+def test_compress_durations_never_overshoots_budget():
+    """Cumulative rounding lands exactly on the budget; per-duration
+    round/ceil overshoots (e.g. all scaled durations at 1.875 -> 2) and
+    would silently cut the utterance tail."""
+    import jax.numpy as jnp
+
+    from open_speech_tpu.models.kokoro.model import compress_durations
+
+    # the worked failure case: 256 phonemes x 10 frames, budget 480
+    d = jnp.full((1, 256), 10.0)
+    out = np.asarray(compress_durations(d, 480))
+    assert out.sum() == 480
+    assert (out >= 0).all()
+
+    # ragged durations + several batch rows
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.integers(1, 30, (4, 97)).astype(np.float32))
+    out = np.asarray(compress_durations(d, 512))
+    assert (out.sum(axis=1) <= 512).all()
+    assert (out >= 0).all()
+
+    # fits-in-budget: bit-identical no-op (torch parity)
+    d = jnp.asarray([[3.0, 1.0, 7.0, 0.0]])
+    out = np.asarray(compress_durations(d, 64))
+    np.testing.assert_array_equal(out, np.asarray(d))

@@ -94,3 +94,59 @@ def test_backend_routes_through_batcher(monkeypatch):
     stats = tb.tts_batcher_stats()
     assert stats and sum(s["jobs"] for s in stats.values()) >= 1
     reset_tts_batchers()
+
+
+def test_stop_ends_thread_and_releases_params():
+    """A stopped batcher's scheduler thread exits and drops the params
+    reference — a replaced batcher must not pin the old weights."""
+    from open_speech_tpu.runtime.tts_batcher import TTSBatcher
+
+    cfg = TINY_CONFIG
+    params = init_kokoro_params(jax.random.PRNGKey(0), cfg)
+    b = TTSBatcher(params, cfg)
+    chunks = list(b.synthesize(list(range(1, 9)),
+                               np.zeros(2 * cfg.style_dim, np.float32), 1.0))
+    assert chunks
+    thread = b._thread
+    b.stop()
+    thread.join(timeout=10)
+    assert not thread.is_alive()
+    assert b.params is None
+    with pytest.raises(RuntimeError):
+        next(iter(b.synthesize([1], np.zeros(2 * cfg.style_dim), 1.0)))
+
+
+def test_replacing_batcher_stops_previous():
+    """get_tts_batcher stops the superseded batcher on params change
+    (model reload) instead of leaking its thread + weights."""
+    from types import SimpleNamespace
+
+    from open_speech_tpu.runtime.tts_batcher import (
+        get_tts_batcher,
+        reset_tts_batchers,
+    )
+
+    cfg = TINY_CONFIG
+    backend = SimpleNamespace(
+        _params=init_kokoro_params(jax.random.PRNGKey(1), cfg), _cfg=cfg
+    )
+    try:
+        b1 = get_tts_batcher(backend)
+        backend._params = init_kokoro_params(jax.random.PRNGKey(2), cfg)
+        b2 = get_tts_batcher(backend)
+        assert b2 is not b1
+        assert b1._stopping  # superseded batcher was stopped
+    finally:
+        reset_tts_batchers()
+
+
+def test_max_batch_clamped_to_bucket_ladder():
+    from open_speech_tpu.runtime.tts_batcher import (
+        BATCH_BUCKETS,
+        TTSBatcher,
+    )
+
+    assert (
+        TTSBatcher(None, TINY_CONFIG, max_batch=128).max_batch
+        == BATCH_BUCKETS[-1]
+    )
