@@ -80,9 +80,15 @@ def resolve_preset(model_id: str) -> str | None:
         return name
     # fuzzy: strip org prefix / ct2 suffixes from arbitrary repo ids
     tail = model_id.split("/")[-1].lower()
+    is_distil = "distil" in tail
     tail = re.sub(r"^(faster-|distil-)?whisper-", "", tail)
     tail = re.sub(r"(-ct2.*|-turbo-ct2.*)$", "", tail)
     for candidate in (tail, tail.replace("_", "-")):
+        if is_distil and not candidate.startswith("distil-"):
+            # a distil repo id must NEVER land on the full-depth preset
+            # (wrong decoder depth: checkpoint load crashes, random init
+            # silently serves the wrong architecture)
+            candidate = f"distil-{candidate}"
         if candidate in PRESETS:
             return candidate
     return None
@@ -235,12 +241,16 @@ class JaxWhisperBackend:
         entry = self._models[model_id]
         cfg = entry["cfg"]
         window_samples = cfg.n_audio_ctx * 2 * 160  # hop=160
-        mel = log_mel_spectrogram(
-            pad_or_trim(jnp.zeros(window_samples), window_samples),
-            n_mels=cfg.n_mels,
-        )
-        encode(entry["params"], mel[None], cfg).block_until_ready()
         t0 = time.time()
+        try:
+            mel = log_mel_spectrogram(
+                pad_or_trim(jnp.zeros(window_samples), window_samples),
+                n_mels=cfg.n_mels,
+            )
+            encode(entry["params"], mel[None], cfg).block_until_ready()
+        except Exception:  # noqa: BLE001 — warmup must never block load
+            logger.exception("Warmup mel/encode stage failed (%s)", model_id)
+            return
         # mel front-end ladder: transcribe() pads audio to bucketed window
         # counts (+1 silent window) and slices via a traced-start program —
         # warm the first rungs (short/typical files); deeper rungs compile
@@ -386,18 +396,18 @@ class JaxWhisperBackend:
         )
 
     def unload_model(self, model_id: str) -> None:
-        entry = self._models.pop(model_id, None)
+        # popping the registry entry releases the last reference to the
+        # params pytree; XLA frees the HBM when the arrays are collected
+        if self._models.pop(model_id, None) is not None:
+            logger.info("Unloaded %s", model_id)
         self._last_used.pop(model_id, None)
         self._loaded_at.pop(model_id, None)
-        if entry is not None:
-            del entry  # drop device buffers; XLA frees HBM on GC
-            logger.info("Unloaded %s", model_id)
 
     def loaded_models(self) -> list[LoadedModelInfo]:
         ttl = settings.os_model_ttl
         now = time.time()
         out = []
-        for mid in self._models:
+        for mid in list(self._models):  # snapshot: loads insert concurrently
             last = self._last_used.get(mid)
             out.append(
                 LoadedModelInfo(
@@ -473,10 +483,18 @@ class JaxWhisperBackend:
     # ── protocol: inference ───────────────────────────────────────────
 
     def _ensure_model(self, model_id: str) -> dict[str, Any]:
-        if model_id not in self._models:
+        # get-then-load loop, not check-then-index: the lifecycle sweep
+        # (event-loop thread) can evict between a membership test and the
+        # lookup, which would turn a valid request into a KeyError 500
+        for _ in range(3):
+            entry = self._models.get(model_id)
+            if entry is not None:
+                self._last_used[model_id] = time.time()
+                return entry
             self.load_model(model_id)
-        self._last_used[model_id] = time.time()
-        return self._models[model_id]
+        raise RuntimeError(
+            f"model {model_id!r} kept being evicted during load"
+        )
 
     def _run_inference(
         self,
@@ -511,6 +529,18 @@ class JaxWhisperBackend:
         duration_s = len(pcm) / 16000
         budget = min(224, int(duration_s * 12) + 12)
         budget = -(-budget // 16) * 16
+        # ride an already-warmed decode program when one covers this
+        # budget: the while_loop exits at EOT, so a larger static bound
+        # costs ~nothing at runtime, while an unwarmed bound compiles
+        # greedy+beam programs mid-request (minutes through a relay)
+        warmed = sorted(
+            int(b)
+            for b in str(settings.os_stt_precompile_budgets).split(",")
+            if b.strip().isdigit()
+        )
+        covering = [w for w in warmed if w >= budget]
+        if covering:
+            budget = covering[0]
         if _budget_override is not None:  # warmup pins the serving bucket
             budget = _budget_override
         opts = TranscribeOptions(
@@ -526,10 +556,7 @@ class JaxWhisperBackend:
         segments, info = transcribe(
             entry["params"], entry["cfg"], entry["tok"], pcm, opts
         )
-        resp = build_response(segments, info, task, response_format)
-        if response_format == "verbose_json":
-            resp["language"] = info.language
-        return resp
+        return build_response(segments, info, task, response_format)
 
     def transcribe(
         self,

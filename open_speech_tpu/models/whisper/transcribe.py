@@ -15,7 +15,7 @@ ceil(T/30) window steps regardless of output length.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import numpy as np
@@ -40,7 +40,8 @@ from open_speech_tpu.ops.mel import (
 )
 
 TIME_PER_FRAME = HOP_LENGTH / SAMPLE_RATE  # 0.01 s
-FRAMES_PER_WINDOW = N_SAMPLES // HOP_LENGTH  # 3000 feature frames / 30 s
+# NOTE: the authoritative frames-per-window is cfg.n_audio_ctx * 2 —
+# it differs per preset (test-tiny), so no module-level constant here.
 
 
 @dataclass
