@@ -233,12 +233,29 @@ def convert_mimi(state, cfg: MimiConfig | None = None):
 # ──────────────────────────────────────────────────────────────────────
 
 
+def _to_np(v):
+    """torch tensor / array → np.ndarray; bf16 (the dtype kyutai releases
+    ship) upcasts to f32 since numpy has no bfloat16."""
+    if hasattr(v, "detach"):
+        v = v.detach().cpu()
+        if str(v.dtype) == "torch.bfloat16":
+            v = v.float()
+        return v.numpy()
+    return np.asarray(v)
+
+
 def _read_state(path):
     """Load a torch/safetensors state dict as {name: np.ndarray}."""
     if str(path).endswith(".safetensors"):
-        from safetensors.numpy import load_file
+        try:
+            from safetensors.numpy import load_file
 
-        state = load_file(str(path))
+            state = load_file(str(path))
+        except (TypeError, ValueError, ImportError):
+            # safetensors.numpy rejects bf16 tensors — route through torch
+            from safetensors.torch import load_file as load_torch
+
+            state = {k: _to_np(v) for k, v in load_torch(str(path)).items()}
     else:
         import torch
 
@@ -247,7 +264,7 @@ def _read_state(path):
             raw["model"], dict
         ):
             raw = raw["model"]
-        state = {k: v.numpy() for k, v in raw.items()}
+        state = {k: _to_np(v) for k, v in raw.items()}
     # moshi exports sometimes prefix everything with "model."
     if state and all(k.startswith("model.") for k in state):
         state = {k[len("model."):]: v for k, v in state.items()}
@@ -300,13 +317,53 @@ def load_checkpoint(path):
             f"lm={lm_file} mimi={mimi_file}"
         )
     mimi_params, mimi_cfg = convert_mimi(_read_state(mimi_file))
-    lm_params, lm_cfg = convert_pocket_lm(_read_state(lm_file))
+
+    # release config.json is the ground truth for what tensor shapes can't
+    # say: head counts (a wrong guess silently mis-splits attention), the
+    # context window, stream delays, and the text special-token ids.
+    rc = {}
+    cfg_file = _pick(("config.json",))
+    if cfg_file is not None:
+        import json
+
+        raw_cfg = json.loads(cfg_file.read_text())
+        # kyutai TTS releases nest the LM geometry; moshi's is flat
+        rc = raw_cfg.get("model", raw_cfg)
+
+    lm_params, lm_cfg = convert_pocket_lm(
+        _read_state(lm_file),
+        n_heads=rc.get("num_heads"),
+        dep_heads=rc.get("depformer_num_heads"),
+    )
+    from dataclasses import replace
+
+    overrides = {}
+    if rc.get("context"):
+        overrides["max_ctx"] = int(rc["context"])
+    delays = rc.get("delays")
+    if delays and len(delays) > 1:
+        overrides["acoustic_delay"] = int(max(delays[1:]))
     spm = _pick(("tokenizer*.model", "*.model"))
+    if rc.get("existing_text_padding_id") is not None:
+        overrides["text_pad_id"] = int(rc["existing_text_padding_id"])
+    elif spm is not None:
+        # sentencepiece convention when the release ships a tokenizer but
+        # no explicit pad id: unk=0, bos=1, eos=2, pad=3
+        overrides["text_pad_id"] = 3
+    if rc.get("text_bos_token_id") is not None:
+        overrides["text_bos_id"] = int(rc["text_bos_token_id"])
+    if rc.get("text_eos_token_id") is not None:
+        overrides["text_eos_id"] = int(rc["text_eos_token_id"])
+    if overrides:
+        lm_cfg = replace(lm_cfg, **overrides)
+
     tokenizer = SentencePieceTokenizer(str(spm)) if spm else None
     return PocketTTS(lm_params, mimi_params, lm_cfg, mimi_cfg, tokenizer)
 
 
-def lm_config_from_state_dict(state, acoustic_delay=2, max_ctx=1536) -> PocketLMConfig:
+def lm_config_from_state_dict(
+    state, acoustic_delay=2, max_ctx=1536, warn_on_guess=True
+) -> PocketLMConfig:
     d_model = state["text_emb.weight"].shape[1]
     text_card = state["text_linear.weight"].shape[0]
     n_q = _count(state, r"depformer_in\.(\d+)\.weight")
@@ -316,12 +373,26 @@ def lm_config_from_state_dict(state, acoustic_delay=2, max_ctx=1536) -> PocketLM
     dep_d = state["depformer_in.0.weight"].shape[0]
     dep_layers = _count(state, r"depformer\.layers\.(\d+)\.")
     dep_ff = 3 * state["depformer.layers.0.gating.0.linear_out.weight"].shape[1] // 2
+    # head counts are NOT derivable from fused in_proj shapes — this is a
+    # guess. A wrong guess silently mis-splits attention heads and mis-pairs
+    # RoPE, so real checkpoints must carry the truth (release config.json,
+    # read by load_checkpoint, or explicit convert_pocket_lm(n_heads=...)).
     n_heads = 16 if d_model % 16 == 0 and d_model >= 512 else max(
         h for h in (1, 2, 4, 8) if d_model % h == 0 and (d_model // h) % 2 == 0
     )
     dep_heads = max(
         h for h in (1, 2, 4, 8) if dep_d % h == 0 and (dep_d // h) % 2 == 0
     )
+    if warn_on_guess:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "pocket LM head counts guessed from shapes: n_heads=%d "
+            "dep_heads=%d (d_model=%d, dep_d=%d) — if the checkpoint ships "
+            "a config.json, load via load_checkpoint so the real values are "
+            "used; a wrong head count produces garbage audio with no error",
+            n_heads, dep_heads, d_model, dep_d,
+        )
     return PocketLMConfig(
         d_model=d_model,
         n_heads=n_heads,
@@ -342,7 +413,9 @@ def lm_config_from_state_dict(state, acoustic_delay=2, max_ctx=1536) -> PocketLM
 def convert_pocket_lm(state, cfg: PocketLMConfig | None = None,
                       n_heads: int | None = None, dep_heads: int | None = None):
     state = {k: v for k, v in state.items()}
-    cfg = cfg or lm_config_from_state_dict(state)
+    cfg = cfg or lm_config_from_state_dict(
+        state, warn_on_guess=not (n_heads and dep_heads)
+    )
     if n_heads or dep_heads:
         from dataclasses import replace
 

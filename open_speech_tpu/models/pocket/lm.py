@@ -56,6 +56,14 @@ class PocketLMConfig:
     text_card: int = 4000
     acoustic_delay: int = 2
     max_ctx: int = 1536  # KV-cache capacity in steps
+    # text special-token ids. Random-init / oracle models use 0/1/2; a real
+    # kyutai checkpoint indexes text_emb by native sentencepiece ids, whose
+    # pad id comes from the release's config.json (existing_text_padding_id,
+    # sentencepiece convention pad=3, bos=1, eos=2) — convert.load_checkpoint
+    # overrides these so conditioning rows line up with the trained table.
+    text_pad_id: int = 0
+    text_bos_id: int = 1
+    text_eos_id: int = 2
 
     @property
     def head_dim(self) -> int:
@@ -472,7 +480,8 @@ def lm_forward(params, cfg: PocketLMConfig, text_tokens, audio_tokens):
         params["emb"][:, None], audio_tokens.transpose(1, 0, 2)[..., None], axis=2
     )  # [n_q, B, T, D]
     x = params["text_emb"][text_tokens] + per_cb.sum(axis=0)
-    h, caches = temporal_prefill(params, cfg, x, init_caches(cfg, b), 0)
+    caches0 = init_caches(cfg, b, params["text_emb"].dtype)
+    h, caches = temporal_prefill(params, cfg, x, caches0, 0)
     hn = _rms(h, params["out_norm"])
     text_logits = hn @ params["text_linear"]["w"]
 

@@ -34,6 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from open_speech_tpu.models.pocket.lm import _rope  # shared moshi RoPE
 from open_speech_tpu.ops.initutil import jit_init
 from open_speech_tpu.ops.vocoder import conv1d, conv_transpose1d
 
@@ -251,7 +252,7 @@ def init_mimi_params(key, cfg: MimiConfig, dtype=jnp.float32):
 # ──────────────────────────────────────────────────────────────────────
 
 
-def _res_block(x, p, k_res):
+def _res_block(x, p):
     h = jax.nn.elu(x)
     h = causal_conv(h, p["c1"], dilation=1)
     h = jax.nn.elu(h)
@@ -265,7 +266,7 @@ def seanet_encode(params, cfg: MimiConfig, pcm):
     x = causal_conv(x, params["conv_in"])
     enc_ratios = tuple(reversed(cfg.ratios))
     for stage, r in zip(params["stages"], enc_ratios):
-        x = _res_block(x, stage["res"], cfg.residual_kernel_size)
+        x = _res_block(x, stage["res"])
         x = jax.nn.elu(x)
         x = causal_conv(x, stage["down"], stride=r)
     x = jax.nn.elu(x)
@@ -278,7 +279,7 @@ def seanet_decode(params, cfg: MimiConfig, latent):
     for stage, r in zip(params["stages"], cfg.ratios):
         x = jax.nn.elu(x)
         x = causal_convtr(x, stage["up"], stride=r)
-        x = _res_block(x, stage["res"], cfg.residual_kernel_size)
+        x = _res_block(x, stage["res"])
     x = jax.nn.elu(x)
     x = causal_conv(x, params["conv_out"])
     return x[..., 0]
@@ -287,25 +288,6 @@ def seanet_decode(params, cfg: MimiConfig, latent):
 # ──────────────────────────────────────────────────────────────────────
 # bottleneck transformer (causal, RoPE, layer-scale)
 # ──────────────────────────────────────────────────────────────────────
-
-
-def _rope(q, k, positions, head_dim):
-    """Interleaved-pair RoPE (moshi convention), positions [T]."""
-    half = head_dim // 2
-    freqs = 10000.0 ** (-jnp.arange(half, dtype=jnp.float32) / half)
-    ang = positions[:, None].astype(jnp.float32) * freqs[None, :]  # [T, half]
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
-
-    def rot(x):
-        xr = x.reshape(*x.shape[:-1], half, 2)
-        x0, x1 = xr[..., 0], xr[..., 1]
-        c = cos[None, None, : x.shape[-2], :]
-        s = sin[None, None, : x.shape[-2], :]
-        y0 = x0 * c - x1 * s
-        y1 = x0 * s + x1 * c
-        return jnp.stack([y0, y1], axis=-1).reshape(x.shape)
-
-    return rot(q), rot(k)
 
 
 def _ln(x, p):

@@ -54,6 +54,8 @@ logger = logging.getLogger(__name__)
 
 SAMPLE_RATE = 24_000
 
+# random-init / oracle defaults; real checkpoints override via
+# PocketLMConfig.text_{pad,bos,eos}_id (see convert.load_checkpoint)
 TEXT_PAD, TEXT_BOS, TEXT_EOS = 0, 1, 2
 
 
@@ -73,13 +75,20 @@ class ByteTokenizer:
 
 
 class SentencePieceTokenizer:
+    """Real checkpoint tokenizer: NATIVE sentencepiece ids, no offset.
+
+    moshi-family checkpoints index ``text_emb`` rows by the raw sp ids the
+    model was trained with; the special pad/bos/eos ids live in the release
+    config (``PocketLMConfig.text_pad_id`` etc.), not at a fixed 0/1/2.
+    """
+
     def __init__(self, model_path: str):
         import sentencepiece  # gated: not baked into this image
 
         self.sp = sentencepiece.SentencePieceProcessor(model_file=model_path)
 
     def encode(self, text: str) -> list[int]:
-        return [3 + t for t in self.sp.encode(text)]
+        return list(self.sp.encode(text))
 
 
 @dataclass
@@ -183,17 +192,20 @@ class PocketTTS:
 
     # ── voice prompt (clone path) ────────────────────────────────────
 
-    def encode_audio(self, pcm: np.ndarray) -> np.ndarray:
+    def encode_audio(self, pcm: np.ndarray, cap: int | None = None) -> np.ndarray:
         """PCM (24 kHz float mono, [T] or [B, T]) → Mimi tokens [B, K, F].
 
         The waveform is zero-padded up to a whole-frame *bucket* so encode
         compiles once per bucket, and the causal encoder's tokens for the
         real frames are unaffected; only those frames are returned.
+        ``cap`` bounds the frame count (callers that will truncate anyway —
+        the prompt path keeps max_ctx//2 — pass it so the over-long tail is
+        never encoded or compiled for).
         """
         pcm = np.atleast_2d(np.asarray(pcm, np.float32))
         spf = self.mimi_cfg.samples_per_frame
         frames = max(1, -(-pcm.shape[1] // spf))
-        fbucket = _bucket(frames, cap=self.lm_cfg.max_ctx)
+        fbucket = _bucket(frames, cap=cap or self.lm_cfg.max_ctx)
         frames = min(frames, fbucket)
         padded = np.zeros((pcm.shape[0], fbucket * spf), np.float32)
         n_copy = min(pcm.shape[1], fbucket * spf)
@@ -210,17 +222,17 @@ class PocketTTS:
         (reference pocket_tts_backend.py:132).
         """
         cfg = self.lm_cfg
-        tokens = self.encode_audio(pcm)
         # bound the prompt so text + generation still fit in max_ctx
         max_prompt = cfg.max_ctx // 2
+        tokens = self.encode_audio(pcm, cap=max_prompt)
         tokens = tokens[:, :, :max_prompt]
         grid = _delayed_grid(cfg, tokens)
         b, _, steps = grid.shape
         pad_to = _bucket(steps, cap=max_prompt)
         padded = np.full((b, cfg.n_q, pad_to), cfg.audio_initial, np.int32)
         padded[:, :, :steps] = grid
-        text = np.full((b, pad_to), TEXT_PAD, np.int32)
-        caches = init_caches(cfg, b)
+        text = np.full((b, pad_to), cfg.text_pad_id, np.int32)
+        caches = init_caches(cfg, b, self.lm_params["text_emb"].dtype)
         caches = _prefill(
             self.lm_params, cfg, jnp.asarray(text), jnp.asarray(padded),
             caches, jnp.int32(0), jnp.int32(steps),
@@ -246,11 +258,17 @@ class PocketTTS:
         Deterministic for (text, state, seed, temperature).
         """
         cfg = self.lm_cfg
-        ids = [TEXT_BOS] + self.tokenizer.encode(text) + [TEXT_EOS]
+        ids = [cfg.text_bos_id] + self.tokenizer.encode(text) + [cfg.text_eos_id]
         if state is None:
-            caches = init_caches(cfg, 1)
+            caches = init_caches(cfg, 1, self.lm_params["text_emb"].dtype)
             start = 0
         else:
+            if state.k_cache.shape[1] != 1:
+                raise ValueError(
+                    "generate_stream is single-stream: PromptState carries "
+                    f"batch={state.k_cache.shape[1]} (build it from one mono "
+                    "clip, or run one generate_stream per voice)"
+                )
             caches = state.caches
             start = state.length
 
@@ -275,7 +293,7 @@ class PocketTTS:
         # text prefill: audio streams silent (initial); ids padded to a
         # shape bucket so any text length reuses one compiled program
         pad_to = _bucket(n_ids, cap=max(cfg.max_ctx - start - 1, 1))
-        text_np = np.full((1, pad_to), TEXT_PAD, np.int32)
+        text_np = np.full((1, pad_to), cfg.text_pad_id, np.int32)
         text_np[0, :n_ids] = ids[:n_ids]
         audio_grid = jnp.full((1, cfg.n_q, pad_to), cfg.audio_initial, jnp.int32)
         caches = _prefill(
@@ -290,8 +308,10 @@ class PocketTTS:
         n_steps = max_frames + max_delay
         outs = np.full((cfg.n_q, n_steps), cfg.audio_initial, np.int32)
         audio_in = jnp.full((1, cfg.n_q), cfg.audio_initial, jnp.int32)
-        text_pad = jnp.full((1,), TEXT_PAD, jnp.int32)
-        decoder = MimiStreamingDecoder(self.mimi_params, self.mimi_cfg)
+        text_pad = jnp.full((1,), cfg.text_pad_id, jnp.int32)
+        decoder = MimiStreamingDecoder(
+            self.mimi_params, self.mimi_cfg, block_frames=block_frames
+        )
         emitted = 0
 
         for s in range(n_steps):
@@ -324,4 +344,7 @@ class PocketTTS:
 
     def generate(self, text: str, state: PromptState | None = None, **kw):
         """Non-streaming convenience: full waveform [T]."""
-        return np.concatenate(list(self.generate_stream(text, state, **kw)))
+        blocks = list(self.generate_stream(text, state, **kw))
+        if not blocks:  # context exhausted / max_frames<=0 yields nothing
+            return np.zeros((0,), np.float32)
+        return np.concatenate(blocks)

@@ -297,3 +297,89 @@ def test_load_checkpoint_roundtrip(tmp_path, hf_mimi, lm_pair):
     state = model.state_for_audio_prompt(pcm)
     audio = model.generate("hi", state, max_frames=3)
     assert audio.ndim == 1 and audio.size > 0
+
+def test_load_checkpoint_reads_release_config(tmp_path, hf_mimi, lm_pair):
+    """config.json geometry (head counts, context, delays, text pad id)
+    overrides shape-guessing — a wrong head guess is silent garbage."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    oracle, _, _ = lm_pair
+    save_file(
+        {
+            k: np.ascontiguousarray(v)
+            for k, v in hf_mimi_to_moshi_state(hf_mimi).items()
+        },
+        str(tmp_path / "mimi-tiny.safetensors"),
+    )
+    save_file(
+        {
+            k: np.ascontiguousarray(v)
+            for k, v in oracle_lm_state_dict(oracle).items()
+        },
+        str(tmp_path / "model.safetensors"),
+    )
+    (tmp_path / "config.json").write_text(
+        json.dumps(
+            {
+                "num_heads": ORACLE_LM_CFG.n_heads,
+                "depformer_num_heads": ORACLE_LM_CFG.dep_heads,
+                "context": 96,
+                "delays": [0, 1, 1, 1],
+                "existing_text_padding_id": 3,
+            }
+        )
+    )
+    model = load_checkpoint(tmp_path)
+    cfg = model.lm_cfg
+    assert cfg.n_heads == ORACLE_LM_CFG.n_heads
+    assert cfg.dep_heads == ORACLE_LM_CFG.dep_heads
+    assert cfg.max_ctx == 96
+    assert cfg.acoustic_delay == 1
+    assert cfg.text_pad_id == 3
+    # and with the true head counts the loaded model matches the oracle
+    audio = model.generate("hey", None, max_frames=3)
+    assert audio.ndim == 1 and audio.size > 0
+
+
+def test_read_state_handles_bf16(tmp_path):
+    """kyutai releases ship bf16 — both loader paths must produce arrays
+    whose values survive into jnp exactly (safetensors yields ml_dtypes
+    bf16; torch .pt upcasts to f32 since torch bf16 has no .numpy())."""
+    import torch
+    from safetensors.torch import save_file as save_torch
+
+    from open_speech_tpu.models.pocket.convert import _read_state
+
+    w = torch.randn(4, 3, dtype=torch.bfloat16)
+    save_torch({"x.weight": w}, str(tmp_path / "bf16.safetensors"))
+    state = _read_state(tmp_path / "bf16.safetensors")
+    got = jnp.asarray(state["x.weight"], jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), w.float().numpy(), atol=0)
+
+    torch.save({"x.weight": w}, str(tmp_path / "bf16.pt"))
+    state = _read_state(tmp_path / "bf16.pt")
+    assert state["x.weight"].dtype == np.float32
+    np.testing.assert_allclose(
+        state["x.weight"], w.float().numpy(), rtol=0, atol=0
+    )
+
+
+def test_generate_empty_on_exhausted_context(lm_pair):
+    """generate() returns empty audio (not a crash) when the prompt state
+    fills the whole context."""
+    _, params, cfg = lm_pair
+    from open_speech_tpu.models.pocket.mimi import (
+        TEST_TINY,
+        init_mimi_params,
+    )
+    from open_speech_tpu.models.pocket.model import PocketTTS, PromptState
+
+    mimi_params = init_mimi_params(jax.random.PRNGKey(0), TEST_TINY)
+    model = PocketTTS(params, mimi_params, cfg, TEST_TINY)
+    from open_speech_tpu.models.pocket.lm import init_caches
+
+    full = PromptState(*init_caches(cfg, 1), length=cfg.max_ctx - 2)
+    audio = model.generate("hello there", full)
+    assert audio.shape == (0,)
