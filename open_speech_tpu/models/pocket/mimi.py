@@ -386,77 +386,207 @@ def mimi_decode(params, cfg: MimiConfig, tokens):
 
 
 # ──────────────────────────────────────────────────────────────────────
-# streaming decode
+# streaming decode — O(block) stateful step
 # ──────────────────────────────────────────────────────────────────────
+#
+# Every op in the decode path is causal, so the stream threads *state*
+# instead of re-decoding a history halo (the previous design re-ran a
+# ~150-frame window per 2-frame emit — ~75× redundant codec FLOPs at the
+# real geometry):
+#   - each causal conv keeps its last (k-1)·d inputs;
+#   - each transposed conv keeps a (k - stride) overlap-add tail;
+#   - the bottleneck transformer keeps a (t_context - 1)-position rotated
+#     K/V window per layer plus the absolute position counter.
+# A zero-initialised state is exactly the zero left-padding of the full
+# decode, so streamed samples equal mimi_decode up to fp reassociation.
+
+
+def _sconv(x, p, state, dilation: int = 1):
+    """Streaming causal conv (stride 1): state = last (k-1)·d inputs."""
+    w = state.shape[1]
+    xc = jnp.concatenate([state.astype(x.dtype), x], axis=1)
+    y = conv1d(xc, p, dilation=dilation, pad=0)
+    return y, xc[:, xc.shape[1] - w :] if w else state
+
+
+def _sconvtr(x, p, stride: int, carry):
+    """Streaming causal ConvTranspose1d: emit T·stride, carry k-stride tail.
+
+    The carry is the bias-free tail of the previous block's full (untrimmed)
+    output; overlap-adding it reproduces the single full-sequence transposed
+    conv, and the causal right-trim (k - stride) is exactly "never emit the
+    final carry".
+    """
+    k = p["w"].shape[0]
+    groups = x.shape[-1] // p["w"].shape[1]
+    full = conv_transpose1d(x, {"w": p["w"]}, stride=stride, pad=0, groups=groups)
+    t_out = x.shape[1] * stride
+    y = full[:, :t_out]
+    if k > stride:
+        y = y.at[:, : k - stride].add(carry.astype(y.dtype))
+    new_carry = full[:, t_out:]
+    if "b" in p:
+        y = y + p["b"]
+    return y, new_carry
+
+
+def _stream_transformer(params, cfg: MimiConfig, x, tstate):
+    """Windowed-causal transformer over new positions with a K/V window.
+
+    x [B, t, D]; tstate {"k"/"v": [L, B, H, W_h, hd], "pos": scalar}. Keys
+    are stored rotated (RoPE is absolute-position on both sides, exactly as
+    the full pass computes it), and the mask re-derives absolute positions
+    from the counter so pre-start zero slots never attend.
+    """
+    b, t, d = x.shape
+    nh, hd = cfg.t_heads, cfg.head_dim
+    w_h = cfg.t_context - 1
+    pos0 = tstate["pos"]
+    q_pos = pos0 + jnp.arange(t)
+    k_pos = pos0 - w_h + jnp.arange(w_h + t)
+    rel = q_pos[:, None] - k_pos[None, :]
+    mask = (rel >= 0) & (rel < cfg.t_context) & (k_pos[None, :] >= 0)
+
+    def layer(h, inp):
+        p, kh, vh = inp
+        hn = _ln(h, p["ln1"])
+        q, k, v = jnp.split(hn @ p["qkv"]["w"], 3, axis=-1)
+        q = q.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        q, k = _rope(q, k, q_pos, hd)
+        kc = jnp.concatenate([kh.astype(k.dtype), k], axis=2)
+        vc = jnp.concatenate([vh.astype(v.dtype), v], axis=2)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, kc, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        logits = jnp.where(mask[None, None], logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1).astype(vc.dtype)
+        att = jnp.einsum("bhqk,bhkd->bhqd", probs, vc)
+        att = att.transpose(0, 2, 1, 3).reshape(b, t, d)
+        h = h + p["ls1"] * (att @ p["out"]["w"])
+        hn = _ln(h, p["ln2"])
+        mlp = jax.nn.gelu(hn @ p["mlp_in"]["w"], approximate=False) @ p["mlp_out"]["w"]
+        h = h + p["ls2"] * mlp
+        return h, (kc[:, :, -w_h:] if w_h else kh, vc[:, :, -w_h:] if w_h else vh)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        layer, x, (params["layers"], tstate["k"], tstate["v"])
+    )
+    return x, {"k": k_new, "v": v_new, "pos": pos0 + t}
+
+
+def init_mimi_stream_state(params, cfg: MimiConfig, batch: int = 1):
+    """Zero decode-stream state (≡ the full decode's zero left-padding)."""
+    dt = params["decoder"]["conv_in"]["w"].dtype
+
+    def conv_state(p, dilation=1):
+        k = p["w"].shape[0]
+        c_in = p["w"].shape[1]
+        return jnp.zeros((batch, (k - 1) * dilation, c_in), dt)
+
+    def tr_carry(p, stride):
+        # dense [K, Cin, Cout] and depthwise [K, 1, C] both put the output
+        # channel count last
+        k = p["w"].shape[0]
+        return jnp.zeros((batch, max(k - stride, 0), p["w"].shape[2]), dt)
+
+    dp = params["decoder"]
+    stages = [
+        {
+            "up": tr_carry(stage["up"], r),
+            "c1": conv_state(stage["res"]["c1"]),
+        }
+        for stage, r in zip(dp["stages"], cfg.ratios)
+    ]
+    w_h = cfg.t_context - 1
+    kv = jnp.zeros(
+        (cfg.t_layers, batch, cfg.t_heads, w_h, cfg.head_dim), dt
+    )
+    return {
+        "up_carry": tr_carry(params["upsample"], cfg.down_stride),
+        "t": {"k": kv, "v": kv, "pos": jnp.int32(0)},
+        "conv_in": conv_state(dp["conv_in"]),
+        "stages": stages,
+        "conv_out": conv_state(dp["conv_out"]),
+    }
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mimi_decode_step(params, cfg: MimiConfig, tokens, state):
+    """tokens [B, n_q, m] → (pcm [B, m·samples_per_frame], new state).
+
+    One compiled program per block size m; work is O(m), independent of
+    how much audio the stream has already produced.
+    """
+    latent = _rvq_decode(params["quantizer"]["first"], tokens[:, :1])
+    latent = latent + _rvq_decode(params["quantizer"]["rest"], tokens[:, 1:])
+    x, up_carry = _sconvtr(
+        latent, params["upsample"], cfg.down_stride, state["up_carry"]
+    )
+    x, tstate = _stream_transformer(params["dec_t"], cfg, x, state["t"])
+
+    dp = params["decoder"]
+    x, s_in = _sconv(x, dp["conv_in"], state["conv_in"])
+    new_stages = []
+    for stage, st, r in zip(dp["stages"], state["stages"], cfg.ratios):
+        x = jax.nn.elu(x)
+        x, up_c = _sconvtr(x, stage["up"], r, st["up"])
+        h = jax.nn.elu(x)
+        h, c1_s = _sconv(h, stage["res"]["c1"], st["c1"])
+        h = jax.nn.elu(h)
+        h = conv1d(h, stage["res"]["c2"], pad=0)  # k=1: stateless
+        x = x + h
+        new_stages.append({"up": up_c, "c1": c1_s})
+    x = jax.nn.elu(x)
+    x, s_out = _sconv(x, dp["conv_out"], state["conv_out"])
+    new_state = {
+        "up_carry": up_carry,
+        "t": tstate,
+        "conv_in": s_in,
+        "stages": new_stages,
+        "conv_out": s_out,
+    }
+    return x[..., 0], new_state
 
 
 class MimiStreamingDecoder:
-    """Block-streaming Mimi decode with an exact causal halo.
+    """Block-streaming Mimi decode via the stateful O(block) step.
 
-    Every op in the decode path is causal with a bounded receptive field
-    (convs) or an explicit context window (transformer), so decoding the
-    last ``halo + new`` tokens and keeping only the new samples reproduces
-    the full-sequence decode bit-exactly once the history exceeds the halo.
-
-    The decode window has a FIXED shape ``[B, n_q, halo + block]``: the
-    valid prefix is the halo of history plus the new frames, and the tail
-    is right-padded with token 0 — causality guarantees padded future
-    tokens cannot affect the emitted samples, so the whole stream runs as
-    ONE compiled XLA program (no shape-churn recompiles), constant work
-    per block regardless of utterance length.
+    ``feed`` splits incoming frames into ``block_frames`` chunks so steady
+    streaming runs ONE compiled XLA program (a trailing partial chunk
+    compiles its own size once); per-block work no longer depends on the
+    stream's history, unlike the previous halo re-decode design.
     """
 
     def __init__(
         self,
         params,
         cfg: MimiConfig,
-        halo_frames: int | None = None,
         block_frames: int = 8,
+        batch: int = 1,
     ):
         self.params = params
         self.cfg = cfg
-        # the transformer attends t_context positions at the 25 Hz rate =
-        # t_context // down_stride TOKEN frames; conv receptive fields add
-        # a small margin. The halo must cover the full attention window or
-        # streamed samples diverge from mimi_decode past the halo (review
-        # finding: an old 64-frame cap broke bit-exactness after ~5 s).
-        conv_halo = 4 + cfg.kernel_size + 4 * cfg.residual_kernel_size
-        self.halo = (
-            halo_frames
-            if halo_frames is not None
-            else cfg.t_context // cfg.down_stride + conv_halo
-        )
         self.block = block_frames
-        self._hist: np.ndarray | None = None  # [B, K, <=halo] history
+        self._batch = batch
+        self._state = None
 
     def reset(self) -> None:
-        self._hist = None
-
-    def _decode_block(self, new: np.ndarray) -> np.ndarray:
-        """new [B, K, m<=block] → pcm [B, m*spf]; fixed-shape program."""
-        b, k, m = new.shape
-        hist = (
-            self._hist
-            if self._hist is not None
-            else np.zeros((b, k, 0), np.int32)
-        )
-        h = hist.shape[2]
-        width = self.halo + self.block
-        window = np.zeros((b, k, width), np.int32)
-        window[:, :, :h] = hist
-        window[:, :, h : h + m] = new
-        pcm = np.asarray(mimi_decode(self.params, self.cfg, jnp.asarray(window)))
-        spf = self.cfg.samples_per_frame
-        out = pcm[:, h * spf : (h + m) * spf]
-        merged = np.concatenate([hist, new], axis=2)
-        self._hist = merged[:, :, max(0, merged.shape[2] - self.halo):]
-        return out
+        self._state = None
 
     def feed(self, tokens: np.ndarray) -> np.ndarray:
         """tokens [B, n_q, F_new] → pcm [B, F_new*samples_per_frame]."""
         tokens = np.asarray(tokens, np.int32)
-        outs = [
-            self._decode_block(tokens[:, :, i : i + self.block])
-            for i in range(0, tokens.shape[2], self.block)
-        ]
+        if self._state is None:
+            self._state = init_mimi_stream_state(
+                self.params, self.cfg, batch=tokens.shape[0]
+            )
+        outs = []
+        for i in range(0, tokens.shape[2], self.block):
+            chunk = jnp.asarray(tokens[:, :, i : i + self.block])
+            pcm, self._state = mimi_decode_step(
+                self.params, self.cfg, chunk, self._state
+            )
+            outs.append(np.asarray(pcm))
         return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)

@@ -383,3 +383,21 @@ def test_generate_empty_on_exhausted_context(lm_pair):
     full = PromptState(*init_caches(cfg, 1), length=cfg.max_ctx - 2)
     audio = model.generate("hello there", full)
     assert audio.shape == (0,)
+
+def test_streaming_decoder_window_eviction():
+    """Streamed decode matches full decode PAST the transformer context
+    window (K/V eviction + conv/overlap carries all exercised), batch 2."""
+    from dataclasses import replace
+
+    from open_speech_tpu.models.pocket.mimi import init_mimi_params
+
+    cfg = replace(TEST_TINY, t_context=6)
+    params = init_mimi_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.default_rng(11)
+    toks = rng.integers(0, cfg.card, (2, cfg.n_q, 29), dtype=np.int32)
+    full = np.asarray(mimi_decode(params, cfg, jnp.asarray(toks)))
+    dec = MimiStreamingDecoder(params, cfg, block_frames=4)
+    parts = [dec.feed(toks[:, :, i : i + 7]) for i in range(0, 29, 7)]
+    stream = np.concatenate(parts, axis=1)
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(stream, full, atol=1e-5)
