@@ -22,13 +22,24 @@ from open_speech_tpu.models.piper.convert import fold_weight_norms
 
 
 def _flatten(state: dict) -> dict:
-    """{module: state_dict} → flat {module.name: array}; passthrough if flat."""
+    """{module: state_dict} → flat {module.name: array}; passthrough if flat.
+
+    The shipped hexgrad checkpoint's submodule state dicts carry
+    DataParallel ``module.`` key prefixes (the reference loader strips them
+    the same way, src/tts/backends/kokoro.py KModel load fallback) — strip
+    them so real and oracle layouts convert identically.
+    """
+
+    def _strip(k: str) -> str:
+        k = k[len("module."):] if k.startswith("module.") else k
+        return k.replace(".module.", ".")
+
     if any("." in k for k in state):
-        return {k: np.asarray(v) for k, v in state.items()}
+        return {_strip(k): np.asarray(v) for k, v in state.items()}
     flat = {}
     for mod, sd in state.items():
         for k, v in sd.items():
-            flat[f"{mod}.{k}"] = np.asarray(v)
+            flat[f"{mod}.{_strip(k)}"] = np.asarray(v)
     return flat
 
 

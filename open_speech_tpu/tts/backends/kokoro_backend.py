@@ -289,7 +289,7 @@ class KokoroBackend:
                     "vector; audio will not sound like the voice",
                     voice_id, voice_id,
                 )
-            rows = voice_vector(voice_id, 2 * self._cfg.style_dim)[None, :]
+            rows = voice_vector(voice_id, self._cfg.voice_dim)[None, :]
         self._voice_cache[voice_id] = rows
         return rows
 

@@ -318,3 +318,15 @@ def test_random_init_matches_converted_tree(converted):
     s1 = [x.shape for x in jax.tree_util.tree_leaves(params)]
     s2 = [x.shape for x in jax.tree_util.tree_leaves(rand)]
     assert s1 == s2
+
+
+def test_flatten_strips_dataparallel_prefixes():
+    """The shipped hexgrad checkpoint carries DataParallel 'module.' key
+    prefixes inside each submodule state dict — conversion must see the
+    same keys as the clean oracle layout."""
+    from open_speech_tpu.models.kokoro.convert import _flatten
+
+    nested = {"predictor": {"module.lstm.weight_ih_l0": np.zeros((4, 2))}}
+    assert "predictor.lstm.weight_ih_l0" in _flatten(nested)
+    flat = {"predictor.module.lstm.weight_ih_l0": np.zeros((4, 2))}
+    assert "predictor.lstm.weight_ih_l0" in _flatten(flat)

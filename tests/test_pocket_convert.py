@@ -130,7 +130,9 @@ def test_streaming_decoder_matches_full_decode(mimi_jax):
     dec = MimiStreamingDecoder(params, cfg)
     parts = [dec.feed(toks[:, :, i : i + 5]) for i in range(0, 37, 5)]
     stream = np.concatenate(parts, axis=1)
-    np.testing.assert_allclose(stream, full, atol=1e-5)
+    # 5e-5 on O(10) random-init samples: fp reassociation between the
+    # block-split overlap-add and the one-shot matmul form
+    np.testing.assert_allclose(stream, full, atol=5e-5)
 
 
 # ── LM ────────────────────────────────────────────────────────────────
