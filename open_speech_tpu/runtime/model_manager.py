@@ -253,6 +253,20 @@ class ModelManager:
                 roots.append(path)
         return roots
 
+    @staticmethod
+    def _piper_voice_roots() -> list[Path]:
+        """Where the piper backend actually caches voices
+        (tts/backends/piper_jax.py:_find_voice_file — keep in sync)."""
+        roots = []
+        env = os.environ.get("OS_PIPER_VOICES_DIR", "")
+        if env:
+            roots.append(Path(env).expanduser())
+        roots += [
+            Path.home() / ".cache" / "piper-voices",
+            Path.home() / ".local" / "share" / "piper",
+        ]
+        return roots
+
     def _candidate_artifact_paths(self, model_id: str, provider: str) -> list[Path]:
         safe_name = f"models--{model_id.replace('/', '--')}"
         paths = [root / safe_name for root in self._hf_cache_roots()]
@@ -261,6 +275,19 @@ class ModelManager:
                 root / "models--hexgrad--Kokoro-82M"
                 for root in self._hf_cache_roots()
             ]
+        elif provider == "piper":
+            # voices are FILES <short>.onnx(.json), not HF snapshot dirs
+            short = model_id.split("/", 1)[-1].split("#", 1)[0]
+            for root in self._piper_voice_roots():
+                paths += [root / f"{short}.onnx", root / f"{short}.onnx.json"]
+        elif provider == "pocket-tts":
+            paths += [
+                root / "models--kyutai--pocket-tts"
+                for root in self._hf_cache_roots()
+            ]
+            env = os.environ.get("OS_POCKET_CKPT_PATH", "")
+            if env:
+                paths.append(Path(env).expanduser())
         return paths
 
     @staticmethod
@@ -271,6 +298,9 @@ class ModelManager:
             if resolved == root_resolved or root_resolved in resolved.parents:
                 if resolved.is_dir():
                     shutil.rmtree(resolved)
+                    return True
+                if resolved.is_file():  # piper voices are single files
+                    resolved.unlink()
                     return True
         return False
 
@@ -293,6 +323,8 @@ class ModelManager:
 
         removed: list[str] = []
         allowed = self._hf_cache_roots()
+        if provider == "piper":
+            allowed = allowed + self._piper_voice_roots()
         for candidate in self._candidate_artifact_paths(model_id, provider):
             try:
                 if self._safe_remove_dir(candidate, allowed):
@@ -338,7 +370,9 @@ class ModelManager:
         infos = []
         for cached in self._stt.list_cached_models():
             model_id = cached.get("model") or cached.get("id") or ""
-            if not model_id or known_types.get(model_id) != "stt":
+            # off-catalog downloads (custom repo ids) still count: only
+            # skip ids the catalog explicitly claims for another type
+            if not model_id or known_types.get(model_id, "stt") != "stt":
                 continue
             infos.append(
                 ModelInfo(

@@ -99,6 +99,9 @@ history_manager = HistoryManager()
 def _synthesize_array(
     *, text, model, voice, speed, sample_rate=24000, language=None
 ) -> np.ndarray:
+    """Synthesize to a float array AT ``sample_rate`` — callers (conversation
+    render) encode the result assuming that rate, so the backend's native
+    rate (kokoro 24k, piper 22.05k) must be resampled, not relabeled."""
     chunks = process_tts_chunks(
         tts_router.synthesize(
             text=text, model=model, voice=voice, speed=speed, lang_code=language
@@ -109,7 +112,20 @@ def _synthesize_array(
     all_chunks = list(chunks)
     if not all_chunks:
         return np.zeros(0, dtype=np.float32)
-    return np.concatenate(all_chunks).astype(np.float32, copy=False)
+    audio = np.concatenate(all_chunks).astype(np.float32, copy=False)
+    from open_speech_tpu.tts.backends.base import backend_sample_rate
+
+    native = backend_sample_rate(tts_router.get_backend(model), model)
+    if native != sample_rate and audio.size:
+        import jax.numpy as jnp
+
+        from open_speech_tpu.ops.resample import resample_poly
+
+        audio = np.asarray(
+            resample_poly(jnp.asarray(audio), sample_rate, native),
+            np.float32,
+        )
+    return audio
 
 
 conversation_manager = ConversationManager(
@@ -160,6 +176,18 @@ def _q(request: web.Request, name: str, default=None, cast=str):
                        "validation_error")
 
 
+def _form_float(form: dict, name: str, default: float) -> float:
+    """Form-field float with 422 on garbage (a client mistake, not a 500)."""
+    raw = form.get(name)
+    if raw in (None, ""):
+        return default
+    try:
+        return float(raw)
+    except (TypeError, ValueError):
+        raise ApiError(422, f"Invalid value for form field '{name}': {raw!r}",
+                       "validation_error")
+
+
 async def _read_multipart(request: web.Request) -> dict:
     """Multipart/form fields -> {name: str | (bytes, filename, content_type)}."""
     data = await request.post()
@@ -201,7 +229,7 @@ async def transcribe(request: web.Request) -> web.Response:
     language = form.get("language") or None
     prompt = form.get("prompt") or None
     response_format = str(form.get("response_format") or "json")
-    temperature = float(form.get("temperature") or 0.0)
+    temperature = _form_float(form, "temperature", 0.0)
     diarize = _q(request, "diarize", False, bool) or str(
         form.get("diarize", "")
     ).lower() in ("1", "true")
@@ -309,7 +337,7 @@ async def translate(request: web.Request) -> web.Response:
     model = str(form.get("model") or settings.stt_model)
     prompt = form.get("prompt") or None
     response_format = str(form.get("response_format") or "json")
-    temperature = float(form.get("temperature") or 0.0)
+    temperature = _form_float(form, "temperature", 0.0)
 
     max_bytes = settings.os_max_upload_mb * 1024 * 1024
     if len(audio_bytes) > max_bytes:
@@ -485,7 +513,10 @@ async def load_model_unified(request: web.Request) -> web.Response:
         except ModelLifecycleError as e:
             async with _download_progress_lock:
                 _download_progress.pop(model_id, None)
-            raise ApiError(400, {"message": e.message, "code": e.code})
+            # load_failed wraps backend faults (OOM, disk, bad checkpoint)
+            # — a server-side failure, not a client mistake
+            status = 500 if e.code == "load_failed" else 400
+            raise ApiError(status, {"message": e.message, "code": e.code})
         except Exception as e:  # noqa: BLE001
             async with _download_progress_lock:
                 _download_progress.pop(model_id, None)
@@ -610,10 +641,14 @@ _profiler_active: dict[str, str] = {}
 
 
 async def profiler_start(request: web.Request) -> web.Response:
-    if _profiler_active:
-        raise ApiError(409, "A profiler trace is already running")
     body = await request.json() if request.can_read_body else {}
     trace_dir = body.get("dir") or settings.os_profile_dir
+    # reserve the slot BEFORE the executor await: the guard and the flag
+    # set must not straddle a suspension point or two concurrent starts
+    # both reach jax.profiler.start_trace (one then 500s inside JAX)
+    if _profiler_active:
+        raise ApiError(409, "A profiler trace is already running")
+    _profiler_active["dir"] = trace_dir
     try:
         import jax
 
@@ -624,15 +659,15 @@ async def profiler_start(request: web.Request) -> web.Response:
             None, lambda: jax.profiler.start_trace(trace_dir)
         )
     except Exception as e:  # noqa: BLE001
+        _profiler_active.clear()
         raise ApiError(500, f"Failed to start trace: {e}")
-    _profiler_active["dir"] = trace_dir
     return web.json_response({"status": "tracing", "dir": trace_dir})
 
 
 async def profiler_stop(request: web.Request) -> web.Response:
     if not _profiler_active:
         raise ApiError(409, "No profiler trace is running")
-    trace_dir = _profiler_active.pop("dir")
+    trace_dir = _profiler_active["dir"]
     try:
         import jax
 
@@ -640,7 +675,10 @@ async def profiler_stop(request: web.Request) -> web.Response:
             None, jax.profiler.stop_trace
         )
     except Exception as e:  # noqa: BLE001
+        # keep the state: JAX is still tracing, so a retry must be able
+        # to reach stop_trace again (popping first would strand it)
         raise ApiError(500, f"Failed to stop trace: {e}")
+    _profiler_active.clear()
     return web.json_response({"status": "stopped", "dir": trace_dir})
 
 
@@ -812,7 +850,20 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
         import queue as _queue
         import threading
 
-        chunk_queue: _queue.Queue = _queue.Queue()
+        # bounded queue = producer backpressure: a slow client must slow
+        # synthesis down, not buffer the whole encoded stream in memory
+        chunk_queue: _queue.Queue = _queue.Queue(maxsize=8)
+        consumer_gone = threading.Event()
+
+        def _put(item) -> bool:
+            """Queue put that notices a departed consumer (disconnect)."""
+            while not consumer_gone.is_set():
+                try:
+                    chunk_queue.put(item, timeout=0.25)
+                    return True
+                except _queue.Full:
+                    continue
+            return False
 
         def _producer():
             try:
@@ -826,6 +877,24 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
                 )
 
                 def gen():
+                    if req.effects:
+                        # effects are whole-signal DSP (global normalize,
+                        # phase-vocoder pitch, reverb tails): honor them by
+                        # synthesizing fully, then streaming the processed
+                        # audio — correct output at a first-byte latency
+                        # cost, same trade the non-stream branch makes
+                        parts = []
+                        for chunk in _do_synthesize():
+                            parts.extend(pp.feed(chunk))
+                        parts.extend(pp.finish())
+                        if parts:
+                            merged = np.concatenate(
+                                [np.asarray(c, np.float32) for c in parts]
+                            )
+                            yield apply_chain(
+                                merged, native_rate, req.effects
+                            )
+                        return
                     for chunk in _do_synthesize():
                         yield from pp.feed(chunk)
                     yield from pp.finish()
@@ -833,11 +902,12 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
                 for encoded in encode_audio_streaming(
                     gen(), native_rate, req.response_format
                 ):
-                    chunk_queue.put(encoded)
+                    if not _put(encoded):
+                        return  # client gone: stop synthesizing
             except Exception as e:  # noqa: BLE001
-                chunk_queue.put(e)
+                _put(e)
             finally:
-                chunk_queue.put(None)
+                _put(None)  # no-op if the consumer already left
 
         threading.Thread(target=_producer, daemon=True).start()
         import time as _time
@@ -846,32 +916,38 @@ async def synthesize_speech(request: web.Request) -> web.StreamResponse:
         ttfa_s: float | None = None
         sent_bytes = 0
         prepared = False
-        while True:
-            item = await loop.run_in_executor(None, chunk_queue.get)
-            if item is None:
-                break
-            if isinstance(item, Exception):
+        try:
+            while True:
+                item = await loop.run_in_executor(None, chunk_queue.get)
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    if not prepared:
+                        # nothing sent yet — return a real error envelope
+                        # (ValueError = request-shaped problem, e.g. text the
+                        # checkpoint vocab cannot express; else server fault)
+                        status = 400 if isinstance(item, ValueError) else 500
+                        raise ApiError(status, f"TTS failed: {item}")
+                    # bytes already on the wire: abort the transfer so the
+                    # client sees truncation, not a clean end-of-stream
+                    # (returning would let aiohttp write a clean EOF chunk)
+                    logger.error("Streaming TTS failed mid-stream: %s", item)
+                    if request.transport is not None:
+                        request.transport.abort()
+                    raise ApiError(
+                        500, f"TTS failed mid-stream: {item}"
+                    )
                 if not prepared:
-                    # nothing sent yet — return a real error envelope
-                    # (ValueError = request-shaped problem, e.g. text the
-                    # checkpoint vocab cannot express; else server fault)
-                    status = 400 if isinstance(item, ValueError) else 500
-                    raise ApiError(status, f"TTS failed: {item}")
-                # bytes already on the wire: abort the transfer so the
-                # client sees truncation, not a clean end-of-stream
-                # (returning would let aiohttp write a clean EOF chunk)
-                logger.error("Streaming TTS failed mid-stream: %s", item)
-                if request.transport is not None:
-                    request.transport.abort()
-                raise ApiError(
-                    500, f"TTS failed mid-stream: {item}"
-                )
-            if not prepared:
-                await resp.prepare(request)
-                prepared = True
-                ttfa_s = _time.monotonic() - t_start
-            sent_bytes += len(item)
-            await resp.write(item)
+                    await resp.prepare(request)
+                    prepared = True
+                    ttfa_s = _time.monotonic() - t_start
+                sent_bytes += len(item)
+                await resp.write(item)
+        finally:
+            # unblocks a producer stuck on the bounded queue if we leave
+            # early (client disconnect, mid-stream error): synthesis stops
+            # instead of running the whole utterance for nobody
+            consumer_gone.set()
         if not prepared:
             await resp.prepare(request)
         await resp.write_eof()
@@ -980,7 +1056,7 @@ async def clone_speech(request: web.Request) -> web.Response:
         raise ApiError(400, "Input text is empty")
     model = str(form.get("model") or "kokoro")
     voice = str(form.get("voice") or "Ryan")
-    speed = float(form.get("speed") or 1.0)
+    speed = _form_float(form, "speed", 1.0)
     response_format = str(form.get("response_format") or "mp3")
     transcript = form.get("transcript") or None
     language = form.get("language") or None
@@ -1059,7 +1135,9 @@ async def load_tts_model(request: web.Request) -> web.Response:
         except Exception:  # noqa: BLE001
             body = {}
     req = _validate(ModelLoadRequest, body or {})
-    model_id = req.model if body else settings.tts_model
+    # fall back to the CONFIGURED default whenever the body omits "model" —
+    # a truthy body without it must not silently pick the schema default
+    model_id = req.model if "model" in body else settings.tts_model
     for m in tts_router.loaded_models():
         if m.model != model_id:
             try:
@@ -1086,7 +1164,7 @@ async def unload_tts_model(request: web.Request) -> web.Response:
         except Exception:  # noqa: BLE001
             body = {}
     req = _validate(ModelUnloadRequest, body or {})
-    model_id = req.model if body else settings.tts_model
+    model_id = req.model if "model" in body else settings.tts_model
     if not tts_router.is_model_loaded(model_id):
         raise ApiError(404, f"TTS model {model_id} is not loaded")
     tts_router.unload_model(model_id)

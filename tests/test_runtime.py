@@ -270,3 +270,36 @@ def test_model_info_to_dict_shape(manager):
     for key in ("id", "type", "provider", "state", "is_default"):
         assert key in d
     assert d["state"] == "loaded"
+
+
+def test_piper_artifact_paths_match_backend_cache(manager, tmp_path, monkeypatch):
+    """Artifact deletion must look where the piper backend actually caches
+    voices (single .onnx files, not HF snapshot dirs)."""
+    monkeypatch.setenv("OS_PIPER_VOICES_DIR", str(tmp_path))
+    voice = tmp_path / "en_US-amy-medium.onnx"
+    voice.write_bytes(b"onnx")
+    (tmp_path / "en_US-amy-medium.onnx.json").write_text("{}")
+    paths = manager._candidate_artifact_paths(
+        "piper/en_US-amy-medium", "piper"
+    )
+    assert voice in paths
+    result = manager.delete_artifacts("piper/en_US-amy-medium")
+    assert result["status"] == "deleted"
+    assert not voice.exists()
+    assert not (tmp_path / "en_US-amy-medium.onnx.json").exists()
+
+
+def test_pocket_artifact_paths_cover_kyutai_cache(manager):
+    paths = manager._candidate_artifact_paths("pocket-tts", "pocket-tts")
+    assert any("models--kyutai--pocket-tts" in str(p) for p in paths)
+
+
+def test_cached_stt_infos_include_off_catalog(manager):
+    """A custom repo id downloaded via the API must list as downloaded even
+    though it is not in the curated catalog."""
+    manager._stt.list_cached_models = lambda: [
+        {"model": "someorg/custom-whisper-ct2", "backend": "jax-whisper"}
+    ]
+    infos = manager._cached_stt_infos({"kokoro": "tts"})
+    assert any(i.id == "someorg/custom-whisper-ct2" for i in infos)
+    assert all(i.state == ModelState.DOWNLOADED for i in infos)
