@@ -37,7 +37,6 @@ class DiarizerConfig:
     n_mels: int = 80
     hidden: int = 128
     embed_dim: int = 64
-    max_windows: int = 256  # 256 windows = ~3.2 min per batch
 
 
 def init_diarizer_params(key=None, cfg: DiarizerConfig = DiarizerConfig()):
@@ -107,39 +106,118 @@ def _agglomerate(
         return np.zeros(1, np.int32)
     stop = 1.0 - threshold
     small = max(2, int(0.2 * n))
-    clusters: list[list[int]] = [[i] for i in range(n)]
-    centroids = [embeddings[i].copy() for i in range(n)]
-    while len(clusters) > 1:
+    emb = np.asarray(embeddings, np.float64)
+    members: list[list[int]] = [[i] for i in range(n)]
+    sizes = np.ones(n, np.int64)
+    alive = np.ones(n, bool)
+    norm = lambda c: c / (np.linalg.norm(c) + 1e-9)  # noqa: E731
+    cn = np.stack([norm(emb[i]) for i in range(n)])
+    # cached pairwise centroid similarity, refreshed only for merged rows:
+    # vectorized O(n²) per merge instead of Python-loop O(n²) dots per merge
+    sim = cn @ cn.T
+    np.fill_diagonal(sim, -2.0)
+    while alive.sum() > 1:
         # best pair among ELIGIBLE merges (not the global best pair:
         # two large near-stop clusters must not mask a qualifying
         # small-cluster absorption elsewhere)
-        best, bi, bj = -2.0, -1, -1
-        for i in range(len(clusters)):
-            for j in range(i + 1, len(clusters)):
-                sim = float(
-                    centroids[i]
-                    @ centroids[j]
-                    / (
-                        np.linalg.norm(centroids[i])
-                        * np.linalg.norm(centroids[j])
-                        + 1e-9
-                    )
-                )
-                absorption = (
-                    min(len(clusters[i]), len(clusters[j])) <= small
-                    and sim >= s_floor
-                )
-                if (sim >= stop or absorption) and sim > best:
-                    best, bi, bj = sim, i, j
-        if bi < 0:
+        pair_small = np.minimum(sizes[:, None], sizes[None, :]) <= small
+        elig = (sim >= stop) | (pair_small & (sim >= s_floor))
+        elig &= alive[:, None] & alive[None, :]
+        if not elig.any():
             break
-        clusters[bi].extend(clusters[bj])
-        centroids[bi] = embeddings[clusters[bi]].mean(axis=0)
-        del clusters[bj], centroids[bj]
+        masked = np.where(elig, sim, -2.0)
+        bi, bj = np.unravel_index(int(np.argmax(masked)), masked.shape)
+        members[bi].extend(members[bj])
+        sizes[bi] += sizes[bj]
+        alive[bj] = False
+        cn[bi] = norm(emb[members[bi]].mean(axis=0))
+        row = cn @ cn[bi]
+        sim[bi, :] = row
+        sim[:, bi] = row
+        sim[bi, bi] = -2.0
+        sim[bj, :] = -2.0
+        sim[:, bj] = -2.0
     labels = np.zeros(n, np.int32)
-    for idx, members in enumerate(clusters):
-        labels[np.asarray(members)] = idx
+    for idx, ci in enumerate(np.where(alive)[0]):
+        labels[np.asarray(members[ci])] = idx
     return labels
+
+
+def _center_normalize(emb: np.ndarray) -> np.ndarray:
+    """Clustering preprocessing: mean-center (so between-speaker variation
+    dominates) then L2-normalize — but center only with enough rows. With
+    K=2 embeddings, centering makes them exactly antipodal (cosine −1), so
+    single-speaker audio would deterministically split into two speakers;
+    small K in general drives same-speaker cosines negative (centered rows
+    sum to zero)."""
+    if len(emb) >= 8:
+        emb = emb - emb.mean(axis=0, keepdims=True)
+    return emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-8)
+
+
+def _cap_speakers(
+    labels: np.ndarray, emb: np.ndarray, max_speakers: int
+) -> np.ndarray:
+    """Cap cluster count: rows of clusters beyond the ``max_speakers``
+    largest reassign to the nearest surviving centroid."""
+    uniq, counts = np.unique(labels, return_counts=True)
+    if len(uniq) <= max_speakers:
+        return labels
+    big = uniq[np.argsort(-counts)][:max_speakers]
+    cents = np.stack([emb[labels == u].mean(axis=0) for u in big])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-8)
+    return big[np.argmax(emb @ cents.T, axis=1)]
+
+
+def _assignment_max(score: np.ndarray) -> int:
+    """Exact max-sum 1:1 assignment (Hungarian, O(n³)) — scipy-free
+    fallback so diarization_error_rate works in production installs
+    (scipy is a dev-only extra)."""
+    r, c = score.shape
+    n = max(r, c)
+    cost = np.zeros((n, n))
+    cost[:r, :c] = -score  # minimize
+    INF = float("inf")
+    u = [0.0] * (n + 1)
+    v = [0.0] * (n + 1)
+    p = [0] * (n + 1)
+    way = [0] * (n + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = [INF] * (n + 1)
+        used = [False] * (n + 1)
+        while True:
+            used[j0] = True
+            i0, delta, j1 = p[j0], INF, 0
+            for j in range(1, n + 1):
+                if used[j]:
+                    continue
+                cur = cost[i0 - 1][j - 1] - u[i0] - v[j]
+                if cur < minv[j]:
+                    minv[j] = cur
+                    way[j] = j0
+                if minv[j] < delta:
+                    delta = minv[j]
+                    j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    total = 0
+    for j in range(1, n + 1):
+        if p[j] and p[j] - 1 < r and j - 1 < c:
+            total += int(score[p[j] - 1, j - 1])
+    return total
 
 
 def diarization_error_rate(
@@ -185,13 +263,16 @@ def diarization_error_rate(
     # sum_j overlap(ref[map(j)], hyp[j]) is separable per pair, so the
     # Hungarian algorithm finds the md-eval-optimal mapping in
     # O(max(nr,nh)^3) instead of brute-forcing k! permutations
-    from scipy.optimize import linear_sum_assignment
-
     overlap = (
         r[:, :nr].astype(np.int64).T @ h[:, :nh].astype(np.int64)
     )  # [nr, nh] frames where ref i and hyp j are both active
-    rows, cols = linear_sum_assignment(overlap, maximize=True)
-    best_correct = int(overlap[rows, cols].sum())
+    try:
+        from scipy.optimize import linear_sum_assignment
+
+        rows, cols = linear_sum_assignment(overlap, maximize=True)
+        best_correct = int(overlap[rows, cols].sum())
+    except ImportError:  # scipy is a dev extra; production uses our own
+        best_correct = _assignment_max(overlap)
     confusion = int(matched_cap.sum()) - best_correct
     return (miss + fa + confusion) / ref_speech
 
@@ -301,59 +382,70 @@ class JaxDiarizer:
         # PyanNet segmentation (params, cfg) — explicit, or auto-converted
         # from an on-disk checkpoint
         self.seg = seg
+
+        def _try_convert(find_fn, convert_fn, name):
+            """Find + convert an on-disk checkpoint; any failure logs and
+            falls back (diarization must stay runnable checkpoint-less)."""
+            ckpt = find_fn()
+            if ckpt is None:
+                return None
+            try:
+                return convert_fn(ckpt)
+            except Exception:  # noqa: BLE001
+                import logging
+
+                logging.getLogger(__name__).exception(
+                    "%s checkpoint %s failed to convert", name, ckpt
+                )
+                return None
+
         if self.seg is None:
             from open_speech_tpu.models.segmentation import (
                 convert_segmentation,
                 find_segmentation_checkpoint,
             )
 
-            ckpt = find_segmentation_checkpoint()
-            if ckpt is not None:
-                try:
-                    self.seg = convert_segmentation(ckpt)
-                except Exception:  # noqa: BLE001 — fall back to energy gating
-                    import logging
-
-                    logging.getLogger(__name__).exception(
-                        "Segmentation checkpoint %s failed to convert", ckpt
-                    )
+            self.seg = _try_convert(
+                find_segmentation_checkpoint, convert_segmentation,
+                "Segmentation",
+            )
         # trained embedding path, preferred first: WeSpeaker ResNet34 (the
         # model pyannote-3.1 itself embeds with), then GE2E (resemblyzer)
         # d-vectors; the conv fallback keeps the pipeline runnable without
         # any checkpoint
-        self.wespeaker = None
-        self.ge2e = None
         from open_speech_tpu.models.wespeaker import (
             convert_wespeaker,
             find_wespeaker_checkpoint,
         )
 
-        ws_ckpt = find_wespeaker_checkpoint()
-        if ws_ckpt is not None:
-            try:
-                self.wespeaker = convert_wespeaker(ws_ckpt)
-            except Exception:  # noqa: BLE001 — fall through to GE2E/conv
-                import logging
-
-                logging.getLogger(__name__).exception(
-                    "WeSpeaker checkpoint %s failed to convert", ws_ckpt
-                )
+        self.wespeaker = _try_convert(
+            find_wespeaker_checkpoint, convert_wespeaker, "WeSpeaker"
+        )
+        self.ge2e = None
         if self.wespeaker is None:
             from open_speech_tpu.models.ge2e import (
                 convert_ge2e,
                 find_ge2e_checkpoint,
             )
 
-            ckpt = find_ge2e_checkpoint()
-            if ckpt is not None:
-                try:
-                    self.ge2e = convert_ge2e(ckpt)
-                except Exception:  # noqa: BLE001 — fall back to conv embedder
-                    import logging
+            self.ge2e = _try_convert(
+                find_ge2e_checkpoint, convert_ge2e, "GE2E"
+            )
 
-                    logging.getLogger(__name__).exception(
-                        "GE2E checkpoint %s failed to convert", ckpt
-                    )
+    def _embed_bucketed(self, flat: np.ndarray) -> np.ndarray:
+        """Batched embed dispatches, rows padded to a power-of-2 bucket
+        capped at 512: long files reuse a handful of compiled programs AND
+        never allocate unbounded arrays (an hour of audio is ~2000 window
+        sets; one flat dispatch would be tens of GB of fbank
+        intermediates)."""
+        cap = 512
+        parts = []
+        for i in range(0, len(flat), cap):
+            part = flat[i : i + cap]
+            rows = min(cap, 1 << (len(part) - 1).bit_length())
+            part = np.pad(part, ((0, rows - len(part)), (0, 0)))
+            parts.append(self._embed(part)[: min(cap, len(flat) - i)])
+        return np.concatenate(parts)
 
     def _embed(self, windows: np.ndarray) -> np.ndarray:
         """[N, win_samples] → [N, E] L2-normalized speaker embeddings."""
@@ -454,34 +546,20 @@ class JaxDiarizer:
                 keys.append((ci, spk))
         if not win_sets:
             return []
-        # batched dispatches, rows padded to a power-of-2 bucket capped at
-        # 512 so long files reuse a handful of compiled programs AND never
-        # allocate unbounded arrays (an hour of audio is ~2000 win_sets;
-        # one flat dispatch would be tens of GB of fbank intermediates)
-        flat = np.concatenate(win_sets)  # [K*n_wins, win]
-        cap = 512
-        parts = []
-        for i in range(0, len(flat), cap):
-            part = flat[i : i + cap]
-            rows = min(cap, 1 << (len(part) - 1).bit_length())
-            part = np.pad(part, ((0, rows - len(part)), (0, 0)))
-            parts.append(self._embed(part)[: min(cap, len(flat) - i)])
-        all_emb = np.concatenate(parts)
+        all_emb = self._embed_bucketed(np.concatenate(win_sets))
         emb = all_emb.reshape(len(win_sets), n_wins, -1).mean(axis=1)
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-8)
-        centered = emb - emb.mean(axis=0, keepdims=True)
-        centered /= np.maximum(np.linalg.norm(centered, axis=1, keepdims=True), 1e-8)
+        centered = _center_normalize(emb)
         labels = (
             _agglomerate(centered, self.threshold)
             if len(emb) > 1
             else np.zeros(1, np.int32)
         )
-        uniq, counts = np.unique(labels, return_counts=True)
-        if len(uniq) > self.max_speakers:
-            big = uniq[np.argsort(-counts)][: self.max_speakers]
-            cents = np.stack([centered[labels == u].mean(axis=0) for u in big])
-            cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-8)
-            labels = big[np.argmax(centered @ cents.T, axis=1)]
+        labels = _cap_speakers(labels, centered, self.max_speakers)
+        # compact to consecutive ints: turns_from_local_activity sizes its
+        # vote arrays by max(labels)+1, and capped labels keep original
+        # (possibly large, sparse) cluster ids
+        labels = np.unique(labels, return_inverse=True)[1]
         return turns_from_local_activity(
             starts, active, keys, labels, n, frame_step
         )
@@ -500,7 +578,10 @@ class JaxDiarizer:
         hop = int(HOP_S * SAMPLE_RATE)
         if len(audio) < win:
             audio = np.pad(audio, (0, win - len(audio)))
-        starts = list(range(0, len(audio) - win + 1, hop))[: self.cfg.max_windows]
+        # NO window-count truncation: the whole file is analyzed (embedding
+        # runs in bucketed batches), so the final turn's end never gets
+        # stretched over unexamined audio
+        starts = list(range(0, len(audio) - win + 1, hop))
         if not starts:
             return []
 
@@ -510,28 +591,17 @@ class JaxDiarizer:
         if not voiced.any():
             return []
 
-        emb = self._embed(windows)
         active_idx = np.where(voiced)[0]
-        active = emb[active_idx]
-        # center across the utterance so between-speaker variation dominates,
-        # then re-normalize (standard d-vector clustering preprocessing)
-        active = active - active.mean(axis=0, keepdims=True)
-        norms = np.linalg.norm(active, axis=1, keepdims=True)
-        active = active / np.maximum(norms, 1e-8)
+        # embed ONLY voiced windows, padded to shape buckets: unvoiced rows
+        # are never used, and raw counts would compile one XLA program per
+        # distinct clip length
+        active = self._embed_bucketed(windows[active_idx])
+        active = _center_normalize(active)
         labels_active = _agglomerate(active, self.threshold)
         # cap speaker count: windows of clusters beyond the max_speakers
         # largest reassign to the nearest surviving centroid (boundary-blend
         # clusters were already absorbed inside _agglomerate)
-        uniq, counts = np.unique(labels_active, return_counts=True)
-        if len(uniq) > self.max_speakers:
-            big = uniq[np.argsort(-counts)][: self.max_speakers]
-            cents = np.stack(
-                [active[labels_active == u].mean(axis=0) for u in big]
-            )
-            cents = cents / np.maximum(
-                np.linalg.norm(cents, axis=1, keepdims=True), 1e-8
-            )
-            labels_active = big[np.argmax(active @ cents.T, axis=1)]
+        labels_active = _cap_speakers(labels_active, active, self.max_speakers)
         # temporal median: a lone-window label between two agreeing
         # neighbors is a boundary artifact, not a 0.75 s speaker
         for pos in range(1, len(labels_active) - 1):

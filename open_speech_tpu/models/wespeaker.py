@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from open_speech_tpu.ops.initutil import jit_init
-from open_speech_tpu.ops.mel import _dft_bases
+from open_speech_tpu.ops.mel import _dft_bases_raw
 
 SAMPLE_RATE = 16000
 FRAME_LEN = 400   # 25 ms
@@ -91,7 +91,7 @@ def kaldi_fbank(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
     povey = (0.5 - 0.5 * jnp.cos(2 * jnp.pi * n / (FRAME_LEN - 1))) ** 0.85
     frames = frames * povey
     frames = jnp.pad(frames, [(0, 0)] * (frames.ndim - 1) + [(0, N_FFT - FRAME_LEN)])
-    cos_b, sin_b = _dft_bases(N_FFT)
+    cos_b, sin_b = _dft_bases_raw(N_FFT)
     power = (frames @ jnp.asarray(cos_b)) ** 2 + (frames @ jnp.asarray(sin_b)) ** 2
     mel = power @ jnp.asarray(_kaldi_mel_banks(n_mels).T)
     logmel = jnp.log(jnp.maximum(mel, 1.1920928955078125e-07))  # f32 eps

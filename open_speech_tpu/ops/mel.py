@@ -72,16 +72,31 @@ def mel_filterbank(n_mels: int, n_fft: int = N_FFT, sr: int = SAMPLE_RATE) -> np
 
 
 @lru_cache(maxsize=4)
+def _dft_bases_raw(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
+    """Plain real-DFT bases (no window): cos/sin [n_fft, n_fft//2+1].
+
+    For callers that window frames themselves (e.g. kaldi fbank applies a
+    povey window before the FFT — folding a Hann in here would silently
+    double-window)."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    angle = 2.0 * np.pi * n * k / n_fft
+    return (
+        np.cos(angle).astype(np.float32),
+        (-np.sin(angle)).astype(np.float32),
+    )
+
+
+@lru_cache(maxsize=4)
 def _dft_bases(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     """Window-folded real-DFT bases: cos/sin matrices [n_fft, n_fft//2+1]."""
     # periodic Hann (torch.hann_window default)
     window = 0.5 * (1.0 - np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft))
-    n = np.arange(n_fft)[:, None]
-    k = np.arange(n_fft // 2 + 1)[None, :]
-    angle = 2.0 * np.pi * n * k / n_fft
-    cos_b = (np.cos(angle) * window[:, None]).astype(np.float32)
-    sin_b = (-np.sin(angle) * window[:, None]).astype(np.float32)
-    return cos_b, sin_b
+    cos_r, sin_r = _dft_bases_raw(n_fft)
+    return (
+        (cos_r * window[:, None].astype(np.float32)),
+        (sin_r * window[:, None].astype(np.float32)),
+    )
 
 
 def _frame(audio: jax.Array, n_fft: int, hop: int) -> jax.Array:

@@ -22,8 +22,11 @@ Env (all optional — absent means single-host, zero behavior change):
   OS_DIST_COORDINATOR   host:port of process 0 (e.g. "10.0.0.2:8476")
   OS_DIST_NUM_PROCESSES total process count
   OS_DIST_PROCESS_ID    this process's index (0-based)
-TPU pods can omit all three: `jax.distributed.initialize()` with no args
-reads the TPU metadata/env (megascale) and configures itself.
+  OS_DIST_AUTO=1        TPU pods: call `jax.distributed.initialize()` with
+                        no args — it reads the TPU metadata/env (megascale)
+                        and self-configures. Explicit opt-in, because on a
+                        single host a no-arg initialize would fail/hang
+                        rather than no-op.
 """
 
 from __future__ import annotations
@@ -48,7 +51,8 @@ def maybe_init_distributed() -> bool:
     coordinator = os.environ.get("OS_DIST_COORDINATOR")
     n_str = os.environ.get("OS_DIST_NUM_PROCESSES")
     pid_str = os.environ.get("OS_DIST_PROCESS_ID")
-    if not coordinator and not n_str:
+    auto = os.environ.get("OS_DIST_AUTO", "").lower() in ("1", "true", "yes")
+    if not coordinator and not n_str and not auto:
         return False  # single-host serving: the common case
     import jax
 
@@ -59,6 +63,8 @@ def maybe_init_distributed() -> bool:
         kwargs["num_processes"] = int(n_str)
     if pid_str is not None:
         kwargs["process_id"] = int(pid_str)
+    # OS_DIST_AUTO with no explicit vars → no-arg initialize (TPU pod
+    # metadata self-configuration)
     jax.distributed.initialize(**kwargs)
     _initialized = True
     logger.info(

@@ -388,3 +388,83 @@ def test_segmented_pipeline_quality_with_oracle_activity(monkeypatch):
     assert len({t["speaker"] for t in turns}) == 2
     der = diarization_error_rate(ref, turns)
     assert der <= 0.12, f"DER {der:.3f} > 0.12; turns={turns}"
+
+
+def test_two_same_speaker_embeddings_do_not_split():
+    """Regression: mean-centering exactly 2 embeddings made them antipodal
+    (cosine −1), deterministically splitting single-speaker audio."""
+    from open_speech_tpu.models.diarize import _agglomerate, _center_normalize
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(64)
+    emb = np.stack([base + 0.01 * rng.standard_normal(64) for _ in range(2)])
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    labels = _agglomerate(_center_normalize(emb), threshold=0.35)
+    assert len(np.unique(labels)) == 1
+
+
+def test_assignment_max_matches_scipy():
+    from scipy.optimize import linear_sum_assignment
+
+    from open_speech_tpu.models.diarize import _assignment_max
+
+    rng = np.random.default_rng(7)
+    for r, c in ((3, 3), (2, 5), (6, 4), (1, 1), (8, 8)):
+        m = rng.integers(0, 1000, (r, c)).astype(np.int64)
+        rows, cols = linear_sum_assignment(m, maximize=True)
+        assert _assignment_max(m) == int(m[rows, cols].sum()), (r, c)
+
+
+def test_agglomerate_matches_bruteforce_reference():
+    """The cached-similarity rewrite must pick the same merges as the
+    original O(n^3) scalar-loop form."""
+    from open_speech_tpu.models.diarize import _agglomerate
+
+    def reference(embeddings, threshold, s_floor=0.15):
+        n = len(embeddings)
+        stop = 1.0 - threshold
+        small = max(2, int(0.2 * n))
+        clusters = [[i] for i in range(n)]
+        centroids = [embeddings[i].copy() for i in range(n)]
+        while len(clusters) > 1:
+            best, bi, bj = -2.0, -1, -1
+            for i in range(len(clusters)):
+                for j in range(i + 1, len(clusters)):
+                    sim = float(
+                        centroids[i] @ centroids[j]
+                        / (np.linalg.norm(centroids[i])
+                           * np.linalg.norm(centroids[j]) + 1e-9)
+                    )
+                    absorption = (
+                        min(len(clusters[i]), len(clusters[j])) <= small
+                        and sim >= s_floor
+                    )
+                    if (sim >= stop or absorption) and sim > best:
+                        best, bi, bj = sim, i, j
+            if bi < 0:
+                break
+            clusters[bi].extend(clusters[bj])
+            centroids[bi] = embeddings[clusters[bi]].mean(axis=0)
+            del clusters[bj], centroids[bj]
+        labels = np.zeros(n, np.int32)
+        for idx, members in enumerate(clusters):
+            labels[np.asarray(members)] = idx
+        return labels
+
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        k = rng.integers(2, 4)
+        rows = []
+        for s in range(k):
+            center = rng.standard_normal(16) * 2
+            for _ in range(rng.integers(3, 7)):
+                rows.append(center + 0.2 * rng.standard_normal(16))
+        emb = np.stack(rows)
+        emb -= emb.mean(axis=0, keepdims=True)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        got = _agglomerate(emb, 0.35)
+        ref = reference(emb, 0.35)
+        # same partition (labels may be permuted)
+        got_sets = {frozenset(np.where(got == u)[0]) for u in np.unique(got)}
+        ref_sets = {frozenset(np.where(ref == u)[0]) for u in np.unique(ref)}
+        assert got_sets == ref_sets, trial

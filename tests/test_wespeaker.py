@@ -180,3 +180,40 @@ def test_diarizer_prefers_wespeaker(tmp_path, monkeypatch):
     audio = (0.4 * np.sin(2 * np.pi * 220 * t) * np.sin(2 * np.pi * 3 * t)).astype(np.float32)
     turns = d.diarize_audio(audio)
     assert isinstance(turns, list)
+
+
+def test_fbank_power_spectrum_matches_numpy_rfft():
+    """The DFT stage must be a PLAIN rfft of the povey-windowed frame —
+    kaldi applies exactly one window (a folded-in Hann double-windows and
+    systematically reshapes the spectrum the released checkpoint expects)."""
+    from open_speech_tpu.models.wespeaker import (
+        FRAME_HOP,
+        FRAME_LEN,
+        N_FFT,
+        _kaldi_mel_banks,
+        kaldi_fbank,
+    )
+
+    rng = np.random.default_rng(3)
+    audio = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+
+    # independent numpy reference of the whole kaldi fbank pipeline
+    x = audio * 32768.0
+    n_frames = 1 + (len(x) - FRAME_LEN) // FRAME_HOP
+    idx = np.arange(n_frames)[:, None] * FRAME_HOP + np.arange(FRAME_LEN)
+    frames = x[idx]
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+    pre = np.concatenate([frames[:, :1], frames[:, :-1]], axis=-1)
+    frames = frames - 0.97 * pre
+    n = np.arange(FRAME_LEN)
+    povey = (0.5 - 0.5 * np.cos(2 * np.pi * n / (FRAME_LEN - 1))) ** 0.85
+    frames = frames * povey
+    power = np.abs(np.fft.rfft(frames, N_FFT, axis=-1)) ** 2
+    mel = power @ _kaldi_mel_banks(80).T
+    logmel = np.log(np.maximum(mel, 1.1920928955078125e-07))
+    ref = logmel - logmel.mean(axis=0, keepdims=True)
+
+    import jax.numpy as jnp
+
+    got = np.asarray(kaldi_fbank(jnp.asarray(audio)[None]))[0]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
