@@ -43,7 +43,12 @@ import jax.numpy as jnp
 
 from open_speech_tpu.ops.initutil import jit_init
 
-from open_speech_tpu.ops.vocoder import conv1d, conv_transpose1d
+from open_speech_tpu.ops.vocoder import (
+    compress_durations,
+    conv1d,
+    conv_transpose1d,
+    layer_norm,
+)
 
 SAMPLE_RATE = 24_000
 
@@ -106,32 +111,9 @@ class KokoroConfig:
 # ──────────────────────────────────────────────────────────────────────
 
 
-def compress_durations(pred_dur, budget: int):
-    """Scale integer frame durations [B, T] into a frame budget.
-
-    No-op (bit-identical) when the total fits — torch parity holds for
-    every utterance the reference could render. When over budget,
-    rounding happens on the CUMULATIVE grid (round the scaled ends, then
-    diff): per-duration round()/ceil()/floor-at-1 after scaling can
-    overshoot the budget (e.g. every scaled duration at 1.875 rounds to
-    2), which would clip n_frames and silently cut the utterance tail —
-    the exact failure compression exists to prevent. Monotone ends keep
-    the diffs >= 0 and the compressed total lands exactly on the budget.
-    """
-    total = jnp.sum(pred_dur, axis=1, keepdims=True)
-    scale = jnp.minimum(1.0, budget / jnp.maximum(total, 1.0))
-    ends_r = jnp.round(jnp.cumsum(pred_dur * scale, axis=1))
-    comp = jnp.diff(ends_r, axis=1, prepend=0.0)
-    return jnp.where(scale < 1.0, comp, pred_dur)
-
-
-def _ln(x, p, eps=1e-5):
-    x32 = x.astype(jnp.float32)
-    mean = x32.mean(-1, keepdims=True)
-    var = x32.var(-1, keepdims=True)
-    return (((x32 - mean) * jax.lax.rsqrt(var + eps)) * p["g"] + p["b"]).astype(
-        x.dtype
-    )
+# shared duration/norm primitives live in ops/vocoder (piper uses the same
+# scheme); re-exported here because callers/tests import them from this module
+_ln = layer_norm
 
 
 def _linear(x, p):

@@ -35,7 +35,13 @@ import jax.numpy as jnp
 
 from open_speech_tpu.ops.initutil import jit_init
 
-from open_speech_tpu.ops.vocoder import conv1d, conv_transpose1d, resblock1
+from open_speech_tpu.ops.vocoder import (
+    compress_durations,
+    conv1d,
+    conv_transpose1d,
+    layer_norm,
+    resblock1,
+)
 
 SAMPLE_RATE = 22_050
 
@@ -220,14 +226,7 @@ def init_piper_params(key, cfg: PiperConfig, dtype=jnp.float32):
 # ──────────────────────────────────────────────────────────────────────
 
 
-def _ln(x, p):
-    """VITS LayerNorm over the channel axis (our last axis), eps 1e-5."""
-    x32 = x.astype(jnp.float32)
-    mean = x32.mean(-1, keepdims=True)
-    var = x32.var(-1, keepdims=True)
-    return (((x32 - mean) * jax.lax.rsqrt(var + 1e-5)) * p["g"] + p["b"]).astype(
-        x.dtype
-    )
+_ln = layer_norm  # VITS LayerNorm == the shared channel-axis form
 
 
 def _rel_embed(emb: jax.Array, t: int, window: int) -> jax.Array:
@@ -438,17 +437,27 @@ def flow_inverse(params, cfg: PiperConfig, z, mask, g_vec):
     return z
 
 
-def generator(params, cfg: PiperConfig, z, g_vec):
+def generator(params, cfg: PiperConfig, z, g_vec, fmask=None):
+    """HiFiGAN decoder. ``fmask`` [B, F, 1] marks valid frames: padded-
+    bucket runs re-zero after every conv so bias garbage in frames beyond
+    n_frames never contaminates the valid audio tail (real piper runs
+    exact-length, i.e. sees zero padding there)."""
     dec = params["dec"]
+    m = fmask
     x = conv1d(z, dec["pre"])
     if g_vec is not None:
         x = x + _cond(g_vec, dec["cond"])
+    if m is not None:
+        x = x * m
     for i, (u, kk) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernels)):
         x = jax.nn.leaky_relu(x, 0.1)
         x = conv_transpose1d(x, dec["ups"][i], u, pad=(kk - u) // 2)
+        if m is not None:
+            m = jnp.repeat(m, u, axis=1)
+            x = x * m
         acc = None
         for j, rds in enumerate(cfg.resblock_dilations):
-            r = resblock1(x, dec["res"][i][j], dilations=rds)
+            r = resblock1(x, dec["res"][i][j], dilations=rds, mask=m)
             acc = r if acc is None else acc + r
         x = acc / len(cfg.resblock_kernels)
     x = jax.nn.leaky_relu(x, 0.01)  # torch F.leaky_relu default slope
@@ -500,9 +509,7 @@ def synthesize_vits(
     # truncating (no-op when they fit; masked rows stay zero); cumulative
     # rounding — per-duration ceil() after scaling strictly overshoots
     # the budget and would clip the utterance tail (see
-    # kokoro.model.compress_durations, the shared scheme)
-    from open_speech_tpu.models.kokoro.model import compress_durations
-
+    # ops.vocoder.compress_durations, the shared scheme)
     w_ceil = compress_durations(w_ceil, f_max)
     ends = jnp.cumsum(w_ceil, axis=1)
     n_frames = jnp.clip(ends[:, -1].astype(jnp.int32), 1, f_max)
@@ -522,5 +529,5 @@ def synthesize_vits(
         z_noise = jax.random.normal(k2, m_f.shape)
     z_p = m_f + z_noise * jnp.exp(logs_f) * cfg.noise_scale
     z = flow_inverse(params, cfg, z_p, fmask, g_vec)
-    audio = generator(params, cfg, z * fmask, g_vec)
+    audio = generator(params, cfg, z * fmask, g_vec, fmask)
     return audio, n_frames

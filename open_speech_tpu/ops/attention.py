@@ -73,6 +73,11 @@ def mha_reference(
         ki = jnp.arange(t_k)[None, None, None, :]
         logits = jnp.where(ki < kv_length[:, None, None, None], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
+    # rows with NO attendable key (kv_length 0, or causal rows left of the
+    # first key when t_q > t_k) return zeros — the same semantics the
+    # Pallas kernel implements — instead of softmax's uniform-over-garbage
+    any_valid = jnp.max(logits, axis=-1, keepdims=True) > NEG_INF / 2
+    probs = jnp.where(any_valid, probs, 0.0)
     return jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -128,7 +133,12 @@ def _flash_kernel(
         m_prev = m_ref[:]  # [block_q, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # [block_q, block_k]
+        # rows with no attendable key yet have m_new == NEG_INF; exp(s-m)
+        # would be exp(0)=1 for EVERY (masked) column there — suppress them
+        # so such rows finalize to zeros (documented zero-key semantics)
+        p = jnp.where(
+            m_new > NEG_INF / 2, jnp.exp(s - m_new), 0.0
+        )  # [block_q, block_k]
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -186,10 +196,28 @@ def _flash_call(q, k, v, kv_length, causal, scale, block_q, block_k,
         kv_len=None if dyn else (t_k if pad_k else None), dyn=dyn,
         causal_offs=t_k - t_q,  # end alignment for rectangular q/k
     )
+    causal_offs = t_k - t_q
+
+    def _kv_map(b_, h_, i, j, *pref):
+        # DEAD-BLOCK DMA SKIP: pl.when in the kernel gates only compute —
+        # the block copy issued from this index map would still stream
+        # every kv block HBM→VMEM. Re-pointing dead blocks (causally above
+        # the diagonal, or past the row's valid length) at the LAST LIVE
+        # block makes consecutive grid steps request the same index, which
+        # Pallas elides — the body never reads the stale block (pl.when).
+        jj = j
+        if causal:
+            cap_c = (i * block_q + block_q - 1 + causal_offs) // block_k
+            jj = jnp.minimum(jj, jnp.maximum(cap_c, 0))
+        if dyn:
+            cap_l = jnp.maximum(pl.cdiv(pref[0][b_], block_k) - 1, 0)
+            jj = jnp.minimum(jj, cap_l)
+        return (b_, h_, jj, 0)
+
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, i, j, *_: (b_, h_, i, 0)),
-        pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j, *_: (b_, h_, j, 0)),
-        pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, i, j, *_: (b_, h_, j, 0)),
+        pl.BlockSpec((1, 1, block_k, d), _kv_map),
+        pl.BlockSpec((1, 1, block_k, d), _kv_map),
     ]
     out_spec = pl.BlockSpec(
         (1, 1, block_q, d), lambda b_, h_, i, j, *_: (b_, h_, i, 0)
@@ -287,8 +315,11 @@ def flash_attention(
     measured 2.9 ms vs 4.5 ms with (256, 512) at [8,20,1500,64] on v5e).
     VMEM per grid step stays ~3.5 MB.
 
-    TPU: Pallas flash kernel (no materialized [T,T] matrix). Elsewhere, or
-    when per-example kv_length masking is needed, the jnp reference.
+    TPU: Pallas flash kernel (no materialized [T,T] matrix); per-example
+    ``kv_length`` masking routes to the scalar-prefetch variant whose dead
+    kv blocks skip both compute and the HBM→VMEM block copy. Off-TPU (and
+    for sub-8-row q): the jnp reference. Rows with zero attendable keys
+    return zeros on every path.
     """
     if _on_tpu() and q.shape[-2] >= 8:
         if kv_length is None:

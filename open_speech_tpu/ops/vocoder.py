@@ -212,13 +212,22 @@ def conv_transpose1d(
     return out + p["b"] if "b" in p else out
 
 
-def resblock1(x: jax.Array, p, dilations=(1, 3, 5)) -> jax.Array:
-    """HiFiGAN ResBlock1: pairs of dilated convs with leaky-relu."""
+def resblock1(x: jax.Array, p, dilations=(1, 3, 5), mask=None) -> jax.Array:
+    """HiFiGAN ResBlock1: pairs of dilated convs with leaky-relu.
+
+    ``mask`` [B, T, 1] re-zeros padded positions after every conv so
+    bias-activated garbage in the padding can never leak back into the
+    valid tail through the 'same'-padded convs — with it, a padded-bucket
+    run equals an exact-length run on the valid prefix."""
     for i, d in enumerate(dilations):
         h = jax.nn.leaky_relu(x, 0.1)
         h = conv1d(h, p[f"c1_{i}"], dilation=d)
+        if mask is not None:
+            h = h * mask
         h = jax.nn.leaky_relu(h, 0.1)
         h = conv1d(h, p[f"c2_{i}"], dilation=1)
+        if mask is not None:
+            h = h * mask
         x = x + h
     return x
 
@@ -234,3 +243,35 @@ def init_resblock1(key, channels: int, kernel: int = 3, dilations=(1, 3, 5), dty
                 "b": jnp.zeros((channels,), dtype),
             }
     return p
+
+
+def layer_norm(x: jax.Array, p, eps: float = 1e-5) -> jax.Array:
+    """Channel-axis LayerNorm, f32 statistics (torch nn.LayerNorm parity).
+
+    Shared by the VITS (piper) and StyleTTS2 (kokoro) stacks — one
+    implementation so numerics fixes cannot drift between models."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    return (((x32 - mean) * jax.lax.rsqrt(var + eps)) * p["g"] + p["b"]).astype(
+        x.dtype
+    )
+
+
+def compress_durations(pred_dur: jax.Array, budget: int) -> jax.Array:
+    """Scale integer frame durations [B, T] into a frame budget.
+
+    No-op (bit-identical) when the total fits — torch parity holds for
+    every utterance the reference could render. When over budget,
+    rounding happens on the CUMULATIVE grid (round the scaled ends, then
+    diff): per-duration round()/ceil()/floor-at-1 after scaling can
+    overshoot the budget (e.g. every scaled duration at 1.875 rounds to
+    2), which would clip n_frames and silently cut the utterance tail —
+    the exact failure compression exists to prevent. Monotone ends keep
+    the diffs >= 0 and the compressed total lands exactly on the budget.
+    """
+    total = jnp.sum(pred_dur, axis=1, keepdims=True)
+    scale = jnp.minimum(1.0, budget / jnp.maximum(total, 1.0))
+    ends_r = jnp.round(jnp.cumsum(pred_dur * scale, axis=1))
+    comp = jnp.diff(ends_r, axis=1, prepend=0.0)
+    return jnp.where(scale < 1.0, comp, pred_dur)

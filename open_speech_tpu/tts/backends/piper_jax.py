@@ -271,24 +271,31 @@ class PiperBackend:
                 "G2P (install espeak-ng for full language coverage)"
             )
         speed = speed if speed and speed > 0 else 1.0
+        # the voice json's configured default rate: piper multiplies
+        # durations by length_scale, we divide by speed — fold it in so a
+        # voice shipped with e.g. 1.1 speaks at its intended rate
+        speed_eff = speed / float(meta.get("length_scale") or 1.0)
         for si, sentence in enumerate(split_sentences(text) or [text]):
             ids = self._g2p.to_ids(
                 sentence, id_map=meta.get("phoneme_id_map"), voice=lang
             )
-            ids = ids[: cfg.max_phonemes]
-            n = len(ids)
-            phonemes = np.zeros((1, cfg.max_phonemes), np.int32)
-            phonemes[0, :n] = ids
-            audio, n_frames = synthesize_vits(
-                params,
-                cfg,
-                jnp.asarray(phonemes),
-                jnp.asarray([n], jnp.int32),
-                jnp.asarray([speaker_id], jnp.int32),
-                jnp.asarray([speed], jnp.float32),
-                jax.random.PRNGKey(si),
-            )
-            samples = int(n_frames[0]) * cfg.samples_per_frame
-            chunk = np.asarray(audio[0, :samples], np.float32)
-            if chunk.size:
-                yield chunk
+            # an over-long sentence SPLITS across multiple synthesis calls
+            # instead of silently dropping its tail words
+            for pi in range(0, max(len(ids), 1), cfg.max_phonemes):
+                piece = ids[pi : pi + cfg.max_phonemes]
+                n = len(piece)
+                phonemes = np.zeros((1, cfg.max_phonemes), np.int32)
+                phonemes[0, :n] = piece
+                audio, n_frames = synthesize_vits(
+                    params,
+                    cfg,
+                    jnp.asarray(phonemes),
+                    jnp.asarray([n], jnp.int32),
+                    jnp.asarray([speaker_id], jnp.int32),
+                    jnp.asarray([speed_eff], jnp.float32),
+                    jax.random.PRNGKey(si * 9973 + pi),
+                )
+                samples = int(n_frames[0]) * cfg.samples_per_frame
+                chunk = np.asarray(audio[0, :samples], np.float32)
+                if chunk.size:
+                    yield chunk

@@ -84,3 +84,28 @@ def test_masked_flash_pads_ragged_kv():
         q, k, v, kv_len, block_q=8, block_k=16, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_zero_attendable_rows_return_zeros():
+    """kv_length 0 rows (and causal rows left of the first key) return
+    zeros on both the reference and kernel paths — not a uniform average
+    over masked columns."""
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((2, 2, 16, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 2, 16, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 2, 16, 8)), jnp.float32)
+    out = np.asarray(
+        mha_reference(q, k, v, kv_length=jnp.asarray([0, 5], jnp.int32))
+    )
+    assert np.all(out[0] == 0.0)
+    assert np.any(out[1] != 0.0)
+    # kernel (interpret mode) agrees
+    from open_speech_tpu.ops.attention import _flash_attention_tpu_dyn
+
+    got = np.asarray(
+        _flash_attention_tpu_dyn(
+            q, k, v, jnp.asarray([0, 5], jnp.int32),
+            block_q=8, block_k=8, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, out, atol=2e-6)

@@ -441,7 +441,19 @@ class SynthesizerT(nn.Module):
                 z = torch.flip(z, [1])
             else:
                 z = mod.reverse(z, fmask, g)
-        return self.dec(z * fmask, g), n_frames
+        # decode EXACT-LENGTH per row — what real piper (onnxruntime, no
+        # frame bucket) does. Decoding the padded bucket would leak
+        # bias-activated garbage from padded frames back into the valid
+        # audio tail through the 'same'-padded convs, making the oracle
+        # share the very contamination the JAX masked decoder eliminates.
+        z = z * fmask
+        outs = []
+        for i in range(b):
+            n = int(n_frames[i])
+            a = self.dec(z[i : i + 1, :, :n], g[i : i + 1])  # [1, n*spf]
+            spf = a.shape[-1] // n
+            outs.append(F.pad(a, (0, (F_MAX - n) * spf)))
+        return torch.cat(outs, dim=0), n_frames
 
 
 @pytest.fixture(scope="module")
@@ -591,3 +603,38 @@ def test_random_init_matches_converted_tree(converted):
     shapes1 = [x.shape for x in jax.tree_util.tree_leaves(params)]
     shapes2 = [x.shape for x in jax.tree_util.tree_leaves(rand)]
     assert shapes1 == shapes2
+
+
+def test_generator_padding_does_not_contaminate_valid_tail():
+    """A padded-bucket decoder run must equal the exact-length run on the
+    valid prefix: real piper runs exact-length, so bias garbage activated
+    in padded frames must never leak back through 'same'-padded convs."""
+    from open_speech_tpu.models.piper.model import (
+        PiperConfig,
+        generator,
+        init_piper_params,
+    )
+
+    cfg = PiperConfig(
+        hidden=16, ffn_filter=32, n_layers=1, dp_flows=1, flow_layers=1,
+        upsample_rates=(4, 4), upsample_kernels=(8, 8),
+        upsample_initial=32, max_phonemes=16, max_frames=32,
+    )
+    params = init_piper_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    n_valid = 9
+    z_exact = jnp.asarray(
+        rng.standard_normal((1, n_valid, cfg.hidden)), jnp.float32
+    )
+    exact = np.asarray(generator(params, cfg, z_exact, None))
+
+    z_pad = jnp.pad(z_exact, ((0, 0), (0, cfg.max_frames - n_valid), (0, 0)))
+    fmask = (
+        jnp.arange(cfg.max_frames)[None, :] < n_valid
+    ).astype(jnp.float32)[..., None]
+    padded = np.asarray(generator(params, cfg, z_pad * fmask, None, fmask))
+
+    spf = cfg.samples_per_frame
+    np.testing.assert_allclose(
+        padded[:, : n_valid * spf], exact[:, : n_valid * spf], atol=2e-5
+    )
