@@ -53,7 +53,9 @@ int16_t alaw_decode_one(uint8_t code) {
     int mantissa = code & 0x0F;
     int magnitude = exponent == 0 ? (mantissa << 4) + 8
                                   : ((mantissa << 4) + 0x108) << (exponent - 1);
-    return (int16_t)(sign ? -magnitude : magnitude);
+    // A-law sign convention is inverted vs u-law: sign bit SET -> positive
+    // (g711.c st_alaw2linear16; bit-exact vs audioop.alaw2lin)
+    return (int16_t)(sign ? magnitude : -magnitude);
 }
 
 struct G711Tables {
@@ -67,29 +69,43 @@ struct G711Tables {
             ulaw_dec[c] = ulaw_decode_one((uint8_t)c);
             alaw_dec[c] = alaw_decode_one((uint8_t)c);
         }
-        // nearest-code exhaustive inverse (matches the python LUT builder)
-        build_encoder(ulaw_dec, ulaw_enc);
-        build_encoder(alaw_dec, alaw_enc);
+        // ITU-T segment quantizers (g711.c; bit-exact vs audioop lin2ulaw/
+        // lin2alaw — a nearest-decode inverse deviates on ~1% of values)
+        for (int s = -32768; s <= 32767; ++s) {
+            ulaw_enc[(uint16_t)(s + 32768)] = ulaw_encode_one((int16_t)s);
+            alaw_enc[(uint16_t)(s + 32768)] = alaw_encode_one((int16_t)s);
+        }
     }
 
-    static void build_encoder(const int16_t* dec, uint8_t* enc) {
-        // sort codes by decoded value
-        int order[256];
-        for (int i = 0; i < 256; ++i) order[i] = i;
-        std::sort(order, order + 256, [&](int a, int b) {
-            return dec[a] < dec[b];
-        });
-        int idx = 0;
-        for (int s = -32768; s <= 32767; ++s) {
-            while (idx < 255 && dec[order[idx + 1]] <= s) ++idx;
-            int best = order[idx];
-            if (idx < 255) {
-                int cur = std::abs((int)dec[order[idx]] - s);
-                int nxt = std::abs((int)dec[order[idx + 1]] - s);
-                if (nxt < cur) best = order[idx + 1];
-            }
-            enc[(uint16_t)(s + 32768)] = (uint8_t)best;
-        }
+    static int seg_search(int val, const int* ends) {
+        for (int i = 0; i < 8; ++i)
+            if (val <= ends[i]) return i;
+        return 8;
+    }
+
+    static uint8_t ulaw_encode_one(int16_t sample) {
+        static const int ends[8] = {0x3F, 0x7F, 0xFF, 0x1FF,
+                                    0x3FF, 0x7FF, 0xFFF, 0x1FFF};
+        int pcm = sample >> 2;  // 14-bit domain (st_14linear2ulaw)
+        int mask = pcm < 0 ? 0x7F : 0xFF;
+        int mag = pcm < 0 ? -pcm : pcm;
+        if (mag > 8159) mag = 8159;
+        mag += 0x84 >> 2;
+        int seg = seg_search(mag, ends);
+        if (seg >= 8) return (uint8_t)(0x7F ^ mask);
+        return (uint8_t)(((seg << 4) | ((mag >> (seg + 1)) & 0xF)) ^ mask);
+    }
+
+    static uint8_t alaw_encode_one(int16_t sample) {
+        static const int ends[8] = {0x1F, 0x3F, 0x7F, 0xFF,
+                                    0x1FF, 0x3FF, 0x7FF, 0xFFF};
+        int pcm = sample >> 3;  // 13-bit domain (st_linear2alaw)
+        int mask = pcm >= 0 ? 0xD5 : 0x55;
+        int mag = pcm >= 0 ? pcm : -pcm - 1;
+        int seg = seg_search(mag, ends);
+        if (seg >= 8) return (uint8_t)(0x7F ^ mask);
+        int aval = (seg << 4) | (seg < 2 ? (mag >> 1) & 0xF : (mag >> seg) & 0xF);
+        return (uint8_t)(aval ^ mask);
     }
 };
 

@@ -102,6 +102,7 @@ class StreamingFFmpegEncoder:
             stderr=subprocess.DEVNULL,
         )
         self._out: queue.Queue[bytes | None] = queue.Queue()
+        self._eof = False  # end-of-stream sentinel already consumed
         self._reader = threading.Thread(target=self._drain, daemon=True)
         self._reader.start()
 
@@ -121,24 +122,44 @@ class StreamingFFmpegEncoder:
 
     def read_available(self) -> list[bytes]:
         chunks = []
-        while True:
+        while not self._eof:
             try:
                 item = self._out.get_nowait()
             except queue.Empty:
                 break
             if item is None:
+                # remember EOF: finish() must not block on a second sentinel
+                # (ffmpeg can exit early — encode error, kill)
+                self._eof = True
                 break
             chunks.append(item)
         return chunks
 
     def finish(self) -> Iterator[bytes]:
-        self._proc.stdin.close()
-        while True:
+        try:
+            self._proc.stdin.close()
+        except OSError:
+            pass
+        while not self._eof:
             item = self._out.get()
             if item is None:
+                self._eof = True
                 break
             yield item
         self._proc.wait(timeout=30)
+
+    def close(self) -> None:
+        """Terminate ffmpeg without draining (abandoned stream)."""
+        if self._proc.poll() is None:
+            try:
+                self._proc.stdin.close()
+            except OSError:
+                pass
+            self._proc.terminate()
+            try:
+                self._proc.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                self._proc.kill()
 
 
 def encode_audio_streaming(
@@ -165,7 +186,12 @@ def encode_audio_streaming(
     if not ffmpeg_available():
         raise RuntimeError(f"Format '{fmt}' requires ffmpeg, which is not installed")
     enc = StreamingFFmpegEncoder(sample_rate, fmt)
-    for chunk in chunks:
-        enc.feed(chunk)
-        yield from enc.read_available()
-    yield from enc.finish()
+    try:
+        for chunk in chunks:
+            enc.feed(chunk)
+            yield from enc.read_available()
+        yield from enc.finish()
+    finally:
+        # consumer may stop iterating mid-stream (client disconnect):
+        # never leak a live ffmpeg with stdin held open
+        enc.close()

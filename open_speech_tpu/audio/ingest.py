@@ -10,11 +10,12 @@ ffmpeg when the binary exists; otherwise the bytes pass through unchanged
 from __future__ import annotations
 
 import logging
-import shutil
+import struct
 import subprocess
 
 import numpy as np
 
+from open_speech_tpu.audio.encode import ffmpeg_available
 from open_speech_tpu.ops import audio as codec
 from open_speech_tpu.ops.resample import resample_poly
 
@@ -41,16 +42,14 @@ CONTENT_TYPE_SUFFIX = {
 }
 
 
-def ffmpeg_available() -> bool:
-    return shutil.which("ffmpeg") is not None
-
-
 def decode_to_float32(data: bytes) -> tuple[np.ndarray, int] | None:
     """Decode to (float32 mono, rate) natively if WAV, via ffmpeg otherwise."""
     if codec.is_wav(data):
         try:
             return codec.read_wav(data)
-        except ValueError:
+        except (ValueError, struct.error):
+            # struct.error: header claims more bytes than the body carries
+            # (truncated upload) — same passthrough as any other bad WAV
             return None
     if ffmpeg_available():
         try:

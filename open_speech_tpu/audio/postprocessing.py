@@ -88,7 +88,11 @@ class StreamingPostProcessor:
         if self._trim and not self._started:
             idx = np.where(np.abs(chunk) > self._threshold)[0]
             if len(idx) == 0:
-                return []  # all-silent prefix: drop
+                # hold, don't drop: if the stream never starts, batch
+                # trim_silence returns all-silent audio unchanged
+                self._held.append(chunk)
+                return []
+            self._held = []  # speech found: leading silence is trimmed
             chunk = chunk[idx[0] :]
             self._started = True
         if self._trim:
@@ -109,8 +113,12 @@ class StreamingPostProcessor:
         return [self._apply_gain(c) for c in out]
 
     def finish(self) -> list[np.ndarray]:
-        """End of stream: held trailing silence is dropped (trim semantics)."""
-        self._held = []
+        """End of stream: held trailing silence is dropped (trim semantics);
+        an all-silent stream is emitted whole (batch trim returns it
+        unchanged rather than producing zero samples)."""
+        held, self._held = self._held, []
+        if not self._started and held:
+            return [self._apply_gain(c) for c in held]
         return []
 
     def _apply_gain(self, chunk: np.ndarray) -> np.ndarray:

@@ -21,7 +21,10 @@ class TTSCache:
         if enabled:
             try:
                 self._dir.mkdir(parents=True, exist_ok=True)
-            except PermissionError:
+            except OSError as e:
+                # optional cache: read-only fs, full disk, bad path all
+                # degrade to disabled instead of failing server startup
+                logger.warning("TTS cache disabled (%s): %s", cache_dir, e)
                 self.enabled = False
         self._max_bytes = max_mb * 1024 * 1024
         self._lock = threading.RLock()
@@ -30,7 +33,10 @@ class TTSCache:
     def make_key(
         text: str, voice: str, speed: float, output_format: str, model: str
     ) -> str:
-        payload = f"{text}|{voice}|{speed}|{output_format}|{model}"
+        # length-prefixed fields: a '|' inside text/voice must not let two
+        # different (text, voice) pairs collide onto one key
+        parts = [str(text), str(voice), str(speed), str(output_format), str(model)]
+        payload = "|".join(f"{len(p)}:{p}" for p in parts)
         return hashlib.sha256(payload.encode("utf-8")).hexdigest()
 
     def _path(self, key: str, output_format: str) -> Path:
@@ -47,10 +53,21 @@ class TTSCache:
 
     def set(self, key: str, output_format: str, data: bytes) -> None:
         with self._lock:
-            self._path(key, output_format).write_bytes(data)
+            path = self._path(key, output_format)
+            # atomic: a crash mid-write must not leave a truncated file
+            # that get() serves forever as a HIT
+            tmp = path.with_suffix(path.suffix + ".tmp")
+            try:
+                tmp.write_bytes(data)
+                tmp.replace(path)
+            except OSError as e:
+                logger.warning("TTS cache write failed: %s", e)
+                tmp.unlink(missing_ok=True)
 
     def cleanup(self) -> int:
         """Evict oldest files until under the size cap; returns bytes freed."""
+        if not self.enabled or not self._dir.is_dir():
+            return 0
         with self._lock:
             files = [(f, f.stat()) for f in self._dir.iterdir() if f.is_file()]
             total = sum(st.st_size for _f, st in files)
@@ -82,6 +99,8 @@ class TTSCache:
         self.set(self.make_key(text, voice, speed, fmt, model), fmt, audio)
 
     def stats(self) -> dict:
+        if not self.enabled or not self._dir.is_dir():
+            return {"entries": 0, "bytes": 0, "max_bytes": self._max_bytes}
         files = [f for f in self._dir.iterdir() if f.is_file()]
         return {
             "entries": len(files),

@@ -223,31 +223,57 @@ def _build_alaw_decode_table() -> np.ndarray:
         (mantissa << 4) + 8,
         ((mantissa << 4) + 0x108) << (exponent - 1),
     )
-    return np.where(sign != 0, -magnitude, magnitude).astype(np.int16)
+    # A-law sign convention is inverted vs μ-law: sign bit SET → positive
+    # (g711.c st_alaw2linear16; verified bit-exact vs audioop.alaw2lin)
+    return np.where(sign != 0, magnitude, -magnitude).astype(np.int16)
 
 
 _ULAW_DECODE = _build_ulaw_decode_table()
 _ALAW_DECODE = _build_alaw_decode_table()
 
 
-def _build_encode_table(decode_table: np.ndarray) -> np.ndarray:
-    """Exhaustive nearest-code table over all 65536 int16 values."""
-    # For each int16 sample pick the code whose decoded value is nearest.
+def _build_ulaw_encode_table() -> np.ndarray:
+    """ITU-T G.711 μ-law segment encoder over all 65536 int16 values.
+
+    Bit-exact with audioop.lin2ulaw (Sun g711.c st_14linear2ulaw on
+    sample >> 2) — a nearest-decode inverse differs from the standard
+    quantizer on ~1% of values, breaking wire parity with G.711 peers.
+    """
     samples = np.arange(-32768, 32768, dtype=np.int32)
-    decoded = decode_table.astype(np.int32)
-    order = np.argsort(decoded)
-    sorted_vals = decoded[order]
-    idx = np.searchsorted(sorted_vals, samples)
-    idx = np.clip(idx, 1, 255)
-    left = sorted_vals[idx - 1]
-    right = sorted_vals[np.minimum(idx, 255)]
-    pick_right = np.abs(right - samples) < np.abs(samples - left)
-    nearest = np.where(pick_right, idx, idx - 1)
-    return order[nearest].astype(np.uint8)
+    pcm = samples >> 2  # 14-bit domain
+    mask = np.where(pcm < 0, 0x7F, 0xFF)
+    mag = np.minimum(np.abs(pcm), 8159) + (_ULAW_BIAS >> 2)
+    seg_ends = np.array(
+        [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], np.int32
+    )
+    seg = np.searchsorted(seg_ends, mag)
+    seg_c = np.minimum(seg, 7)
+    uval = (seg_c << 4) | ((mag >> (seg_c + 1)) & 0xF)
+    out = np.where(seg >= 8, 0x7F, uval) ^ mask
+    return out.astype(np.uint8)
 
 
-_ULAW_ENCODE = _build_encode_table(_ULAW_DECODE)
-_ALAW_ENCODE = _build_encode_table(_ALAW_DECODE)
+def _build_alaw_encode_table() -> np.ndarray:
+    """ITU-T G.711 A-law segment encoder (audioop.lin2alaw: st_linear2alaw
+    on sample >> 3, 13-bit domain)."""
+    samples = np.arange(-32768, 32768, dtype=np.int32)
+    pcm = samples >> 3
+    mask = np.where(pcm >= 0, 0xD5, 0x55)
+    mag = np.where(pcm >= 0, pcm, -pcm - 1)
+    seg_ends = np.array(
+        [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], np.int32
+    )
+    seg = np.searchsorted(seg_ends, mag)
+    seg_c = np.minimum(seg, 7)
+    aval = (seg_c << 4) | np.where(
+        seg_c < 2, (mag >> 1) & 0xF, (mag >> seg_c) & 0xF
+    )
+    out = np.where(seg >= 8, 0x7F, aval) ^ mask
+    return out.astype(np.uint8)
+
+
+_ULAW_ENCODE = _build_ulaw_encode_table()
+_ALAW_ENCODE = _build_alaw_encode_table()
 
 
 def ulaw_decode(codes: bytes | np.ndarray) -> np.ndarray:

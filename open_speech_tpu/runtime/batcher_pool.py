@@ -31,8 +31,13 @@ async def _retire(batcher) -> None:
 
 
 def _is_current(batcher, backend, model_id: str) -> bool:
+    # compare against the SOURCE params identity recorded at construction:
+    # ContinuousBatcher may re-shard params in __init__ (a new pytree), so
+    # `entry["params"] is batcher.params` would be permanently false and
+    # every call would churn a fresh multi-GB KV pool
     entry = getattr(backend, "_models", {}).get(model_id)
-    return entry is not None and entry.get("params") is batcher.params
+    source = getattr(batcher, "_source_params", batcher.params)
+    return entry is not None and entry.get("params") is source
 
 
 async def get_batcher(
@@ -53,7 +58,12 @@ async def get_batcher(
             # futures mid-utterance).
             del _batchers[key]
             asyncio.get_running_loop().create_task(_retire(live))
-        entry = backend._ensure_model(model_id)
+        # model load = disk read + warmup compiles (minutes on a cold
+        # cache): never run it on the event loop (_load_lock makes the
+        # backend call thread-safe)
+        entry = await asyncio.get_running_loop().run_in_executor(
+            None, backend._ensure_model, model_id
+        )
         mesh = None
         if (settings.os_tpu_mesh or "").strip():
             # the backend shards params at load when OS_TPU_MESH is set
@@ -76,6 +86,7 @@ async def get_batcher(
             suppress_tokens=tuple(entry["tok"].non_speech_tokens),
             mesh=mesh,
         )
+        batcher._source_params = entry["params"]
         batcher.start()
         _batchers[key] = batcher
         logger.info(
@@ -97,7 +108,9 @@ async def transcribe_pcm_batched(
 
     from open_speech_tpu.ops.mel import log_mel_spectrogram, pad_or_trim
 
-    entry = backend._ensure_model(model_id)
+    entry = await asyncio.get_running_loop().run_in_executor(
+        None, backend._ensure_model, model_id
+    )
     cfg, tok = entry["cfg"], entry["tok"]
     batcher = await get_batcher(backend, model_id, language, task)
     window_samples = cfg.n_audio_ctx * 2 * 160
@@ -124,6 +137,24 @@ async def shutdown_batchers() -> None:
     for batcher in list(_batchers.values()):
         await batcher.stop()
     _batchers.clear()
+
+
+async def retire_stale(backend) -> int:
+    """Retire batchers whose backing model was unloaded or reloaded.
+
+    Called by the lifecycle daemon after each eviction sweep so an evicted
+    model's weights + KV pools don't stay pinned by a batcher nobody will
+    use again (the pool itself only notices staleness on the next request
+    for the exact same key)."""
+    stale = []
+    async with _lock:
+        for key, batcher in list(_batchers.items()):
+            if not _is_current(batcher, backend, key[0]):
+                stale.append(batcher)
+                del _batchers[key]
+    for batcher in stale:
+        asyncio.get_running_loop().create_task(_retire(batcher))
+    return len(stale)
 
 
 def reset_pool() -> None:

@@ -18,8 +18,12 @@ _SWEEP_INTERVAL_S = 30
 
 
 class ModelLifecycleManager:
-    def __init__(self, router) -> None:
+    def __init__(self, router, manager=None) -> None:
         self._router = router
+        # optional ModelManager: its check_ttl covers the TTS backends
+        # (the STT sweep below runs first with the router lock + re-check,
+        # so the manager pass only ever finds idle TTS models)
+        self._manager = manager
         self._task: asyncio.Task | None = None
 
     def start(self) -> None:
@@ -72,22 +76,41 @@ class ModelLifecycleManager:
         )
         return candidates[:excess]
 
+    async def _unload_if_still_victim(self, backend, model_id: str, reason: str) -> None:
+        """Re-check victimhood at unload time: a request may have bumped
+        _last_used between victim selection and here (selection runs
+        outside any lock), and unloading a just-active model costs a full
+        reload + warmup recompile on its next request."""
+        async with self._router._lock:
+            if model_id not in backend._models:
+                return
+            still = (
+                self._idle_victims(backend, time.time())
+                if reason == "TTL"
+                else self._overflow_victims(backend)
+            )
+            if model_id not in still:
+                return
+            idle = time.time() - backend._last_used.get(model_id, 0)
+            logger.info("%s eviction: unloading %s (idle %.0fs)", reason, model_id, idle)
+            backend.unload_model(model_id)
+
     async def _sweep(self) -> None:
         backend = self._router._default_backend
         now = time.time()
         for model_id in self._idle_victims(backend, now):
-            logger.info(
-                "TTL eviction: unloading %s (idle %.0fs)",
-                model_id,
-                now - backend._last_used.get(model_id, 0),
-            )
-            async with self._router._lock:
-                backend.unload_model(model_id)
+            await self._unload_if_still_victim(backend, model_id, "TTL")
         for model_id in self._overflow_victims(backend):
-            logger.info(
-                "LRU eviction: unloading %s (max_loaded=%d)",
-                model_id,
-                settings.os_max_loaded_models,
-            )
-            async with self._router._lock:
-                backend.unload_model(model_id)
+            await self._unload_if_still_victim(backend, model_id, "LRU")
+        if self._manager is not None:
+            self._manager.check_ttl()
+        # a retired model's weights + KV pools must not stay pinned by a
+        # stale continuous batcher (runtime/batcher_pool.retire_stale)
+        try:
+            from open_speech_tpu.runtime import batcher_pool
+
+            n = await batcher_pool.retire_stale(backend)
+            if n:
+                logger.info("Retired %d stale batcher(s)", n)
+        except Exception:  # noqa: BLE001
+            logger.exception("Stale-batcher retirement failed")

@@ -1587,7 +1587,7 @@ async def _on_startup(app: web.Application) -> None:
     if settings.os_api_key == "" and settings.os_auth_required:
         raise RuntimeError("OS_AUTH_REQUIRED=true but OS_API_KEY is not set")
 
-    lifecycle = ModelLifecycleManager(backend_router)
+    lifecycle = ModelLifecycleManager(backend_router, manager=model_manager)
     lifecycle.start()
     app["lifecycle"] = lifecycle
 
@@ -1641,6 +1641,11 @@ async def _on_cleanup(app: web.Application) -> None:
         app["wyoming"].close()
     if "lifecycle" in app:
         await app["lifecycle"].stop()
+    # stop continuous batchers last: fails in-flight futures cleanly
+    # instead of abandoning their tasks at loop teardown
+    from open_speech_tpu.runtime.batcher_pool import shutdown_batchers
+
+    await shutdown_batchers()
 
 
 def create_app() -> web.Application:

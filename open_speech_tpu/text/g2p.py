@@ -150,8 +150,14 @@ def _number_to_words(num: str) -> str:
 def normalize_text(text: str) -> str:
     """Expand numbers/abbreviations; collapse whitespace; lowercase."""
     text = text.strip()
+    # dotted latinisms first: neither word-regex below can match a key
+    # containing an interior dot
+    text = re.sub(r"\be\.g\.?(?=[\s,]|$)", "for example", text, flags=re.I)
+    text = re.sub(r"\bi\.e\.?(?=[\s,]|$)", "that is", text, flags=re.I)
+    # title abbreviations keep their period only when NOT in the table;
+    # the next word may be capitalized ("Dr. Smith") — \w, not [a-z]
     text = re.sub(
-        r"\b(\w+)\.(?=\s+[a-z])",
+        r"\b(\w+)\.(?=\s+\w)",
         lambda m: _ABBREV.get(m.group(1).lower(), m.group(0)),
         text,
     )
@@ -322,8 +328,13 @@ class RuleG2P:
         encode espeak IPA through it; otherwise the built-in ARPAbet space."""
         if id_map:
             phones = self.phonemize_ipa(text, voice=voice)
-            if phones is not None:
-                return piper_phoneme_ids(phones, id_map)
+            if phones is None:
+                # never fall through to the built-in ARPAbet ids: they are a
+                # different id space and the model would misread every symbol
+                raise ValueError(
+                    f"language_not_supported: no IPA G2P path for '{voice}'"
+                )
+            return piper_phoneme_ids(phones, id_map)
         ids = [PHONEME_TO_ID[p] for p in self.phonemize(text) if p in PHONEME_TO_ID]
         if bos_eos:
             return [PHONEME_TO_ID["<bos>"]] + ids + [PHONEME_TO_ID["<eos>"]]
@@ -365,20 +376,23 @@ class EspeakG2P(RuleG2P):
         except Exception:  # noqa: BLE001
             return super().phonemize_ipa_ex(text, voice)
 
-    def phonemize_ipa(self, text: str, voice: str = "en-us") -> list[str] | None:
-        res = self.phonemize_ipa_ex(text, voice)
-        return None if res is None else res[0]
-
     def phonemize(self, text: str) -> list[str]:
+        """ARPAbet via espeak IPA (the -x mnemonics are espeak's own
+        alphabet, not ARPAbet — mapping through IPA keeps the output in
+        the built-in id space, g2p_langs.ipa_to_arpabet)."""
+        from open_speech_tpu.text.g2p_langs import ipa_to_arpabet
+
         try:
             out = subprocess.run(
-                ["espeak-ng", "-q", "-x", text],
+                ["espeak-ng", "-q", "--ipa", "-v", "en-us", text],
                 capture_output=True, text=True, timeout=10, check=True,
             ).stdout
-            # espeak ascii phonemes -> nearest ARPAbet (coarse map)
-            return [p for p in re.findall(r"[a-zA-Z@:]+", out)]
+            phones = ipa_to_arpabet(list(re.sub(r"\s+", " ", out.strip())))
+            if phones:
+                return phones
         except Exception:  # noqa: BLE001
-            return super().phonemize(text)
+            pass
+        return super().phonemize(text)
 
 
 def get_g2p() -> RuleG2P:

@@ -553,3 +553,49 @@ def arpabet_to_ipa(phones: list[str]) -> list[str]:
     for p in phones:
         chars.extend(ARPABET_TO_IPA.get(p, ""))
     return chars
+
+
+# Inverse map for the espeak→built-in-id-space path, extended with the
+# en-us symbols espeak emits that the forward table never produces
+# (rhotic/reduced vowels, flap, glottal stop). Length marks and stress
+# are stripped before matching, so the long vowels resolve via their
+# base symbol (ɑː→ɑ→AA).
+_IPA_TO_ARPABET: dict[str, str] = {
+    ipa: arp for arp, ipa in ARPABET_TO_IPA.items() if ipa.strip()
+}
+_IPA_TO_ARPABET.update({
+    "ɚ": "ER", "ɜ": "ER", "ɝ": "ER", "ɐ": "AH", "ʌ": "AH", "ɒ": "AA",
+    "əʊ": "OW", "ɪə": "IH R", "eə": "EH R", "ʊə": "UH R",
+    "ɾ": "D", "ʔ": "T", "ɫ": "L", "r": "R", "ʍ": "W", "x": "K",
+    "e": "EH", "o": "OW", "a": "AE", "ᵻ": "IH", "ɵ": "AH",
+    "ʧ": "CH", "ʤ": "JH",
+    " ": " ", ",": ",", ".": ".", "?": "?", "!": "!",
+})
+_IPA_ARPA_KEYS_2 = {k for k in _IPA_TO_ARPABET if len(k) == 2}
+
+
+def ipa_to_arpabet(chars: list[str]) -> list[str]:
+    """IPA character stream → ARPAbet phonemes (greedy longest match).
+
+    Used when espeak provides the phonemization but the consumer is the
+    built-in ARPAbet id space (no checkpoint vocab). Stress/length/tie
+    marks are prosody-only there and are dropped; unknown symbols are
+    skipped rather than misread.
+    """
+    s = "".join(normalize_ipa(chars))
+    for mark in ("ˈ", "ˌ", "ː", "̩", "̯", "͡"):
+        s = s.replace(mark, "")
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        pair = s[i : i + 2]
+        if pair in _IPA_ARPA_KEYS_2:
+            out.extend(_IPA_TO_ARPABET[pair].split())
+            i += 2
+            continue
+        hit = _IPA_TO_ARPABET.get(s[i])
+        if hit is not None:
+            # .split() eats the word-boundary symbol itself — keep it
+            out.extend(hit.split() or [hit])
+        i += 1
+    return out

@@ -38,8 +38,13 @@ class PronunciationDictionary:
     def set_mapping(self, mapping: dict[str, str]) -> None:
         # longest keys first so multi-word entries win
         items = sorted(mapping.items(), key=lambda kv: -len(kv[0]))
+        # replacement is user data, not a regex template: a literal
+        # backslash in a dictionary value must not become a group reference
         self._subs = [
-            (re.compile(rf"\b{re.escape(k)}\b", re.IGNORECASE), v)
+            (
+                re.compile(rf"\b{re.escape(k)}\b", re.IGNORECASE),
+                (lambda v: lambda m: v)(str(v)),
+            )
             for k, v in items
         ]
 

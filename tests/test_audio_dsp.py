@@ -205,3 +205,67 @@ def test_encode_streaming_pcm():
     chunks = [np.ones(10, np.float32) * 0.1]
     out = list(encode.encode_audio_streaming(iter(chunks), SR, "pcm"))
     assert len(out) == 1 and len(out[0]) == 20
+
+
+def test_streaming_encoder_eof_sentinel_not_lost():
+    """If ffmpeg exits early, read_available consuming the EOF sentinel
+    must not make finish() block forever (encode.py review fix)."""
+    import queue
+
+    enc = encode.StreamingFFmpegEncoder.__new__(encode.StreamingFFmpegEncoder)
+    enc._out = queue.Queue()
+    enc._eof = False
+
+    class _Proc:
+        class _Stdin:
+            @staticmethod
+            def close():
+                pass
+
+        stdin = _Stdin()
+
+        @staticmethod
+        def wait(timeout=None):
+            return 0
+
+        @staticmethod
+        def poll():
+            return 0
+
+    enc._proc = _Proc()
+    enc._out.put(b"x")
+    enc._out.put(None)  # early EOF: ffmpeg died
+    assert enc.read_available() == [b"x"]
+    assert enc.read_available() == []
+    assert list(enc.finish()) == []  # must not block
+
+
+def test_streaming_postprocessor_all_silent_matches_batch():
+    from open_speech_tpu.audio.postprocessing import (
+        StreamingPostProcessor,
+        normalize_output,
+        trim_silence,
+    )
+
+    chunks = [np.full(100, 0.005, np.float32) for _ in range(3)]
+    sp = StreamingPostProcessor()
+    outs = []
+    for c in chunks:
+        outs.extend(sp.feed(c))
+    outs.extend(sp.finish())
+    batch = normalize_output(trim_silence(np.concatenate(chunks)))
+    got = np.concatenate(outs) if outs else np.zeros(0, np.float32)
+    assert got.shape == batch.shape
+    np.testing.assert_allclose(got, batch, atol=1e-6)
+
+
+def test_convert_to_wav_truncated_extensible_header_passthrough():
+    import struct as _struct
+
+    from open_speech_tpu.audio.ingest import convert_to_wav
+
+    bad = (
+        b"RIFF" + _struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 40) + _struct.pack("<H", 0xFFFE)
+    )
+    assert convert_to_wav(bad) == bad

@@ -105,6 +105,23 @@ def test_alaw_roundtrip():
     assert np.all(err <= tol)
 
 
+def test_g711_bit_exact_vs_audioop():
+    """ITU-T segment encoders/decoders must match audioop (Sun g711.c)
+    exhaustively over all 65536 samples / 256 codes (wire parity with
+    real G.711 peers, e.g. twilio telephony streams)."""
+    audioop = pytest.importorskip("audioop")  # removed in py3.13
+    s = np.arange(-32768, 32768, dtype=np.int16)
+    assert A.ulaw_encode(s).tobytes() == audioop.lin2ulaw(s.tobytes(), 2)
+    assert A.alaw_encode(s).tobytes() == audioop.lin2alaw(s.tobytes(), 2)
+    codes = np.arange(256, dtype=np.uint8)
+    assert A.ulaw_decode(codes).tobytes() == audioop.ulaw2lin(
+        codes.tobytes(), 2
+    )
+    assert A.alaw_decode(codes).tobytes() == audioop.alaw2lin(
+        codes.tobytes(), 2
+    )
+
+
 def test_linear_resample_pcm16_length_and_dc():
     pcm = (np.ones(1600, dtype=np.int16) * 1000).tobytes()
     out = A.linear_resample_pcm16(pcm, 16000, 8000)

@@ -72,12 +72,15 @@ class FakeTTSBackend:
 
     def __init__(self):
         self._loaded = set()
+        self._last_used = {}
 
     def load_model(self, model_id):
         self._loaded.add(model_id)
+        self._last_used[model_id] = time.time()
 
     def unload_model(self, model_id):
         self._loaded.discard(model_id)
+        self._last_used.pop(model_id, None)
 
     def is_model_loaded(self, model_id):
         return model_id in self._loaded
@@ -85,7 +88,8 @@ class FakeTTSBackend:
     def loaded_models(self):
         return [
             TTSLoadedModelInfo(
-                model=m, backend=self.name, device="tpu", loaded_at=0.0
+                model=m, backend=self.name, device="tpu", loaded_at=0.0,
+                last_used_at=self._last_used.get(m),
             )
             for m in self._loaded
         ]
@@ -303,3 +307,108 @@ def test_cached_stt_infos_include_off_catalog(manager):
     infos = manager._cached_stt_infos({"kokoro": "tts"})
     assert any(i.id == "someorg/custom-whisper-ct2" for i in infos)
     assert all(i.state == ModelState.DOWNLOADED for i in infos)
+
+
+# ── lifecycle daemon victim re-check + stale batcher retirement ───────
+
+
+def test_lifecycle_recheck_spares_bumped_model(manager, monkeypatch):
+    """A model whose _last_used was bumped between victim selection and
+    unload must survive the sweep (selection runs outside any lock)."""
+    from open_speech_tpu.runtime.lifecycle import ModelLifecycleManager
+
+    monkeypatch.setattr(settings, "os_model_ttl", 300)
+    monkeypatch.setattr(settings, "stt_model", "whisper-large-v3-turbo")
+    router = manager._stt
+    backend = router._default_backend
+    backend.load_model("whisper-tiny")
+    backend._last_used["whisper-tiny"] = time.time() - 10_000
+    lm = ModelLifecycleManager(router)
+
+    victims = lm._idle_victims(backend, time.time())
+    assert victims == ["whisper-tiny"]
+    # request arrives after selection: bump before the locked unload
+    backend._last_used["whisper-tiny"] = time.time()
+    asyncio.run(lm._unload_if_still_victim(backend, "whisper-tiny", "TTL"))
+    assert backend.is_model_loaded("whisper-tiny")
+    # idle again: the recheck lets the unload through
+    backend._last_used["whisper-tiny"] = time.time() - 10_000
+    asyncio.run(lm._unload_if_still_victim(backend, "whisper-tiny", "TTL"))
+    assert not backend.is_model_loaded("whisper-tiny")
+
+
+def test_lifecycle_sweep_evicts_idle_tts_via_manager(manager, monkeypatch):
+    from open_speech_tpu.runtime.lifecycle import ModelLifecycleManager
+
+    monkeypatch.setattr(settings, "os_model_ttl", 300)
+    monkeypatch.setattr(settings, "tts_model", "pocket-tts")
+    manager.load("kokoro")
+    tts_backend = manager._tts._backends["kokoro"]
+    tts_backend._last_used["kokoro"] = time.time() - 10_000
+    lm = ModelLifecycleManager(manager._stt, manager=manager)
+    asyncio.run(lm._sweep())
+    assert not tts_backend.is_model_loaded("kokoro")
+
+
+def test_batcher_pool_is_current_uses_source_params(manager):
+    """ContinuousBatcher may re-shard params into a new pytree; staleness
+    must compare against the SOURCE params or every call churns a new
+    multi-GB KV pool (review fix)."""
+    from open_speech_tpu.runtime import batcher_pool
+
+    params = {"w": 1}
+    backend = FakeSTTBackend()
+    backend._models["m"] = {"params": params}
+
+    class FakeBatcher:
+        def __init__(self):
+            self.params = {"w": 1}  # re-sharded: a DIFFERENT pytree
+            self._source_params = params
+
+    b = FakeBatcher()
+    assert batcher_pool._is_current(b, backend, "m")
+    backend._models["m"] = {"params": {"w": 2}}  # model reloaded
+    assert not batcher_pool._is_current(b, backend, "m")
+
+
+def test_batcher_pool_retire_stale(manager):
+    from open_speech_tpu.runtime import batcher_pool
+
+    params = {"w": 1}
+    backend = FakeSTTBackend()
+    backend._models["m"] = {"params": params}
+
+    stopped = []
+
+    class FakeBatcher:
+        occupancy = 0
+
+        class _Q:
+            @staticmethod
+            def empty():
+                return True
+
+        _queue = _Q()
+
+        async def stop(self):
+            stopped.append(self)
+
+    FakeBatcher.params = params
+    FakeBatcher._source_params = params
+
+    async def _run():
+        live = FakeBatcher()
+        batcher_pool._batchers[("m", "en", "transcribe")] = live
+        # current: nothing retired
+        assert await batcher_pool.retire_stale(backend) == 0
+        # model evicted: batcher must be retired
+        backend._models.pop("m")
+        assert await batcher_pool.retire_stale(backend) == 1
+        assert not batcher_pool._batchers
+        await asyncio.sleep(0.3)  # let the _retire task drain + stop
+        assert stopped
+
+    try:
+        asyncio.run(_run())
+    finally:
+        batcher_pool.reset_pool()

@@ -136,3 +136,29 @@ def test_unexpected_error_becomes_500():
     assert resp.status == 500
     body = json.loads(resp.text)
     assert "error" in body
+
+
+def test_tts_cache_key_fields_cannot_collide():
+    # '|' inside one field must not alias another (text, voice) pair
+    a = TTSCache.make_key("hello|af_sky", "af_bella", 1.0, "wav", "kokoro")
+    b = TTSCache.make_key("hello", "af_sky|af_bella", 1.0, "wav", "kokoro")
+    assert a != b
+
+
+def test_tts_cache_disabled_dir_safe(tmp_path):
+    # mkdir failed (parent is a file): degrade to disabled, never crash
+    parent = tmp_path / "afile"
+    parent.write_text("x")
+    c = TTSCache(str(parent / "cache"))
+    assert not c.enabled
+    assert c.cleanup() == 0
+    assert c.stats()["entries"] == 0
+    assert c.get_for(text="a", voice="b", speed=1.0, fmt="wav", model="m") is None
+
+
+def test_tts_cache_atomic_set_no_tmp_left(tmp_path):
+    c = TTSCache(str(tmp_path))
+    k = c.make_key("hi", "af", 1.0, "wav", "kokoro")
+    c.set(k, "wav", b"data")
+    assert c.get(k, "wav") == b"data"
+    assert not list(tmp_path.glob("*.tmp"))

@@ -80,3 +80,43 @@ def test_base_lang_matrix(voice, lang):
 def test_punctuation_survives_language_rules():
     out = "".join(ipa_phonemize("hola, mundo.", "es"))
     assert "," in out and "." in out
+
+
+def test_normalize_titles_before_capitalized_names():
+    from open_speech_tpu.text.g2p import normalize_text
+
+    assert normalize_text("Dr. Smith met Mr. Jones.") == "doctor smith met mister jones."
+
+
+def test_normalize_dotted_latinisms():
+    from open_speech_tpu.text.g2p import normalize_text
+
+    assert normalize_text("Use e.g. apples, i.e. fruit.") == (
+        "use for example apples, that is fruit."
+    )
+
+
+def test_ipa_to_arpabet_roundtrip_symbols():
+    from open_speech_tpu.text.g2p_langs import ipa_to_arpabet
+
+    # espeak-style en-us output with stress/length marks
+    assert ipa_to_arpabet(list("həlˈoʊ wˈɜːld")) == [
+        "HH", "AH", "L", "OW", " ", "W", "ER", "L", "D",
+    ]
+
+
+def test_to_ids_with_id_map_never_falls_back_to_arpabet_space():
+    import pytest
+
+    from open_speech_tpu.text.g2p import RuleG2P
+
+    with pytest.raises(ValueError, match="language_not_supported"):
+        RuleG2P().to_ids("hello", id_map={"^": [1]}, voice="ko")
+
+
+def test_pronunciation_value_with_backslash_is_literal():
+    from open_speech_tpu.text.pronunciation import PronunciationDictionary
+
+    d = PronunciationDictionary()
+    d.set_mapping({"AI": "a\\1 eye"})
+    assert d.apply("AI is here") == "a\\1 eye is here"
