@@ -364,9 +364,13 @@ def decode_attention(
     """
     d = q.shape[-1]
     scale = (d**-0.5) if scale is None else scale
-    k_mat = k_cache.astype(q.dtype) if k_cache.dtype == jnp.int8 else k_cache
+    # int8 caches flow straight into the dots (mixed-dtype dot_general with
+    # preferred_element_type=f32) rather than through an explicit astype:
+    # an astype forces a bf16 copy of the whole [B, H, T_max, D] cache
+    # every step; the direct form lets the backend keep HBM reads at the
+    # int8 byte count (TPU dots take s8 operands natively)
     logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k_mat, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", q, k_cache, preferred_element_type=jnp.float32
     ) * scale
     if k_scale is not None:
         logits = logits * k_scale[..., 0][:, :, None, :].astype(jnp.float32)
@@ -374,11 +378,16 @@ def decode_attention(
     mask = jnp.arange(t_k)[None, None, None, :] < length[:, None, None, None]
     logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    v_mat = v_cache.astype(q.dtype) if v_cache.dtype == jnp.int8 else v_cache
     if v_scale is not None:
         probs = probs * v_scale[..., 0][:, :, None, :].astype(jnp.float32)
-    out = jnp.einsum(
-        "bhqk,bhkd->bhqd", probs.astype(v_mat.dtype), v_mat,
-        preferred_element_type=jnp.float32,
-    )
+    if v_cache.dtype == jnp.int8:
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v_cache,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs.astype(v_cache.dtype), v_cache,
+            preferred_element_type=jnp.float32,
+        )
     return out.astype(q.dtype)

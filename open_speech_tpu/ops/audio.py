@@ -16,6 +16,7 @@ Behavioral parity targets:
 
 from __future__ import annotations
 
+import functools
 import struct
 from dataclasses import dataclass
 
@@ -26,8 +27,12 @@ import numpy as np
 # ──────────────────────────────────────────────────────────────────────
 
 
+@functools.cache
 def _native():
-    """libosaudio bindings when built (make -C native), else None."""
+    """libosaudio bindings when built (make -C native), else None.
+
+    Cached: the probe result never changes after startup, and the realtime
+    PCM paths call the converters per audio chunk."""
     try:
         from open_speech_tpu import native
 
@@ -131,7 +136,11 @@ def parse_wav_header(data: bytes) -> WavInfo:
             audio_format, channels, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", data, body
             )
-            if audio_format == 0xFFFE and chunk_size >= 40:  # WAVE_FORMAT_EXTENSIBLE
+            # WAVE_FORMAT_EXTENSIBLE: sub-format lives at body+24; the
+            # chunk may CLAIM 40 bytes while the upload is truncated, so
+            # guard on the actual buffer too (callers expect ValueError,
+            # never struct.error, from bad uploads)
+            if audio_format == 0xFFFE and chunk_size >= 40 and body + 26 <= n:
                 (sub,) = struct.unpack_from("<H", data, body + 24)
                 audio_format = sub
             fmt = (audio_format, channels, rate, bits)
@@ -156,6 +165,11 @@ def read_wav(data: bytes) -> tuple[np.ndarray, int]:
     """
     info = parse_wav_header(data)
     raw = data[info.data_offset : info.data_offset + info.data_size]
+    # a cut-short stream may leave a partial trailing sample; decode the
+    # usable prefix (matches the 24-bit branch) instead of crashing in
+    # np.frombuffer on a non-multiple buffer length
+    elem = max(1, info.bits_per_sample // 8)
+    raw = raw[: len(raw) - len(raw) % elem]
     bits, fmt = info.bits_per_sample, info.audio_format
     if fmt == 1:  # integer PCM
         if bits == 16:

@@ -11,21 +11,17 @@ unaffected.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 
 
 def jit_init(*, static_argnames=("cfg", "dtype")):
-    """Wrap a parameter-init fn in jax.jit with config/dtype static."""
+    """Wrap a parameter-init fn in jax.jit with config/dtype static.
+
+    Returns the jitted callable directly (jax.jit preserves
+    __name__/__doc__ and exposes .lower()/.clear_cache() for compile-cost
+    debugging — the exact concern this module exists for)."""
 
     def deco(fn):
-        jitted = jax.jit(fn, static_argnames=static_argnames)
-
-        @functools.wraps(fn)
-        def wrapper(*args, **kwargs):
-            return jitted(*args, **kwargs)
-
-        return wrapper
+        return jax.jit(fn, static_argnames=static_argnames)
 
     return deco

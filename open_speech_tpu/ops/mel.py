@@ -123,6 +123,12 @@ def log_mel_spectrogram(
     Matches openai-whisper's log_mel_spectrogram (the features CT2 computes
     natively in the reference backend, src/backends/faster_whisper.py:245).
     """
+    # sub-hop clips would produce 0 frames (empty peak reduction) and
+    # reflect-padding needs n > n_fft//2; zero-extend tiny inputs to one
+    # full frame instead of crashing (static shapes: resolved at trace)
+    min_n = max(hop, n_fft // 2 + 1)
+    if audio.shape[-1] < min_n:
+        audio = pad_or_trim(audio, min_n)
     frames = _frame(audio.astype(jnp.float32), n_fft, hop)
     cos_b, sin_b = _dft_bases(n_fft)
     re = frames @ jnp.asarray(cos_b)

@@ -78,6 +78,11 @@ def istft(mag: jax.Array, phase: jax.Array, n_fft: int, hop: int) -> jax.Array:
     # center-trim: frame i begins at i*hop in the padded signal, so sample m
     # of the original lives at OLA index m + n_fft//2
     pad = n_fft // 2
+    # with hop > n_fft/2 the OLA buffer ((t-1)*hop + n_fft) ends before
+    # pad + t*hop; zero-extend so the contract ([B, T*hop]) always holds
+    short = pad + t * hop - out.shape[1]
+    if short > 0:
+        out = jnp.pad(out, ((0, 0), (0, short)))
     return out[:, pad : pad + t * hop]
 
 
@@ -165,9 +170,11 @@ def conv_transpose1d(
 
     x [B, T, C_in] → [B, (T-1)*stride - 2*pad + K, C_out]. With the HiFiGAN
     convention pad=(K-stride)//2 and even K-stride this is exactly T*stride.
-    p["w"] is [K, C_in/groups, C_out] *kernel-flipped* relative to the torch
-    ConvTranspose1d weight (converters store ``w.transpose(2,0,1)[::-1]``
-    dense, ``w.transpose(2,1,0)[::-1]`` depthwise).
+    p["w"] is *kernel-flipped* relative to the torch ConvTranspose1d weight
+    and converters store ``w.transpose(2,0,1)[::-1]`` in every non-depthwise
+    case: dense → [K, C_in, C_out], grouped → [K, C_in, C_out/groups]
+    (torch's weight is [C_in, C_out/groups, K]). Depthwise (groups == C_in
+    == C_out) stores ``w.transpose(2,1,0)[::-1]`` → [K, 1, C].
 
     Computed as one matmul + overlap-add rather than an input-dilated
     (lhs_dilation) convolution: every output sample is a sum of ≤⌈K/stride⌉
@@ -191,11 +198,14 @@ def conv_transpose1d(
     elif w.shape[1] == 1:  # depthwise: w [K, 1, C]
         y = x[:, :, None, :] * w[None, :, 0, :][:, None]
     else:
-        cg = w.shape[1]
-        xg = x.reshape(b, t, groups, cg)
-        wg = w.reshape(k, cg, groups, w.shape[2] // groups)
-        y = jnp.einsum("btgc,kcgd->btkgd", xg, wg).reshape(
-            b, t, k, w.shape[2]
+        # grouped: w [K, C_in, C_out/groups] (the documented
+        # transpose(2,0,1)[::-1] of torch's [C_in, C_out/g, K]); group gi
+        # contracts input slice gi over its own C_out/g output block
+        cin_g = w.shape[1] // groups
+        xg = x.reshape(b, t, groups, cin_g)
+        wg = w.reshape(k, groups, cin_g, w.shape[2])
+        y = jnp.einsum("btgc,kgcd->btkgd", xg, wg).reshape(
+            b, t, k, groups * w.shape[2]
         )
     c_out = y.shape[-1]
     n_shift = -(-k // stride)

@@ -1,5 +1,7 @@
 """Unit tests for host-side codecs (WAV, PCM, G.711)."""
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -103,6 +105,28 @@ def test_alaw_roundtrip():
     err = np.abs(decoded.astype(np.int32) - pcm.astype(np.int32))
     tol = np.maximum(np.abs(pcm.astype(np.int32)) / 10, 600)
     assert np.all(err <= tol)
+
+
+def test_read_wav_truncated_extensible_header_raises_valueerror():
+    """A fmt chunk claiming WAVE_FORMAT_EXTENSIBLE size 40 but truncated
+    before the sub-format must surface as ValueError (the documented bad-
+    input signal), never struct.error — read_wav is called directly on
+    user uploads (backends/jax_whisper, diarization)."""
+    bad = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 40) + struct.pack("<H", 0xFFFE)
+    )
+    with pytest.raises(ValueError):
+        A.read_wav(bad)
+
+
+def test_read_wav_odd_length_truncated_data_chunk():
+    """A cut-short PCM16 stream with an odd usable byte count decodes the
+    usable prefix instead of crashing in np.frombuffer."""
+    pcm = (np.arange(10, dtype=np.int16) * 1000).tobytes()
+    wav = A.wav_header(len(pcm), 16000) + pcm
+    y, sr = A.read_wav(wav[:-3])  # drop 1.5 samples
+    assert sr == 16000 and len(y) == 8
 
 
 def test_g711_bit_exact_vs_audioop():

@@ -84,6 +84,54 @@ def test_istft_reconstructs_stft():
     assert np.allclose(rec[40:-40], x[40 : len(rec) - 40], atol=1e-3)
 
 
+def test_istft_full_length_when_hop_exceeds_half_fft():
+    """Contract: istft returns [B, T*hop] even when hop > n_fft/2 (the OLA
+    buffer ends before pad + T*hop there; the tail is zero-extended)."""
+    from open_speech_tpu.ops.vocoder import istft
+
+    mag = jnp.ones((1, 10, 9))
+    phase = jnp.zeros((1, 10, 9))
+    out = istft(mag, phase, n_fft=16, hop=12)
+    assert out.shape == (1, 120)
+
+
+def test_conv_transpose1d_grouped_matches_torch():
+    """Grouped (1 < groups < C) branch accepts the documented
+    transpose(2,0,1)[::-1] layout and matches torch exactly."""
+    torch = pytest.importorskip("torch")
+    from open_speech_tpu.ops.vocoder import conv_transpose1d
+
+    torch.manual_seed(0)
+    for cin, cout, g, k, s in [(8, 12, 4, 9, 3), (6, 6, 2, 8, 4)]:
+        m = torch.nn.ConvTranspose1d(
+            cin, cout, k, stride=s, padding=max(0, (k - s) // 2), groups=g
+        )
+        x = torch.randn(2, cin, 20)
+        ref = m(x).detach().numpy()
+        w = m.weight.detach().numpy().transpose(2, 0, 1)[::-1].copy()
+        p = {
+            "w": jnp.asarray(w),
+            "b": jnp.asarray(m.bias.detach().numpy()),
+        }
+        out = np.asarray(
+            conv_transpose1d(
+                jnp.asarray(x.numpy().transpose(0, 2, 1)),
+                p, stride=s, pad=m.padding[0], groups=g,
+            )
+        ).transpose(0, 2, 1)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_log_mel_sub_hop_input_does_not_crash():
+    """A sub-10 ms clip (shorter than one hop) must yield a finite
+    one-frame spectrogram, not an empty-reduction crash."""
+    from open_speech_tpu.ops.mel import log_mel_spectrogram
+
+    out = np.asarray(log_mel_spectrogram(jnp.ones(150, jnp.float32) * 0.1))
+    assert out.shape[0] == 128 and out.shape[1] >= 1
+    assert np.all(np.isfinite(out))
+
+
 # ── BPE tokenizer with a synthetic vocab ──────────────────────────────
 
 
