@@ -11,48 +11,77 @@ import asyncio
 import base64
 import contextlib
 import json
+import logging
 import threading
 import time
 from collections.abc import AsyncIterator, Callable, Iterator
 from typing import Any
+from urllib.parse import urlencode
 
 import httpx
 
+logger = logging.getLogger(__name__)
+
 
 class _ReplaySender:
-    """Pumps audio chunks into a WS; replays the in-flight chunk on retry."""
+    """Pumps audio chunks into a WS; replays the in-flight chunk on retry.
+
+    Distinguishes *source* failures (the caller's iterator raised — terminal,
+    surfaced to the caller after the final events) from *network* failures
+    (ws.send raised — retried with the in-flight chunk replayed). Each pump
+    attempt gets its own stop event so an abandoned thread from a previous
+    connection can never clobber the live attempt's state (writes are gated
+    on its own event, and the live thread owns the shared iterator)."""
 
     def __init__(self, audio_stream: Iterator[bytes]):
-        self._source = audio_stream
-        self._stop = threading.Event()
+        self._source = iter(audio_stream)
+        self._attempt_stop = threading.Event()
         self.pending: bytes | None = None
         self.exhausted = False
         self.error: Exception | None = None
+        self.source_error: Exception | None = None
 
     def pump(self, ws) -> None:
+        stop = self._attempt_stop
         try:
             if self.pending is not None:
                 ws.send(self.pending)
                 self.pending = None
-            for chunk in self._source:
-                if self._stop.is_set():
+            while not stop.is_set():
+                try:
+                    chunk = next(self._source)
+                except StopIteration:
+                    break
+                except Exception as exc:  # the caller's iterator died
+                    if not stop.is_set():
+                        self.source_error = exc
+                    break
+                if stop.is_set():
                     return
                 self.pending = chunk
                 ws.send(chunk)
                 self.pending = None
+            if stop.is_set():
+                return
+            # a dead source still flushes what was delivered: the server
+            # finalizes on "stop" and sends session.end
             self.exhausted = True
             ws.send(json.dumps({"type": "stop"}))
         except Exception as exc:  # pragma: no cover - network timing
-            self.error = exc
+            if not stop.is_set():
+                self.error = exc
 
     def stop(self) -> None:
-        self._stop.set()
+        self._attempt_stop.set()
 
     def finished_clean(self) -> bool:
         return self.exhausted and self.pending is None
 
     def reset_for_retry(self) -> None:
-        self._stop.clear()
+        # abandon the previous attempt (its thread holds the old event and
+        # stops touching shared state) and arm a fresh one
+        self._attempt_stop.set()
+        self._attempt_stop = threading.Event()
         self.error = None
 
 
@@ -153,11 +182,11 @@ class OpenSpeechClient:
     # ── streaming STT ─────────────────────────────────────────────────
 
     def _stream_url(self, model: str, sample_rate: int, vad: bool) -> str:
-        url = (
-            f"{self._ws_url('/v1/audio/stream')}?model={model}"
-            f"&sample_rate={sample_rate}&vad={'true' if vad else 'false'}"
-        )
-        return url.replace("model=&", "") if model == "" else url
+        params = {"sample_rate": sample_rate, "vad": "true" if vad else "false"}
+        if model:
+            params = {"model": model, **params}
+        # model ids are user input — '&', '#', spaces must not split params
+        return f"{self._ws_url('/v1/audio/stream')}?{urlencode(params)}"
 
     def stream_transcribe(
         self,
@@ -192,6 +221,7 @@ class OpenSpeechClient:
             if attempt:
                 time.sleep(min(0.2 * attempt, 1.0))
 
+            session_ended = False
             with connect(ws_url, additional_headers=headers) as ws:
                 thread = threading.Thread(
                     target=sender.pump, args=(ws,), daemon=True
@@ -205,6 +235,7 @@ class OpenSpeechClient:
                         event = json.loads(raw)
                         yield event
                         if event.get("type") == "session.end":
+                            session_ended = True
                             sender.stop()
                             break
                 except ConnectionClosed:
@@ -212,10 +243,27 @@ class OpenSpeechClient:
                 finally:
                     thread.join(timeout=1.0)
 
-            if sender.finished_clean():
+            if sender.source_error is not None:
+                # the caller's iterator raised: surface it (the server was
+                # asked to flush, and its final events were yielded above)
+                raise sender.source_error
+            if session_ended or sender.finished_clean():
+                # server closed the session (clean stop OR server-side
+                # abort like model_load_failed) — reconnect-and-replay
+                # against an identical failure would just duplicate events
                 return
             if sender.error and sender.exhausted:
                 raise sender.error
+            # resuming requires sole ownership of the shared source
+            # iterator; a pump thread parked inside next() can't be resumed
+            deadline = time.time() + 5.0
+            while thread.is_alive() and time.time() < deadline:
+                thread.join(timeout=0.25)
+            if thread.is_alive():
+                raise RuntimeError(
+                    "stream_transcribe cannot reconnect: the audio source "
+                    "is blocked mid-read"
+                )
             sender.reset_for_retry()
 
     async def async_stream_transcribe(
@@ -235,7 +283,10 @@ class OpenSpeechClient:
             ) from e
 
         ws_url = self._stream_url(model, sample_rate, vad)
-        state = {"pending": None, "done": False, "error": None}
+        state = {"pending": None, "done": False, "error": None,
+                 "source_error": None}
+
+        chunks_gen = None
 
         async def _chunks():
             if hasattr(audio_stream, "__aiter__"):
@@ -250,10 +301,18 @@ class OpenSpeechClient:
                 if state["pending"] is not None:
                     await ws.send(state["pending"])
                     state["pending"] = None
-                async for chunk in _chunks():
+                while True:
+                    try:
+                        chunk = await anext(chunks_gen)
+                    except StopAsyncIteration:
+                        break
+                    except Exception as exc:  # the caller's iterator died
+                        state["source_error"] = exc
+                        break
                     state["pending"] = chunk
                     await ws.send(chunk)
                     state["pending"] = None
+                # a dead source still flushes what was delivered
                 state["done"] = True
                 await ws.send(json.dumps({"type": "stop"}))
             except Exception as exc:  # pragma: no cover
@@ -267,7 +326,10 @@ class OpenSpeechClient:
                 )
             if attempt:
                 await asyncio.sleep(min(0.2 * attempt, 1.0))
+            if chunks_gen is None:
+                chunks_gen = _chunks()
             headers = list(self._headers().items()) if self._headers() else None
+            session_ended = False
             async with websockets.connect(
                 ws_url, additional_headers=headers
             ) as ws:
@@ -279,6 +341,7 @@ class OpenSpeechClient:
                         event = json.loads(raw)
                         yield event
                         if event.get("type") == "session.end":
+                            session_ended = True
                             break
                 except ConnectionClosed:
                     pass
@@ -291,10 +354,19 @@ class OpenSpeechClient:
                         with contextlib.suppress(BaseException):
                             await pump_task
 
-                if state["done"] and state["pending"] is None:
+                if state["source_error"] is not None:
+                    # surface the caller's iterator failure (final events
+                    # for the delivered audio were yielded above)
+                    raise state["source_error"]
+                if session_ended or (
+                    state["done"] and state["pending"] is None
+                ):
+                    # server closed the session (clean stop OR server-side
+                    # abort) — reconnecting would duplicate events
                     return
                 if state["error"] and state["done"]:
                     raise state["error"]
+                state["error"] = None
 
     # ── realtime sessions ─────────────────────────────────────────────
 
@@ -335,7 +407,11 @@ class RealtimeSession:
     def _connect(self) -> None:
         from websockets.sync.client import connect
 
-        suffix = f"/v1/realtime?model={self.model}" if self.model else "/v1/realtime"
+        suffix = (
+            f"/v1/realtime?{urlencode({'model': self.model})}"
+            if self.model
+            else "/v1/realtime"
+        )
         headers = self.client._headers() or None
         self._ws = connect(
             self.client._ws_url(suffix),
@@ -350,18 +426,27 @@ class RealtimeSession:
         while self._running and self._ws is not None:
             try:
                 raw = self._ws.recv()
-                if isinstance(raw, bytes):
-                    continue
-                evt = json.loads(raw)
-                for cb in _route_event(
-                    evt,
-                    self._transcript_callbacks,
-                    self._audio_callbacks,
-                    self._vad_callbacks,
-                ):
-                    cb(evt)
-            except Exception:  # noqa: BLE001
+            except Exception:  # noqa: BLE001 - socket closed/dropped
                 break
+            if isinstance(raw, bytes):
+                continue
+            try:
+                evt = json.loads(raw)
+            except ValueError:
+                logger.warning("realtime: dropping malformed frame")
+                continue
+            for cb in _route_event(
+                evt,
+                self._transcript_callbacks,
+                self._audio_callbacks,
+                self._vad_callbacks,
+            ):
+                # a broken user callback must not kill event dispatch
+                # for the rest of the session
+                try:
+                    cb(evt)
+                except Exception:  # noqa: BLE001
+                    logger.exception("realtime callback raised")
 
     def _send(self, payload: dict) -> None:
         if self._ws is None:
@@ -426,7 +511,11 @@ class AsyncRealtimeSession:
     async def connect(self) -> None:
         import websockets
 
-        suffix = f"/v1/realtime?model={self.model}" if self.model else "/v1/realtime"
+        suffix = (
+            f"/v1/realtime?{urlencode({'model': self.model})}"
+            if self.model
+            else "/v1/realtime"
+        )
         headers = (
             list(self.client._headers().items()) if self.client._headers() else None
         )
@@ -442,16 +531,24 @@ class AsyncRealtimeSession:
         async for raw in self._ws:
             if isinstance(raw, bytes):
                 continue
-            evt = json.loads(raw)
+            try:
+                evt = json.loads(raw)
+            except ValueError:
+                logger.warning("realtime: dropping malformed frame")
+                continue
             for cb in _route_event(
                 evt,
                 self._transcript_callbacks,
                 self._audio_callbacks,
                 self._vad_callbacks,
             ):
-                ret = cb(evt)
-                if asyncio.iscoroutine(ret):
-                    await ret
+                # a broken user callback must not kill the receiver task
+                try:
+                    ret = cb(evt)
+                    if asyncio.iscoroutine(ret):
+                        await ret
+                except Exception:  # noqa: BLE001
+                    logger.exception("realtime callback raised")
 
     async def _send(self, payload: dict) -> None:
         if self._ws is None:

@@ -87,6 +87,20 @@ def _known_stt_models() -> list[dict]:
     return [m for m in get_known_models() if m["type"] == "stt"][:8]
 
 
+def _pcm_to_16bit(pcm: bytes, width: int) -> bytes:
+    """Integer PCM of sample width 1/2/4 bytes → little-endian 16-bit.
+
+    Wyoming audio-chunk events carry an explicit ``width`` field
+    (reference handles 16-bit only; clients may legitimately send 8/32)."""
+    if width == 1:  # unsigned 8-bit, center at 0
+        arr = np.frombuffer(pcm, dtype=np.uint8).astype(np.int16)
+        return ((arr - 128) << 8).astype("<i2").tobytes()
+    if width == 4:
+        arr = np.frombuffer(pcm[: len(pcm) - len(pcm) % 4], dtype="<i4")
+        return (arr >> 16).astype("<i2").tobytes()
+    raise ValueError(f"unsupported Wyoming PCM width: {width}")
+
+
 async def _extract_speech_pcm(pcm: bytes, rate: int) -> bytes:
     """VAD-gate the audio to speech-only segments (reference stt_handler:43-115)."""
     if not pcm:
@@ -178,6 +192,10 @@ class OpenSpeechEventHandler:
 
     async def _transcribe(self) -> str:
         pcm = b"".join(self._audio_chunks)
+        if self._audio_width != 2:
+            # everything below assumes 16-bit samples; widen/narrow first
+            # rather than misreading width-1/width-4 PCM as noise
+            pcm = _pcm_to_16bit(pcm, self._audio_width)
         if self._audio_channels > 1:
             arr = np.frombuffer(pcm, dtype="<i2")
             usable = len(arr) - len(arr) % self._audio_channels

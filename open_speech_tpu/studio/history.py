@@ -157,23 +157,42 @@ class HistoryManager:
         cap_bytes = max(0, int(settings.os_history_max_mb)) * 1024 * 1024
         if cap_bytes == 0:
             return 0
+        # cheap gate first: prune() runs on the event loop after every
+        # TTS/STT request, so the common under-cap case must not stat files
+        db = get_db()
+        recorded = db.execute(
+            "SELECT COALESCE(SUM(COALESCE(output_bytes, 0)), 0), "
+            "COUNT(*) FILTER (WHERE output_bytes IS NULL) "
+            "FROM history_entries WHERE output_path IS NOT NULL"
+        ).fetchone()
+        if recorded[0] <= cap_bytes and recorded[1] == 0:
+            return 0
+        # one pass, oldest-first: stat only rows missing a recorded size,
+        # delete from the front until the remainder fits the cap
+        rows = db.execute(
+            "SELECT id, output_path, output_bytes FROM history_entries "
+            "WHERE output_path IS NOT NULL ORDER BY created_at ASC"
+        ).fetchall()
+        sized = [
+            (
+                row["id"],
+                row["output_bytes"]
+                if row["output_bytes"] is not None
+                else self._file_size(row["output_path"]),
+            )
+            for row in rows
+        ]
+        total = sum(size for _eid, size in sized)
         removed = 0
-        while True:
-            rows = get_db().execute(
-                "SELECT id, output_path FROM history_entries "
-                "WHERE output_path IS NOT NULL ORDER BY created_at DESC"
-            ).fetchall()
-            sized = [
-                (row["id"], self._file_size(row["output_path"]))
-                for row in rows
-                if row["output_path"]
-            ]
-            if not sized or sum(size for _eid, size in sized) <= cap_bytes:
-                return removed
-            oldest_id = sized[-1][0]
-            if not self.delete_entry(oldest_id):
-                return removed
-            removed += 1
+        for entry_id, size in sized:
+            if total <= cap_bytes:
+                break
+            if self.delete_entry(entry_id):
+                removed += 1
+                total -= size
+            else:  # row vanished concurrently; its bytes are gone too
+                total -= size
+        return removed
 
     @staticmethod
     def _file_size(path: str) -> int:

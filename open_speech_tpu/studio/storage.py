@@ -1,8 +1,18 @@
-"""Studio persistence: a single shared SQLite connection + schema.
+"""Studio persistence: per-thread SQLite connections + schema.
 
 Table layout is kept column-compatible with the reference server
 (src/storage.py DDL) so studio databases are portable between the two; the
 connection/bootstrap plumbing is this module's own.
+
+Connections are THREAD-LOCAL, not one shared handle: the app runs
+conversation/composer renders in executor threads concurrently with
+event-loop manager calls (history logging, profile CRUD), and a shared
+``check_same_thread=False`` connection lets one request's ``commit()``
+persist another's half-finished multi-statement transaction (e.g. a failed
+render's partial turn UPDATEs, or a torn ``set_default`` pair). WAL mode
+gives concurrent readers + a single serialized writer per *connection*, so
+one-connection-per-thread makes every manager call transactionally
+isolated with zero changes at the call sites.
 """
 
 from __future__ import annotations
@@ -15,36 +25,48 @@ from open_speech_tpu.config import settings
 
 
 class _Store:
-    """Lazily-opened process-wide SQLite handle (WAL, FKs, row factory)."""
+    """Lazily-opened thread-local SQLite handles (WAL, FKs, row factory)."""
 
     def __init__(self) -> None:
+        self._local = threading.local()
         self._guard = threading.Lock()
-        self._conn: sqlite3.Connection | None = None
+        # bumped by close(): stale thread-local conns (old DB path in
+        # tests) notice and reopen
+        self._generation = 0
 
     def connection(self) -> sqlite3.Connection:
-        with self._guard:
-            if self._conn is None:
-                target = Path(settings.os_studio_db_path)
-                target.parent.mkdir(parents=True, exist_ok=True)
-                conn = sqlite3.connect(str(target), check_same_thread=False)
-                conn.row_factory = sqlite3.Row
-                for pragma in ("journal_mode=WAL", "foreign_keys=ON"):
-                    conn.execute(f"PRAGMA {pragma}")
-                self._conn = conn
-            return self._conn
+        conn = getattr(self._local, "conn", None)
+        if conn is not None:
+            if getattr(self._local, "gen", -1) == self._generation:
+                return conn
+            conn.close()
+        target = Path(settings.os_studio_db_path)
+        target.parent.mkdir(parents=True, exist_ok=True)
+        conn = sqlite3.connect(str(target))
+        conn.row_factory = sqlite3.Row
+        for pragma in (
+            "journal_mode=WAL",
+            "foreign_keys=ON",
+            "busy_timeout=5000",
+        ):
+            conn.execute(f"PRAGMA {pragma}")
+        self._local.conn = conn
+        self._local.gen = self._generation
+        return conn
 
     def bootstrap(self) -> None:
         conn = self.connection()
-        with self._guard:
-            for ddl in _TABLES:
-                conn.executescript(ddl)
-            conn.commit()
+        for ddl in _TABLES:
+            conn.executescript(ddl)
+        conn.commit()
 
     def close(self) -> None:
         with self._guard:
-            if self._conn is not None:
-                self._conn.close()
-                self._conn = None
+            self._generation += 1
+        conn = getattr(self._local, "conn", None)
+        if conn is not None:
+            conn.close()
+            self._local.conn = None
 
 
 _store = _Store()

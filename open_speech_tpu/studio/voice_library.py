@@ -83,13 +83,16 @@ class VoiceLibraryManager:
                 "Reference audio must be WAV format (RIFF/WAVE header "
                 "required). Convert MP3/OGG/FLAC to WAV before uploading."
             )
+        # only WAV bytes pass the header check above, so the stored
+        # extension/metadata reflect the actual format even when the
+        # client's claimed content_type disagrees (e.g. audio/mpeg)
         meta = {
             "name": slug,
             "size_bytes": len(audio_bytes),
-            "content_type": content_type,
+            "content_type": "audio/wav",
             "created_at": datetime.now(timezone.utc).isoformat(),
         }
-        target = self._audio_path(slug, _ext_for(content_type))
+        target = self._audio_path(slug, "wav")
         with self._lock:
             self.library_path.mkdir(parents=True, exist_ok=True)
             if self.max_count > 0 and not self._meta_path(slug).exists():

@@ -121,3 +121,61 @@ def test_stream_transcribe_reconnect_limit():
             )
     finally:
         server.shutdown()
+
+
+def test_stream_transcribe_source_error_surfaces():
+    """A failing audio iterator must flush delivered audio, then raise —
+    not hang in ws.recv() or silently truncate."""
+    port_holder: list[int] = []
+    server = _fake_stream_server(None, port_holder, threading.Event())
+    try:
+        client = OpenSpeechClient(f"http://127.0.0.1:{port_holder[0]}")
+
+        def dying():
+            yield b"\x00" * 64
+            raise OSError("mic unplugged")
+
+        events = []
+        with pytest.raises(OSError, match="mic unplugged"):
+            for e in client.stream_transcribe(dying(), vad=False):
+                events.append(e)
+        types = [e["type"] for e in events]
+        # delivered audio was flushed before the error surfaced
+        assert "transcript" in types and "session.end" in types
+    finally:
+        server.shutdown()
+
+
+def test_stream_transcribe_early_session_end_is_terminal():
+    """A server-side abort (session.end before exhaustion) must not
+    trigger reconnect-and-replay (duplicated events)."""
+    import websockets.sync.server as wss
+
+    begins = []
+
+    def handler(ws):
+        begins.append(1)
+        ws.send(json.dumps({"type": "session.begin"}))
+        ws.send(json.dumps({"type": "error", "message": "model_load_failed"}))
+        ws.send(
+            json.dumps({"type": "session.end", "reason": "model_load_failed"})
+        )
+
+    server = wss.serve(handler, "127.0.0.1", 0)
+    port = server.socket.getsockname()[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        client = OpenSpeechClient(f"http://127.0.0.1:{port}")
+
+        def endless():
+            while True:
+                yield b"\x00" * 32
+
+        events = list(
+            client.stream_transcribe(endless(), reconnect_attempts=2)
+        )
+        types = [e["type"] for e in events]
+        assert types.count("session.end") == 1
+        assert len(begins) == 1  # no reconnect happened
+    finally:
+        server.shutdown()
