@@ -350,6 +350,10 @@ class ContinuousBatcher:
 
     def start(self) -> None:
         if self._task is None:
+            # recorded so the pool can detect a batcher whose scheduler
+            # task died with a previous event loop (test loops, embedders
+            # that serve -> shutdown -> serve in one process)
+            self._bound_loop = asyncio.get_running_loop()
             self._task = asyncio.create_task(self._loop())
 
     async def stop(self) -> None:

@@ -19,7 +19,32 @@ from open_speech_tpu.runtime.batcher import ContinuousBatcher
 logger = logging.getLogger(__name__)
 
 _batchers: dict[tuple, ContinuousBatcher] = {}
-_lock = asyncio.Lock()
+_lock: asyncio.Lock | None = None
+_lock_loop: asyncio.AbstractEventLoop | None = None
+
+
+def _pool_lock() -> asyncio.Lock:
+    """The pool mutex, bound to the *running* loop.
+
+    A module-level ``asyncio.Lock`` binds to whichever loop first acquires
+    it; if that loop dies while a holder task is destroyed the lock stays
+    locked forever and every later loop raises ``bound to a different event
+    loop``. Recreating it per loop is safe: batchers from a dead loop are
+    unusable anyway (their scheduler task died with the loop) and are
+    dropped by the loop check in :func:`get_batcher`."""
+    global _lock, _lock_loop
+    loop = asyncio.get_running_loop()
+    if _lock is None or _lock_loop is not loop:
+        _lock = asyncio.Lock()
+        _lock_loop = loop
+    return _lock
+
+
+def _on_live_loop(batcher) -> bool:
+    try:
+        return getattr(batcher, "_bound_loop", None) is asyncio.get_running_loop()
+    except RuntimeError:  # pragma: no cover - no running loop
+        return False
 
 
 async def _retire(batcher) -> None:
@@ -45,19 +70,28 @@ async def get_batcher(
 ) -> ContinuousBatcher:
     key = (model_id, language or "en", task)
     live = _batchers.get(key)
-    if live is not None and _is_current(live, backend, model_id):
+    if (
+        live is not None
+        and _on_live_loop(live)
+        and _is_current(live, backend, model_id)
+    ):
         return live
-    async with _lock:
+    async with _pool_lock():
         live = _batchers.get(key)
         if live is not None:
-            if _is_current(live, backend, model_id):
+            if not _on_live_loop(live):
+                # scheduler task died with a previous event loop: nothing
+                # to drain (its futures are gone too) — just drop it
+                del _batchers[key]
+            elif _is_current(live, backend, model_id):
                 return live
-            # model was unloaded/reloaded: a stale batcher would pin the
-            # evicted weights AND decode with old params. Retire it after
-            # its in-flight work drains (stopping now would fail live
-            # futures mid-utterance).
-            del _batchers[key]
-            asyncio.get_running_loop().create_task(_retire(live))
+            else:
+                # model was unloaded/reloaded: a stale batcher would pin the
+                # evicted weights AND decode with old params. Retire it after
+                # its in-flight work drains (stopping now would fail live
+                # futures mid-utterance).
+                del _batchers[key]
+                asyncio.get_running_loop().create_task(_retire(live))
         # model load = disk read + warmup compiles (minutes on a cold
         # cache): never run it on the event loop (_load_lock makes the
         # backend call thread-safe)
@@ -135,7 +169,8 @@ async def transcribe_pcm_batched(
 
 async def shutdown_batchers() -> None:
     for batcher in list(_batchers.values()):
-        await batcher.stop()
+        if _on_live_loop(batcher):
+            await batcher.stop()
     _batchers.clear()
 
 
@@ -147,11 +182,12 @@ async def retire_stale(backend) -> int:
     use again (the pool itself only notices staleness on the next request
     for the exact same key)."""
     stale = []
-    async with _lock:
+    async with _pool_lock():
         for key, batcher in list(_batchers.items()):
             if not _is_current(batcher, backend, key[0]):
-                stale.append(batcher)
                 del _batchers[key]
+                if _on_live_loop(batcher):
+                    stale.append(batcher)
     for batcher in stale:
         asyncio.get_running_loop().create_task(_retire(batcher))
     return len(stale)
@@ -159,7 +195,10 @@ async def retire_stale(backend) -> int:
 
 def reset_pool() -> None:
     """Test hook: drop batchers without awaiting (fresh event loops)."""
+    global _lock, _lock_loop
     _batchers.clear()
+    _lock = None
+    _lock_loop = None
 
 
 def pool_stats() -> dict:

@@ -274,3 +274,36 @@ def test_soak_mixed_realtime_and_streaming(soak_env, monkeypatch):
     assert snap["occupancy"] == 0  # no slot leaks
     assert snap["completed"] >= n_realtime * n_turns + n_streaming
     assert snap["peak_occupancy"] >= 2  # the mixed load really overlapped
+
+
+def test_pool_survives_event_loop_restart(soak_env):
+    """A poisoned pool lock or a batcher from a dead loop must not break
+    the next loop (regression: module-level asyncio.Lock raised 'bound to
+    a different event loop' after a prior loop died holding it)."""
+    from open_speech_tpu.runtime import batcher_pool
+
+    backend = soak_env.get_backend("test-tiny")
+    cfg = backend._ensure_model("test-tiny")["cfg"]
+    mel = np.zeros((cfg.n_mels, cfg.n_audio_ctx * 2), dtype=np.float32)
+
+    async def one_window():
+        b = await batcher_pool.get_batcher(backend, "test-tiny", "en")
+        await b.transcribe_window(mel, max_new_tokens=16)
+        return b
+
+    loop_a = asyncio.get_event_loop_policy().new_event_loop()
+    first = loop_a.run_until_complete(one_window())
+
+    # poison the pool the way a dying loop does: leave the lock acquired
+    # on loop A, then close the loop with the batcher still registered
+    async def hold_lock():
+        await batcher_pool._pool_lock().acquire()
+    loop_a.run_until_complete(hold_lock())
+    loop_a.close()
+
+    loop_b = asyncio.get_event_loop_policy().new_event_loop()
+    second = loop_b.run_until_complete(one_window())
+    loop_b.run_until_complete(batcher_pool.shutdown_batchers())
+    loop_b.close()
+
+    assert second is not first  # dead-loop batcher was dropped, not reused
