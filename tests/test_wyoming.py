@@ -225,3 +225,29 @@ def test_wyoming_info_lists_known_models():
         await server.wait_closed()
 
     _run(go())
+
+
+def test_wyoming_pcm_width_conversion():
+    """Wyoming audio-chunk `width` 1 (u8) and 4 (s32) must be converted to
+    16-bit before transcription, not misread as 16-bit noise."""
+    import numpy as np
+
+    from open_speech_tpu.server.wyoming.server import _pcm_to_16bit
+
+    # u8: full-scale ramp centered at 128 → symmetric int16 ramp
+    u8 = np.arange(256, dtype=np.uint8)
+    out = np.frombuffer(_pcm_to_16bit(u8.tobytes(), 1), dtype="<i2")
+    assert out[128] == 0 and out[0] == -32768 and out[255] == 32512
+    # s32: top 16 bits survive
+    s32 = np.array([0, 1 << 16, -(1 << 16), (1 << 31) - 1], dtype="<i4")
+    out = np.frombuffer(_pcm_to_16bit(s32.tobytes(), 4), dtype="<i2")
+    assert list(out) == [0, 1, -1, 32767]
+    # trailing partial sample is dropped, not crashed on
+    out = np.frombuffer(_pcm_to_16bit(s32.tobytes() + b"\x01", 4), dtype="<i2")
+    assert len(out) == 4
+    try:
+        _pcm_to_16bit(b"\x00\x00\x00", 3)
+    except ValueError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("width=3 must raise")
