@@ -505,6 +505,9 @@ def bench_real_weights() -> None:
             note(f"real_weights kokoro failed: {e!r}")
 
 
+_CPU_FALLBACK = False
+
+
 def _probe_backend(timeout_s: float) -> str | None:
     """Probe backend init in a child process.
 
@@ -544,9 +547,19 @@ def _wait_for_backend(
         if expected is not None:
             break
         if i == attempts - 1:
-            raise RuntimeError(
-                f"backend init failed/hung after {attempts} probes"
+            # Relay outage: degrade to a clearly-labeled CPU fallback run
+            # instead of dying with zero emitted metrics — the driver
+            # records the last JSON line, and "relay down" is a fact worth
+            # recording honestly, not a crash.
+            global _CPU_FALLBACK
+            _CPU_FALLBACK = True
+            note(
+                f"TPU relay unreachable after {attempts} probes — "
+                "CPU fallback (converted-ckpt e2e only; chip metrics "
+                "skipped, see previous BENCH_r*.json for TPU numbers)"
             )
+            jax.config.update("jax_platforms", "cpu")
+            return jax.default_backend()
         note(f"backend probe failed/hung; retry {i + 1}/{attempts}")
         time.sleep(delay_s)
     plat = jax.default_backend()
@@ -565,6 +578,15 @@ def _wait_for_backend(
 
 def main() -> None:
     note(f"backend={_wait_for_backend()}")
+    if _CPU_FALLBACK:
+        emit(
+            "TPU relay unreachable — CPU fallback ran functional e2e only "
+            "(chip throughput/latency rows intentionally skipped)",
+            0.0, "flag", 0.0,
+        )
+        bench_converted_ckpt()
+        bench_real_weights()
+        return
     if any(_want(k) for k in ("asr", "stream", "beam", "stream_inc")):
         bench_asr(run_asr=_want("asr"))
     if _want("ttfa"):
