@@ -508,6 +508,83 @@ def bench_real_weights() -> None:
 _CPU_FALLBACK = False
 
 
+def bench_speculative() -> None:
+    """Speculative decode, single 30 s clip, adversarial draft.
+
+    Random weights mean the tiny draft never matches the target
+    (acceptance ~0), so this is the WORST-CASE latency of the spec path —
+    with a real correlated draft checkpoint (tiny vs turbo agree on most
+    tokens) the accepted-per-round ratio climbs and the same program gets
+    faster than plain greedy. vs_baseline is spec/plain latency (<1 here
+    by construction; >1 is the win with real weights)."""
+    from open_speech_tpu.models.whisper.decode import (
+        DecodeOptions,
+        greedy_decode,
+    )
+    from open_speech_tpu.models.whisper.model import PRESETS, encode, init_params
+    from open_speech_tpu.models.whisper.speculative import (
+        speculative_greedy_decode,
+    )
+    from open_speech_tpu.models.whisper.tokenizer import get_tokenizer
+    from open_speech_tpu.ops.mel import log_mel_spectrogram
+
+    cfg = PRESETS[MODEL]
+    tok = get_tokenizer(n_vocab=cfg.n_vocab, n_langs=cfg.n_langs)
+    sp = tok.special
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    # draft = tiny geometry on the target's vocab/mel layout (real
+    # deployments pair v3-family targets with distil-large-v3 or a
+    # v3-vocab tiny; the draft's quality only moves acceptance, not
+    # correctness)
+    import dataclasses
+
+    d_cfg = dataclasses.replace(
+        PRESETS["tiny"], n_vocab=cfg.n_vocab, n_mels=cfg.n_mels,
+        n_langs=cfg.n_langs, n_audio_ctx=cfg.n_audio_ctx,
+    )
+    d_params = init_params(jax.random.PRNGKey(9), d_cfg, dtype=jnp.bfloat16)
+
+    window = cfg.n_audio_ctx * 2 * 160
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.uniform(-0.3, 0.3, (1, window)).astype(np.float32))
+    mel = log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+    enc = encode(params, mel, cfg)
+    d_enc = encode(d_params, mel, d_cfg)
+    prompt = np.asarray([sp.sot_sequence("en", "transcribe")], np.int32)
+    opts = DecodeOptions(max_new_tokens=TOKENS_PER_WINDOW, beam_size=1)
+
+    def plain():
+        return greedy_decode(params, cfg, sp, enc, prompt, opts)
+
+    def spec():
+        return speculative_greedy_decode(
+            params, cfg, d_params, d_cfg, sp, enc, d_enc, prompt, opts,
+            gamma=4,
+        )
+
+    plain(); spec()  # compile (DecodeResult holds np arrays: sync included)
+    plain_laps = []
+    for _ in range(ITERS):
+        t0 = time.time()
+        plain()
+        plain_laps.append(time.time() - t0)
+    t_plain = min(plain_laps)
+    accepted = rounds = 0
+    laps = []
+    for _ in range(ITERS):
+        t0 = time.time()
+        r = spec()
+        laps.append(time.time() - t0)
+        accepted, rounds = r.spec_accepted, r.spec_rounds
+    t_spec = min(laps)
+    emit(
+        f"spec-decode latency 1x30s clip whisper-{MODEL} (tiny draft, "
+        f"random weights: acceptance={accepted}/{rounds * 4} — worst case)",
+        t_spec * 1000, "ms", t_plain / t_spec,
+    )
+    note(f"spec plain={t_plain * 1000:.0f}ms spec={t_spec * 1000:.0f}ms")
+
+
 def _probe_backend(timeout_s: float) -> str | None:
     """Probe backend init in a child process.
 
@@ -593,6 +670,11 @@ def main() -> None:
         bench_tts_ttfa()
     if _want("tts"):
         bench_tts_throughput()
+    if _want("spec"):
+        try:
+            bench_speculative()
+        except Exception as e:  # noqa: BLE001 — optional row
+            note(f"spec bench failed: {e!r}")
     if _want("ckpt"):
         bench_converted_ckpt()
         bench_real_weights()

@@ -553,8 +553,29 @@ class JaxWhisperBackend:
             compression_ratio_threshold=2.4 if fallback else None,
             logprob_threshold=-1.0 if fallback else None,
         )
+        draft = None
+        draft_id = str(settings.os_spec_draft_model or "").strip()
+        if draft_id and draft_id != model_id and beam_size == 1:
+            try:
+                d_entry = self._ensure_model(draft_id)
+                if d_entry["cfg"].n_vocab == entry["cfg"].n_vocab:
+                    draft = {
+                        "params": d_entry["params"],
+                        "cfg": d_entry["cfg"],
+                        "gamma": int(settings.os_spec_gamma),
+                    }
+                else:
+                    logger.warning(
+                        "spec draft %s vocab mismatch; disabled", draft_id
+                    )
+            except Exception:  # noqa: BLE001 — draft is an accelerator only
+                logger.exception(
+                    "spec draft %s failed to load; decoding without it",
+                    draft_id,
+                )
         segments, info = transcribe(
-            entry["params"], entry["cfg"], entry["tok"], pcm, opts
+            entry["params"], entry["cfg"], entry["tok"], pcm, opts,
+            draft=draft,
         )
         return build_response(segments, info, task, response_format)
 

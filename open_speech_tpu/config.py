@@ -194,6 +194,14 @@ _DEFAULTS: dict[str, object] = {
     "os_batch_max_tokens": 448,
     # jit warmup on model load (precompile hot shapes).
     "os_precompile_on_load": True,
+    # Speculative decoding: model id of a small draft model (e.g.
+    # "whisper-tiny") that proposes tokens the main model verifies in one
+    # batched pass; output tokens identical to plain greedy. Applies to
+    # single-request temperature-0 greedy decodes (REST beam-5 and batched
+    # streaming paths are unaffected). Empty = off.
+    "os_spec_draft_model": "",
+    # Draft tokens proposed per verify pass.
+    "os_spec_gamma": 4,
     # TTS batch buckets compiled at load ("1,4,16,64"); any bucket left out
     # compiles on the first request burst that reaches it (~90 s for the
     # 64-wide kokoro program on a cold cache).

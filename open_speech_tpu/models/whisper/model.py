@@ -84,6 +84,8 @@ PRESETS: dict[str, WhisperConfig] = {
     "distil-medium.en": WhisperConfig(80, 51864, 1500, 1024, 16, 24, 448, 1024, 16, 2, 99),
     # test-size config: everything minimal, byte-level-friendly vocab
     "test-tiny": WhisperConfig(80, 384, 60, 64, 2, 2, 32, 64, 2, 2, 2),
+    # test-size draft (speculative decoding): same vocab, shallower
+    "test-tiny-draft": WhisperConfig(80, 384, 60, 64, 2, 1, 32, 64, 2, 1, 2),
 }
 
 

@@ -119,8 +119,15 @@ def transcribe(
     tokenizer,
     audio: np.ndarray,
     opts: TranscribeOptions = TranscribeOptions(),
+    draft: dict | None = None,
 ) -> tuple[list[Segment], TranscriptionInfo]:
-    """Transcribe float32 16 kHz mono audio of any length."""
+    """Transcribe float32 16 kHz mono audio of any length.
+
+    ``draft``: optional ``{"params", "cfg", "gamma"}`` of a smaller model —
+    the temperature-0 greedy attempt then runs speculative draft-and-verify
+    (models/whisper/speculative.py; emitted tokens identical to plain
+    greedy). Ignored for beam search and sampled fallback temperatures.
+    """
     sp = tokenizer.special
     audio = np.asarray(audio, dtype=np.float32).reshape(-1)
     duration = len(audio) / SAMPLE_RATE
@@ -168,6 +175,11 @@ def transcribe(
         time_offset = seek * TIME_PER_FRAME
 
         enc_out = encode(params, window[None], cfg)
+        d_enc_out = (
+            encode(draft["params"], window[None], draft["cfg"])
+            if draft is not None
+            else None
+        )
 
         if language is None:
             codes, probs = detect_language(params, cfg, sp, enc_out)
@@ -186,7 +198,8 @@ def transcribe(
         )
 
         result = _decode_with_fallback(
-            params, cfg, tokenizer, enc_out, np.array([prompt], np.int32), opts
+            params, cfg, tokenizer, enc_out, np.array([prompt], np.int32),
+            opts, draft=draft, d_enc_out=d_enc_out,
         )
         tokens = [int(t) for t in result.tokens[0][: result_len(result)]]
         text = tokenizer.decode(tokens)
@@ -245,7 +258,8 @@ def result_len(result: DecodeResult) -> int:
 
 
 def _decode_with_fallback(
-    params, cfg, tokenizer, enc_out, prompt, opts: TranscribeOptions
+    params, cfg, tokenizer, enc_out, prompt, opts: TranscribeOptions,
+    draft: dict | None = None, d_enc_out=None,
 ) -> DecodeResult:
     sp = tokenizer.special
     suppress = tuple(tokenizer.non_speech_tokens)
@@ -261,6 +275,21 @@ def _decode_with_fallback(
         )
         if temperature == 0.0 and opts.beam_size > 1:
             result = beam_decode(params, cfg, sp, enc_out, prompt, dopts)
+        elif (
+            temperature == 0.0
+            and draft is not None
+            and d_enc_out is not None
+            and prompt.shape[0] == 1
+        ):
+            from open_speech_tpu.models.whisper.speculative import (
+                speculative_greedy_decode,
+            )
+
+            result = speculative_greedy_decode(
+                params, cfg, draft["params"], draft["cfg"], sp,
+                enc_out, d_enc_out, prompt, dopts,
+                gamma=int(draft.get("gamma", 4)),
+            )
         else:
             result = greedy_decode(
                 params, cfg, sp, enc_out, prompt, dopts,
