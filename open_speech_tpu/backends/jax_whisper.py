@@ -555,7 +555,12 @@ class JaxWhisperBackend:
         )
         draft = None
         draft_id = str(settings.os_spec_draft_model or "").strip()
-        if draft_id and draft_id != model_id and beam_size == 1:
+        if (
+            draft_id
+            and draft_id != model_id
+            and beam_size == 1
+            and temps[0] == 0.0  # sampled-only requests never verify
+        ):
             try:
                 d_entry = self._ensure_model(draft_id)
                 if d_entry["cfg"].n_vocab == entry["cfg"].n_vocab:

@@ -87,17 +87,24 @@ def _chunk_attention(q, k_cache, v_cache, pos):
     ).astype(q.dtype)
 
 
-def _verify_chunk(params, tokens, pos, self_kv, cross_kv, n_head, enc_len):
+def _verify_chunk(params, tokens, pos, self_kv, cross_kv, n_head, enc_len,
+                  pos_emb):
     """Teacher-forced target pass over ``tokens`` [B, G] at cache position
     ``pos``. Writes the chunk's K/V into the cache (overwriting any stale
     rows from rejected prior proposals) and returns logits for every slot.
+
+    ``pos_emb`` is the decoder position table padded by G rows: a final
+    chunk whose tail crosses n_text_ctx must NOT let dynamic_slice clamp
+    its start (that would shift the embeddings of the chunk's still-live
+    leading slots); with padding the slice always fits and only dead
+    slots read the zero rows.
 
     Returns (logits [B, G, V] f32, new self_kv).
     """
     dec = params["decoder"]
     b, g = tokens.shape
     x = embed_tokens(dec, tokens) + jax.lax.dynamic_slice_in_dim(
-        dec["pos_emb"], pos, g, axis=0
+        pos_emb, pos, g, axis=0
     )
 
     def block(h, layer):
@@ -155,9 +162,22 @@ def _spec_impl(
 
     t_cross = precompute_cross_kv(t_params, t_enc_out, t_cfg)
     d_cross = precompute_cross_kv(d_params, d_enc_out, d_cfg)
-    cache = _cache_len(t_cfg, p_len, max_new + g1)
+    # cache sized WITHOUT the n_text_ctx clamp _cache_len applies: the
+    # last chunk's tail may extend gamma slots past the budget (those
+    # slots are dead, but their K/V writes must not clamp-shift onto
+    # live rows). A few extra rows of KV is noise next to correctness.
+    cache = -(-(p_len + max_new + g1 + 1) // 64) * 64
     t_kv = init_self_kv(t_cfg, b, cache, t_enc_out.dtype)
     d_kv = init_self_kv(d_cfg, b, cache, d_enc_out.dtype)
+    pe = t_params["decoder"]["pos_emb"]
+    pe_pad = jnp.concatenate(
+        [pe, jnp.zeros((max(0, p_len + max_new + g1 - pe.shape[0]), pe.shape[1]),
+                       pe.dtype)]
+    )
+    # (the draft's own 1-row pos_emb slices clamp only for dead proposals
+    # past the budget — a clamped single-row slice shifts nothing else, so
+    # it can only change WHICH dead tokens get proposed, never emitted
+    # output)
     t_prefill_logits, t_kv = _prefill(t_params, prompt, t_cross, t_kv, t_cfg)
     _d_logits, d_kv = _prefill(d_params, prompt, d_cross, d_kv, d_cfg)
 
@@ -204,7 +224,8 @@ def _spec_impl(
         # ── target verifies all gamma+1 slots in one pass ─────────────
         chunk = jnp.concatenate([last[:, None], d_toks.T], axis=1)  # [B,G+1]
         t_logits, t_kv = _verify_chunk(
-            t_params, chunk, pos0, t_kv, t_cross, t_cfg.n_text_head, None
+            t_params, chunk, pos0, t_kv, t_cross, t_cfg.n_text_head, None,
+            pe_pad,
         )  # [B, G+1, V]
 
         def rule_step(carry, j):

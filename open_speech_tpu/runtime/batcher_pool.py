@@ -41,8 +41,13 @@ def _pool_lock() -> asyncio.Lock:
 
 
 def _on_live_loop(batcher) -> bool:
+    loop = getattr(batcher, "_bound_loop", None)
+    if loop is None:
+        # never start()ed through the pool (tests inject fakes): treat as
+        # live so it still gets a graceful drain on the current loop
+        return True
     try:
-        return getattr(batcher, "_bound_loop", None) is asyncio.get_running_loop()
+        return loop is asyncio.get_running_loop()
     except RuntimeError:  # pragma: no cover - no running loop
         return False
 
@@ -182,15 +187,19 @@ async def retire_stale(backend) -> int:
     use again (the pool itself only notices staleness on the next request
     for the exact same key)."""
     stale = []
+    removed = 0
     async with _pool_lock():
         for key, batcher in list(_batchers.items()):
             if not _is_current(batcher, backend, key[0]):
                 del _batchers[key]
+                removed += 1
+                # dead-loop batchers are dropped without a drain task
+                # (their scheduler + futures died with the old loop)
                 if _on_live_loop(batcher):
                     stale.append(batcher)
     for batcher in stale:
         asyncio.get_running_loop().create_task(_retire(batcher))
-    return len(stale)
+    return removed
 
 
 def reset_pool() -> None:

@@ -5,6 +5,20 @@ Mirrors the reference's conftest pattern of pinning env before app import
 """
 
 import os
+import resource
+import threading
+
+# XLA's CPU backend (LLVM codegen) recurses deeply on big fused programs;
+# with the default 8 MB stacks the full suite segfaults inside
+# backend_compile_and_load late in the run — both on the main thread and
+# on worker threads (tts_batcher) that compile. Raise the process stack
+# rlimit (hard limit is unlimited here) and give NEW threads 64 MB stacks
+# before any are spawned.
+try:
+    resource.setrlimit(resource.RLIMIT_STACK, (256 << 20, -1))
+except (ValueError, OSError):  # pragma: no cover - hard-limited hosts
+    pass
+threading.stack_size(64 << 20)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")

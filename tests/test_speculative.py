@@ -106,6 +106,101 @@ def test_rejects_batched_and_sampled(setup):
         )
 
 
+def test_exact_match_at_context_edge(setup):
+    """Decode driven to the n_text_ctx boundary: the final verify chunks
+    extend past the position table, and their leading live slots must
+    still be exact (regression: dynamic_slice clamped the chunk start,
+    shifting live slots' position embeddings). EOT is suppressed so the
+    decode always reaches the edge instead of finishing early by luck."""
+    cfg, t_params, d_params, tok, enc, d_enc, prompt = setup
+    # init_params leaves pos_emb at zeros (whisper learns it), which would
+    # make a clamp-shifted position slice invisible — randomize it so the
+    # test actually discriminates
+    t_params = dict(t_params)
+    t_params["decoder"] = dict(t_params["decoder"])
+    t_params["decoder"]["pos_emb"] = jax.random.normal(
+        jax.random.PRNGKey(3), t_params["decoder"]["pos_emb"].shape
+    ).astype(t_params["decoder"]["pos_emb"].dtype)
+    # long conditioning prefix (the realistic trigger: startofprev + prev
+    # text pushes p_len so chunks cross ctx within a few rounds, while the
+    # crossing tokens are still free text choices, not rule-forced tails)
+    rng = np.random.default_rng(5)
+    prev = rng.integers(1, 200, 17).astype(np.int32)
+    long_prompt = np.concatenate(
+        [[tok.special.startofprev], prev, prompt[0]]
+    )[None].astype(np.int32)
+    opts = DecodeOptions(
+        max_new_tokens=cfg.n_text_ctx,  # clamped to ctx - p_len - 1
+        timestamps=True,
+        suppress_tokens=tuple(tok.non_speech_tokens) + (tok.special.eot,),
+    )
+    ref = greedy_decode(t_params, cfg, tok.special, enc, long_prompt, opts)
+    assert int(ref.lengths[0]) == cfg.n_text_ctx - long_prompt.shape[1] - 1
+    spec = speculative_greedy_decode(
+        t_params, cfg, d_params, cfg, tok.special, enc, d_enc, long_prompt,
+        opts, gamma=4,
+    )
+    np.testing.assert_array_equal(spec.tokens, ref.tokens)
+    np.testing.assert_array_equal(spec.lengths, ref.lengths)
+
+
+def test_verify_chunk_matches_sequential_at_crossing(setup):
+    """Slot logits of a verify chunk whose tail crosses n_text_ctx must
+    equal the sequential decode_step ground truth (regression: the
+    unpadded pos_emb dynamic_slice clamped its start, shifting the live
+    slots' position rows by the overhang)."""
+    import jax.numpy as jnp
+
+    from open_speech_tpu.models.whisper import speculative as S
+    from open_speech_tpu.models.whisper.decode import _prefill
+    from open_speech_tpu.models.whisper.model import (
+        _decode_step_impl,
+        init_self_kv,
+        precompute_cross_kv,
+    )
+
+    cfg, t_params, _d, tok, enc, _de, _p = setup
+    t_params = dict(t_params)
+    t_params["decoder"] = dict(t_params["decoder"])
+    t_params["decoder"]["pos_emb"] = jax.random.normal(
+        jax.random.PRNGKey(3), (cfg.n_text_ctx, cfg.n_text_state)
+    )
+    ckv = precompute_cross_kv(t_params, enc, cfg)
+    rng = np.random.default_rng(5)
+    g1 = 5
+    # chunk at pos0 = ctx - g1 + 2: two slots overhang the position table
+    prompt_len = cfg.n_text_ctx - g1 + 2
+    prompt = jnp.asarray(rng.integers(1, 200, (1, prompt_len)), jnp.int32)
+    toks = jnp.asarray(rng.integers(1, 200, (g1,)), jnp.int32)
+    cache = prompt_len + 2 * g1  # headroom so only pos_emb could clamp
+
+    kv = init_self_kv(cfg, 1, cache, jnp.float32)
+    _, kv = _prefill(t_params, prompt, ckv, kv, cfg)
+    seq = []
+    for j in range(g1):
+        lg, kv = _decode_step_impl(
+            t_params, toks[j][None, None], prompt_len + j, kv,
+            ckv, cfg.n_text_head,
+        )
+        seq.append(lg)
+    seq = jnp.stack(seq, 1)  # [1, G, V]
+
+    kv2 = init_self_kv(cfg, 1, cache, jnp.float32)
+    _, kv2 = _prefill(t_params, prompt, ckv, kv2, cfg)
+    pe = t_params["decoder"]["pos_emb"]
+    pe_pad = jnp.concatenate([pe, jnp.zeros((g1, pe.shape[1]), pe.dtype)])
+    chunk, _ = S._verify_chunk(
+        t_params, toks[None, :], prompt_len, kv2, ckv, cfg.n_text_head,
+        None, pe_pad,
+    )
+    # live slots (positions < n_text_ctx) are bit-comparable; overhang
+    # slots are dead by construction and excluded
+    live = cfg.n_text_ctx - prompt_len
+    np.testing.assert_allclose(
+        np.asarray(chunk[:, :live]), np.asarray(seq[:, :live]), atol=2e-4
+    )
+
+
 def test_backend_spec_wiring_matches_plain(monkeypatch, tmp_path):
     """OS_SPEC_DRAFT_MODEL routes batch-1 greedy REST decodes through
     speculative decode and the response text is unchanged."""
