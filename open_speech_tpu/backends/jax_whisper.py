@@ -342,6 +342,49 @@ class JaxWhisperBackend:
             )
         except Exception:  # noqa: BLE001
             logger.exception("STT warmup (detect) failed")
+        if settings.os_stt_batched_longform:
+            try:  # batched long-form rungs: one (encode, decode) per bucket
+                from open_speech_tpu.models.whisper.batched import (
+                    BATCH_BUCKETS,
+                    _decode_rows_with_fallback,
+                )
+                from open_speech_tpu.models.whisper.transcribe import (
+                    TranscribeOptions,
+                )
+
+                sp = entry["tok"].special
+                maxw = max(1, min(
+                    int(settings.os_stt_batch_windows), BATCH_BUCKETS[-1]
+                ))
+                prompt = np.asarray(
+                    [sp.sot_sequence("en", "transcribe", timestamps=True)],
+                    np.int32,
+                )
+                for rung in (b for b in BATCH_BUCKETS if b <= maxw):
+                    m = log_mel_spectrogram(
+                        jnp.zeros((rung, window_samples), jnp.float32),
+                        n_mels=cfg.n_mels,
+                    )
+                    enc_b = encode(entry["params"], m, cfg)
+                    # beam-5 t=0 (REST default), greedy t=0, one sampled
+                    # program (covers every fallback retry — `sampled` is
+                    # the static arg, not the temperature value)
+                    for beam, temp in ((5, 0.0), (1, 0.0), (1, 0.2)):
+                        for budget in sorted(budgets):
+                            _decode_rows_with_fallback(
+                                entry["params"], cfg, entry["tok"], enc_b,
+                                prompt,
+                                TranscribeOptions(
+                                    language="en", beam_size=beam,
+                                    temperature=(temp,),
+                                    max_new_tokens=budget,
+                                    compression_ratio_threshold=None,
+                                    logprob_threshold=None,
+                                    no_speech_threshold=None,
+                                ),
+                            )
+            except Exception:  # noqa: BLE001
+                logger.exception("STT warmup (batched long-form) failed")
         if settings.os_stream_incremental:
             try:  # block-causal incremental encoder program (streaming WS)
                 from open_speech_tpu.models.whisper.decode import (
@@ -578,10 +621,23 @@ class JaxWhisperBackend:
                     "spec draft %s failed to load; decoding without it",
                     draft_id,
                 )
-        segments, info = transcribe(
-            entry["params"], entry["cfg"], entry["tok"], pcm, opts,
-            draft=draft,
-        )
+        window_s = entry["cfg"].n_audio_ctx * 2 * 0.01
+        if (
+            bool(settings.os_stt_batched_longform)
+            and duration_s > 2 * window_s
+            and temps[0] == 0.0
+        ):
+            from open_speech_tpu.models.whisper.batched import transcribe_batched
+
+            segments, info = transcribe_batched(
+                entry["params"], entry["cfg"], entry["tok"], pcm, opts,
+                max_batch=int(settings.os_stt_batch_windows),
+            )
+        else:
+            segments, info = transcribe(
+                entry["params"], entry["cfg"], entry["tok"], pcm, opts,
+                draft=draft,
+            )
         return build_response(segments, info, task, response_format)
 
     def transcribe(

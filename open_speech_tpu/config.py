@@ -210,6 +210,14 @@ _DEFAULTS: dict[str, object] = {
     # greedy and beam-5 programs. "224" = the full-window budget every 30 s
     # segment of a long file hits; add smaller buckets for short clips.
     "os_stt_precompile_budgets": "224",
+    # Batched long-form transcription: files longer than two 30 s windows
+    # decode as a batch of independent chunks cut at quiet points (the
+    # faster-whisper BatchedInferencePipeline trade: ~Nx faster on long
+    # files, no cross-window text conditioning). Off = the reference's
+    # sequential conditioned seek loop.
+    "os_stt_batched_longform": False,
+    # Max windows per batched long-form device step.
+    "os_stt_batch_windows": 16,
     # Previous-text conditioning buckets warmed at load (prompt-shape
     # ladder of transcribe._bucket_prev). The full-room bucket is always
     # warmed; trim this list to shorten model-load warmup.

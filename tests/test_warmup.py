@@ -101,6 +101,39 @@ def test_streaming_encoder_warm(warm_backend):
     assert counter.compiles == [], counter.compiles[:5]
 
 
+def test_batched_longform_shapes_warm(monkeypatch):
+    """With OS_STT_BATCHED_LONGFORM on, the load-time warmup must cover the
+    batched encode/decode rungs so the first long upload never compiles."""
+    from open_speech_tpu.backends.jax_whisper import JaxWhisperBackend
+
+    monkeypatch.setattr(settings, "os_precompile_on_load", True)
+    monkeypatch.setattr(settings, "os_stt_precompile_budgets", "48")
+    monkeypatch.setattr(settings, "os_stt_batched_longform", True)
+    monkeypatch.setattr(settings, "os_stt_batch_windows", 4)
+    backend = JaxWhisperBackend()
+    backend.load_model("test-tiny")
+    wav = codec.write_wav(
+        np.random.default_rng(0)
+        .uniform(-0.2, 0.2, 4 * 16000)
+        .astype(np.float32),
+        16000,
+    )
+    with _count_compiles() as counter:
+        for beam in (1, 5):
+            backend.transcribe(
+                wav, "test-tiny", language="en", beam_size=beam,
+                fallback=False,
+            )
+    # the tiny enc-row gather on fallback re-batching is sub-second and
+    # data-dependent; the decode/encode loops themselves must all be warm
+    loops = [c for c in counter.compiles if "while" in c or "encode" in c
+             or "greedy" in c or "beam" in c or "prefill" in c]
+    assert counter.compiles == [], (
+        f"{len(counter.compiles)} programs compiled on first batched "
+        f"request: {counter.compiles[:5]} (loops: {loops[:3]})"
+    )
+
+
 def test_tts_batcher_all_buckets_precompiled(monkeypatch):
     """Every configured bucket (incl. 64) compiles at load, and a 64-wide
     burst afterwards builds no new programs (round-2 weak #1)."""
