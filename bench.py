@@ -374,6 +374,72 @@ def bench_tts_throughput() -> None:
     )
 
 
+def bench_longform() -> None:
+    """Long-file REST latency: sequential seek loop vs batched chunks.
+
+    One 4-minute upload (8 x 30 s windows), greedy, timestamps off so both
+    paths do identical deterministic work (8 encodes + 8 x 96-token
+    decodes); the batched path fuses them into one 8-wide device step.
+    vs_baseline on the batched row = speedup over the sequential loop.
+    """
+    from open_speech_tpu.models.whisper.batched import transcribe_batched
+    from open_speech_tpu.models.whisper.model import PRESETS, init_params
+    from open_speech_tpu.models.whisper.tokenizer import get_tokenizer
+    from open_speech_tpu.models.whisper.transcribe import (
+        TranscribeOptions,
+        transcribe,
+    )
+
+    cfg = PRESETS[MODEL]
+    tok = get_tokenizer(n_vocab=cfg.n_vocab, n_langs=cfg.n_langs)
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    if COMPUTE == "int8":
+        from open_speech_tpu.models.whisper.quantize import quantize_whisper_params
+
+        params = quantize_whisper_params(params)
+
+    n_win = 8
+    window_samples = cfg.n_audio_ctx * 2 * 160
+    rng = np.random.default_rng(0)
+    audio = rng.uniform(-0.3, 0.3, n_win * window_samples).astype(np.float32)
+    opts = TranscribeOptions(
+        language="en", beam_size=1, temperature=(0.0,),
+        max_new_tokens=TOKENS_PER_WINDOW, timestamps=False,
+        condition_on_previous_text=False,
+        compression_ratio_threshold=None, logprob_threshold=None,
+        no_speech_threshold=None,
+    )
+    audio_seconds = n_win * window_samples / 16000
+
+    def seq():
+        return transcribe(params, cfg, tok, audio, opts)
+
+    def bat():
+        return transcribe_batched(
+            params, cfg, tok, audio, opts, max_batch=8, snap_cuts=False
+        )
+
+    seq()  # compile
+    t0 = time.time()
+    seq()
+    seq_wall = time.time() - t0
+    bat()  # compile
+    t0 = time.time()
+    bat()
+    bat_wall = time.time() - t0
+    emit(
+        f"ASR long-file RTFx whisper-{MODEL} batched chunks "
+        f"({COMPUTE}, 4min file, 8-wide windows, greedy "
+        f"{TOKENS_PER_WINDOW} tok/30s)",
+        audio_seconds / bat_wall, "x_realtime_per_chip",
+        seq_wall / bat_wall,
+    )
+    note(
+        f"longform seq={seq_wall:.2f}s ({audio_seconds / seq_wall:.0f}x) "
+        f"batched={bat_wall:.2f}s for {audio_seconds:.0f}s audio"
+    )
+
+
 def _want(key: str) -> bool:
     return not ONLY or key in ONLY.split(",")
 
@@ -666,6 +732,11 @@ def main() -> None:
         return
     if any(_want(k) for k in ("asr", "stream", "beam", "stream_inc")):
         bench_asr(run_asr=_want("asr"))
+    if _want("longform"):
+        try:
+            bench_longform()
+        except Exception as e:  # noqa: BLE001 — optional row
+            note(f"longform bench failed: {e!r}")
     if _want("ttfa"):
         bench_tts_ttfa()
     if _want("tts"):

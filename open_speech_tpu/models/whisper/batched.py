@@ -292,8 +292,26 @@ def transcribe_batched(
             codes, probs = detect_language(params, cfg, sp, enc_out[:1])
             language, language_prob = codes[0], float(probs[0])
 
+        prefix: list[int] = []
+        if opts.initial_prompt:
+            # chunks are independent, so the style/vocab hint conditions
+            # every chunk (sequentially it reaches later windows through
+            # prev-text conditioning); bucketed to bound prompt shapes
+            from open_speech_tpu.models.whisper.transcribe import _bucket_prev
+
+            prev = _bucket_prev(
+                tokenizer.encode(" " + opts.initial_prompt.strip()),
+                cfg.n_text_ctx // 2 - 1,
+            )
+            if prev:
+                prefix = [sp.startofprev] + prev
         prompt = np.asarray(
-            [sp.sot_sequence(language or "en", opts.task, timestamps=opts.timestamps)],
+            [
+                prefix
+                + sp.sot_sequence(
+                    language or "en", opts.task, timestamps=opts.timestamps
+                )
+            ],
             np.int32,
         )
         rows = _decode_rows_with_fallback(

@@ -223,6 +223,18 @@ def test_backend_routes_longform_to_batched(monkeypatch):
     assert calls == [4]  # sampled request: sequential path
 
 
+def test_initial_prompt_conditions_chunks(setup):
+    """initial_prompt must reach the batched prompt rows (bucketed)."""
+    params, tok = setup
+    rng = np.random.default_rng(4)
+    audio = rng.uniform(-0.1, 0.1, int(3.0 * SAMPLE_RATE)).astype(np.float32)
+    from dataclasses import replace
+
+    opts = replace(OPTS, initial_prompt="hello context")
+    segs, info = transcribe_batched(params, CFG, tok, audio, opts)
+    assert info.duration == pytest.approx(3.0, abs=0.01)  # ran end-to-end
+
+
 def test_fallback_temperature_recorded(setup):
     params, tok = setup
     rng = np.random.default_rng(3)
