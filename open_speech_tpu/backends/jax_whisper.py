@@ -626,6 +626,13 @@ class JaxWhisperBackend:
             bool(settings.os_stt_batched_longform)
             and duration_s > 2 * window_s
             and temps[0] == 0.0
+            # initial_prompt prefixes build [startofprev]+bucketed-prev
+            # prompt shapes that only the SEQUENTIAL warmup precompiles
+            # (batched rungs warm bare sot prompts); routing prompted
+            # uploads sequentially keeps the "first long upload never
+            # compiles" invariant — and conditioning semantically belongs
+            # to the sequential path anyway (it flows through prev-text)
+            and not prompt
         ):
             from open_speech_tpu.models.whisper.batched import transcribe_batched
 

@@ -125,14 +125,21 @@ def _split_all_segments(
         for i in range(len(tokens) - 1)
         if tokens[i] >= ts and tokens[i + 1] >= ts
     ]
+    # explicit timestamp tokens can point into the padded-silence tail of
+    # a snapped (<30 s) chunk; clamp to the chunk's real duration so
+    # segments never overlap the next chunk's start (the sequential seek
+    # loop can't produce overlaps — neither may this path)
+    def _t(tok: int) -> float:
+        return time_offset + min((tok - ts) * 0.02, window_dur)
+
     last_slice = 0
     for cut in consecutive:
         sliced = tokens[last_slice:cut]
         segs.append(
             (
                 [t for t in sliced if t < sp.eot],
-                time_offset + (sliced[0] - ts) * 0.02,
-                time_offset + (sliced[-1] - ts) * 0.02,
+                _t(sliced[0]),
+                _t(sliced[-1]),
             )
         )
         last_slice = cut
@@ -142,13 +149,13 @@ def _split_all_segments(
         # a LEADING timestamp marks the start; a TRAILING one the end. A
         # tail with only its leading timestamp runs to the window edge.
         if tail[0] >= ts:
-            start = time_offset + (tail[0] - ts) * 0.02
+            start = _t(tail[0])
         elif segs:
             start = segs[-1][2]  # continuation of the previous cut
         else:
             start = time_offset
         if tail[-1] >= ts or len(timestamps) > (1 if tail[0] >= ts else 0):
-            end = time_offset + (timestamps[-1] - ts) * 0.02
+            end = _t(timestamps[-1])
         else:
             end = time_offset + window_dur
         segs.append(([t for t in tail if t < sp.eot], start, max(end, start)))
@@ -314,8 +321,13 @@ def transcribe_batched(
             ],
             np.int32,
         )
+        # only real rows enter the fallback machinery: the bucket's silence
+        # padding would otherwise fail compression/logprob gates (when
+        # no_speech gating is off) and drag discarded re-decode rounds —
+        # _decode_rows_with_fallback re-pads to the same rung by
+        # duplicating a real row, so the program set is unchanged
         rows = _decode_rows_with_fallback(
-            params, cfg, tokenizer, enc_out, prompt, opts
+            params, cfg, tokenizer, enc_out[:take], prompt, opts
         )
         for j in range(take):
             row = rows[j]

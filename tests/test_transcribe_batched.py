@@ -121,6 +121,17 @@ def test_split_all_offsets():
     assert segs[0][2] == pytest.approx(30.2)
 
 
+def test_split_all_clamps_to_chunk_duration():
+    """Timestamps pointing into a snapped chunk's silence padding clamp to
+    the chunk's real duration — no overlap with the next chunk's start."""
+    # chunk is 50 frames = 0.5 s, but the model emitted <|0.90|> (tok 155)
+    toks = [110, 5, 155, 155, 6, 155]
+    segs = _split_all_segments(toks, _FakeTok(), 10.0, 50)
+    for _, start, end in segs:
+        assert 10.0 <= start <= 10.5
+        assert start <= end <= 10.5
+
+
 # ── end-to-end on the tiny random model ──────────────────────────────
 
 
@@ -221,6 +232,13 @@ def test_backend_routes_longform_to_batched(monkeypatch):
         temperature=0.7, fallback=False,
     )
     assert calls == [4]  # sampled request: sequential path
+    backend.transcribe(
+        long_wav, "test-tiny", language="en", beam_size=1, fallback=False,
+        prompt="style hint",
+    )
+    # prompted upload: sequential path (its [startofprev]+prev prompt
+    # shapes are warmed only there — no mid-request compile allowed)
+    assert calls == [4]
 
 
 def test_initial_prompt_conditions_chunks(setup):
