@@ -47,18 +47,82 @@ TARGET_TTS_RTFX = 10.0  # reference kokoro on CUDA ~10x real-time
 CHUNK_INTERVAL = 0.100  # streaming chunk cadence
 
 
-def emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 4),
-                "unit": unit,
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        ),
-        flush=True,
+def _prev_bench() -> dict[str, tuple[float, str]]:
+    """Metric → (value, unit) from the newest BENCH_r*.json on disk.
+
+    The driver snapshots each round's stdout into BENCH_r{N}.json with the
+    emitted JSON lines embedded in its "tail" field; parsing that back
+    gives the previous round's numbers so every row below can carry a
+    vs-previous delta (round-3 verdict: two silent regressions in a row —
+    drift must be visible the moment it happens, not when a target fails).
+    """
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
+    for path in reversed(files):
+        try:
+            with open(path) as f:
+                tail = json.load(f).get("tail", "")
+        except Exception:  # noqa: BLE001 — a corrupt snapshot is not fatal
+            continue
+        out: dict[str, tuple[float, str]] = {}
+        for line in tail.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue
+            if "metric" in row and "value" in row:
+                out[row["metric"]] = (
+                    float(row["value"]),
+                    str(row.get("unit", "")),
+                )
+        if out:
+            return out
+    return {}
+
+
+_PREV: dict[str, tuple[float, str]] | None = None
+
+# units where a delta is meaningful, mapped to their good direction
+_GATED_UNITS = {"ms": "lower", "x_realtime_per_chip": "higher"}
+_REGRESSION_TOLERANCE = 0.90  # >10% drop ⇒ regression: true
+
+
+def emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
+    global _PREV
+    if _PREV is None:
+        _PREV = _prev_bench()
+    row = {
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": round(vs_baseline, 3),
+    }
+    direction = _GATED_UNITS.get(unit)
+    prev = _PREV.get(metric)
+    if prev is None:
+        # metric labels carry parenthetical run details that legitimately
+        # evolve (acceptance counts, batch notes); fall back to the stable
+        # pre-parenthesis stem when it identifies exactly one previous row
+        stem = metric.split("(")[0].strip()
+        hits = [
+            v for m, v in _PREV.items() if m.split("(")[0].strip() == stem
+        ]
+        prev = hits[0] if len(hits) == 1 else None
+    if direction and prev and prev[1] == unit and prev[0] > 0 and value > 0:
+        ratio = value / prev[0] if direction == "higher" else prev[0] / value
+        row["vs_prev"] = round(ratio, 3)  # >1 improved, <1 regressed
+        if ratio < _REGRESSION_TOLERANCE:
+            row["regression"] = True
+    print(json.dumps(row), flush=True)
 
 
 def note(msg: str) -> None:

@@ -16,18 +16,27 @@ export type ClientOptions = {
 
 type RealtimeCallback = (event: any) => void;
 
+/** Map an http(s) base URL + path to the matching ws(s) URL. Already-ws
+ * bases and bare hosts pass through with the path appended. */
 function toWsUrl(baseUrl: string, path: string): string {
-  if (baseUrl.startsWith("https://")) return `wss://${baseUrl.slice(8)}${path}`;
-  if (baseUrl.startsWith("http://")) return `ws://${baseUrl.slice(7)}${path}`;
-  return `${baseUrl}${path}`;
+  try {
+    const u = new URL(path, baseUrl);
+    if (u.protocol === "http:") u.protocol = "ws:";
+    else if (u.protocol === "https:") u.protocol = "wss:";
+    return u.toString();
+  } catch {
+    return `${baseUrl}${path}`; // schemeless base: trust the caller
+  }
 }
 
+/** Float32 [-1, 1] samples to little-endian int16 PCM. Negative full scale
+ * uses the full -32768 lattice point (the usual WAV convention). */
 export function f32ToPcm16(input: Float32Array): ArrayBuffer {
   const out = new Int16Array(input.length);
-  for (let i = 0; i < input.length; i++) {
-    const s = Math.max(-1, Math.min(1, input[i]));
-    out[i] = s < 0 ? s * 32768 : s * 32767;
-  }
+  input.forEach((v, i) => {
+    const s = v <= -1 ? -1 : v >= 1 ? 1 : v;
+    out[i] = s * (s < 0 ? 0x8000 : 0x7fff);
+  });
   return out.buffer;
 }
 
@@ -41,10 +50,10 @@ export class OpenSpeechClient {
   }
 
   private headers(contentType?: string): Record<string, string> {
-    const h: Record<string, string> = {};
-    if (this.apiKey) h.Authorization = `Bearer ${this.apiKey}`;
-    if (contentType) h["Content-Type"] = contentType;
-    return h;
+    return {
+      ...(this.apiKey ? { Authorization: `Bearer ${this.apiKey}` } : {}),
+      ...(contentType ? { "Content-Type": contentType } : {}),
+    };
   }
 
   /** Transcribe an audio blob/buffer via POST /v1/audio/transcriptions. */
