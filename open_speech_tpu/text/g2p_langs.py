@@ -39,6 +39,7 @@ ARPABET_TO_IPA = {
 _ES_RULES = [
     (r"ch", "tʃ"), (r"ll", "ʝ"), (r"ñ", "ɲ"), (r"rr", "r"),
     (r"qu(?=[ei])", "k"), (r"gu(?=[ei])", "ɡ"), (r"gü", "ɡw"),
+    (r"^r", "r"), (r"(?<=[nls])r", "r"),  # trill word-initially / after n,l,s
     (r"c(?=[ei])", "θ"), (r"c", "k"), (r"z", "θ"),
     (r"g(?=[ei])", "x"), (r"j", "x"), (r"h", ""),
     (r"v", "b"), (r"y(?=[aeiou])", "ʝ"), (r"y", "i"),
@@ -49,39 +50,99 @@ _ES_RULES = [
     (r"s", "s"), (r"t", "t"), (r"w", "w"), (r"x", "ks"),
 ]
 
+# German: ordered rules with vowel-length heuristics (long before h, in
+# open syllables, and before a single word-final consonant; short before
+# clusters/double letters), final devoicing, -er/-e(n) reduction, ng→ŋ.
+# Irregular function words (mit, das, ...) live in _DE_LEX below.
+_DE_CONS = "bcdfgklmnprstvß"  # single-consonant set for open-syllable length
 _DE_RULES = [
-    (r"sch", "ʃ"), (r"tsch", "tʃ"),
+    (r"tsch", "tʃ"), (r"sch", "ʃ"),
+    (r"chs", "ks"),  # sechs, wachsen
     (r"ch(?<=[aou]ch)", "x"), (r"ch", "ç"),
-    (r"ei", "aɪ"), (r"ai", "aɪ"), (r"ie", "iː"), (r"eu", "ɔʏ"),
-    (r"äu", "ɔʏ"), (r"au", "aʊ"),
-    (r"^sp", "ʃp"), (r"^st", "ʃt"),  # word-initial only (match anchors at 0)
-    (r"ß", "s"), (r"tz", "ts"), (r"z", "ts"), (r"ck", "k"),
+    (r"ck", "k"), (r"dt", "t"), (r"th", "t"), (r"ph", "f"), (r"pf", "pf"),
+    (r"ng", "ŋ"), (r"nk", "ŋk"),
+    (r"ieh", "iː"), (r"ie", "iː"),
+    (r"ei", "aɪ"), (r"ai", "aɪ"), (r"eu", "ɔʏ"), (r"äu", "ɔʏ"),
+    (r"au", "aʊ"),
+    (r"^sp", "ʃp"), (r"^st", "ʃt"),  # word-initial (rules run per word)
+    (r"ß", "s"), (r"ss", "s"), (r"tz", "ts"), (r"z", "ts"),
     (r"qu", "kv"), (r"v", "f"), (r"w", "v"), (r"j", "j"),
+    (r"ig\b", "ɪç"),  # zwanzig, König
+    # vowel + h = long vowel, h silent
+    (r"ah", "aː"), (r"eh", "eː"), (r"ih", "iː"), (r"oh", "oː"),
+    (r"uh", "uː"), (r"äh", "ɛː"), (r"öh", "øː"), (r"üh", "yː"),
+    # reduced final syllables: -er → ɐ, -e(n|l|m|s|t) → schwa
+    (r"er\b", "ɐ"), (r"e(?=[nlmst]?\b|nd\b|nt\b)", "ə"),
+    # doubled consonants signal a short vowel and read as one
+    (r"bb", "b"), (r"dd", "d"), (r"ff", "f"), (r"gg", "ɡ"),
+    (r"ll", "l"), (r"mm", "m"), (r"nn", "n"), (r"pp", "p"),
+    (r"rr", "ʁ"), (r"tt", "t"),
+    # long in open syllables (single consonant then vowel) and before a
+    # single word-final consonant (Tag, gut, rot)
+    (rf"a(?=[{_DE_CONS}][aeiouäöüy]|[{_DE_CONS}]\b)", "aː"),
+    (rf"e(?=[{_DE_CONS}][aeiouäöüy]|[{_DE_CONS}]\b)", "eː"),
+    (rf"i(?=[{_DE_CONS}][aeiouäöüy]|[{_DE_CONS}]\b)", "iː"),
+    (rf"o(?=[{_DE_CONS}][aeiouäöüy]|[{_DE_CONS}]\b)", "oː"),
+    (rf"u(?=[{_DE_CONS}][aeiouäöüy]|[{_DE_CONS}]\b)", "uː"),
+    (rf"ä(?=[{_DE_CONS}][aeiouäöüy]|[{_DE_CONS}]\b)", "ɛː"),
+    (rf"ö(?=[{_DE_CONS}][aeiouäöüy]|[{_DE_CONS}]\b)", "øː"),
+    (rf"ü(?=[{_DE_CONS}][aeiouäöüy]|[{_DE_CONS}]\b)", "yː"),
     (r"s(?=[aeiouäöü])", "z"),
-    (r"ä", "ɛ"), (r"ö", "ø"), (r"ü", "y"),
-    (r"a", "a"), (r"e", "ə"), (r"i", "ɪ"), (r"o", "ɔ"), (r"u", "ʊ"),
+    # word-final b/d/g devoice (Auslautverhärtung)
+    (r"b\b", "p"), (r"d\b", "t"), (r"g\b", "k"),
+    (r"ä", "ɛ"), (r"ö", "œ"), (r"ü", "ʏ"),
+    (r"a", "a"), (r"e", "ɛ"), (r"i", "ɪ"), (r"o", "ɔ"), (r"u", "ʊ"),
     (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"),
     (r"h", "h"), (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"),
     (r"p", "p"), (r"r", "ʁ"), (r"s", "s"), (r"t", "t"), (r"x", "ks"),
     (r"y", "y"),
 ]
 
+# French: nasal vowels block before a following vowel or m/n/h (bonne,
+# bonheur stay oral); doubled consonants read as one; -ill- → ij
+# (famille; ville-class exceptions in _FR_LEX); final consonants and
+# clusters usually silent. True irregulars (femme, monsieur) in _FR_LEX.
+_FR_NO_NASAL = "aeiouyéèêëîïnmh"  # next char that blocks nasalization
 _FR_RULES = [
-    (r"eau", "o"), (r"eaux", "o"), (r"au", "o"), (r"ou", "u"),
-    (r"oi", "wa"), (r"gn", "ɲ"), (r"ch", "ʃ"), (r"ph", "f"),
-    (r"ain\b", "ɛ̃"), (r"in\b", "ɛ̃"), (r"un\b", "œ̃"),
-    (r"on\b", "ɔ̃"), (r"an\b", "ɑ̃"), (r"en\b", "ɑ̃"),
-    (r"ain(?=[^aeiouy])", "ɛ̃"), (r"in(?=[^aeiouy])", "ɛ̃"),
-    (r"on(?=[^aeiouy])", "ɔ̃"), (r"an(?=[^aeiouy])", "ɑ̃"),
-    (r"en(?=[^aeiouy])", "ɑ̃"),
+    (r"eaux?", "o"), (r"aux\b", "o"), (r"au", "o"),
+    (r"oi", "wa"), (r"ou(?=[aeéèiî])", "w"), (r"ou", "u"),
+    (r"ui", "ɥi"),
+    (r"gn", "ɲ"), (r"ch", "ʃ"), (r"ph", "f"),
+    (r"ail\b", "aj"), (r"eil\b", "ɛj"), (r"euil\b", "œj"),
+    # doubled consonants read single (and block nasalization below)
+    (r"ill", "ij"), (r"ll", "l"), (r"mm", "m"), (r"nn", "n"),
+    (r"ss", "s"), (r"tt", "t"), (r"pp", "p"), (r"rr", "ʁ"),
+    (r"ff", "f"), (r"dd", "d"), (r"bb", "b"),
+    (r"cc(?=[eiy])", "ks"), (r"cc", "k"), (r"gg", "ɡ"),
+    (rf"ain(?=[^{_FR_NO_NASAL}]|\b)", "ɛ̃"),
+    (rf"ein(?=[^{_FR_NO_NASAL}]|\b)", "ɛ̃"),
+    (rf"ien(?=[^{_FR_NO_NASAL}]|\b)", "jɛ̃"),
+    (rf"in(?=[^{_FR_NO_NASAL}]|\b)", "ɛ̃"),
+    (rf"yn(?=[^{_FR_NO_NASAL}]|\b)", "ɛ̃"),
+    (rf"un(?=[^{_FR_NO_NASAL}]|\b)", "œ̃"),
+    (rf"on(?=[^{_FR_NO_NASAL}]|\b)", "ɔ̃"),
+    (rf"an(?=[^{_FR_NO_NASAL}]|\b)", "ɑ̃"),
+    (r"emps\b", "ɑ̃"), (r"ent\b(?<=\wment)", "ɑ̃"),  # temps; adverbs -ment
+    (rf"en(?=[^{_FR_NO_NASAL}]|\b)", "ɑ̃"),
+    # nasals before b/p spell with m (temps handled above)
+    (r"am(?=[bp])", "ɑ̃"), (r"em(?=[bp])", "ɑ̃"),
+    (r"om(?=[bp])", "ɔ̃"), (r"im(?=[bp])", "ɛ̃"), (r"um(?=[bp])", "œ̃"),
     (r"ai", "ɛ"), (r"ei", "ɛ"), (r"é", "e"), (r"è", "ɛ"), (r"ê", "ɛ"),
-    (r"à", "a"), (r"â", "ɑ"), (r"ç", "s"), (r"œ", "œ"), (r"î", "i"),
-    (r"ô", "o"), (r"û", "y"),
-    (r"qu", "k"), (r"gu(?=[ei])", "ɡ"),
+    (r"à", "a"), (r"â", "ɑ"), (r"ç", "s"), (r"œu", "œ"), (r"œ", "œ"),
+    (r"î", "i"), (r"ï", "i"), (r"ô", "o"), (r"û", "y"),
+    (r"eu(?=r)", "œ"), (r"eu", "ø"),
+    (r"qu", "k"), (r"gu(?=[eiy])", "ɡ"),
+    (r"(?<=n)c\b", ""),  # blanc, banc
     (r"c(?=[eiy])", "s"), (r"c", "k"), (r"g(?=[eiy])", "ʒ"), (r"j", "ʒ"),
-    (r"h", ""), (r"u", "y"),
-    # final consonants usually silent (loi de position, approximate)
-    (r"[dtsxzp]\b", ""), (r"es\b", ""), (r"e\b", ""),
+    (r"h", ""),
+    (r"(?<=[aeiouy])s(?=[aeiouyéèêë])", "z"),  # intervocalic s voices
+    (r"u", "y"),
+    # common final-letter values before the silent-final sweep
+    (r"er\b", "e"), (r"ez\b", "e"), (r"et\b", "ɛ"),
+    # final consonants and clusters usually silent (approximate)
+    (r"(?:[dtxzp]|[dtp]s|es|e)\b", ""), (r"s\b", ""),
+    (r"e(?=[bcdfgklmnpqrstvz]{2})", "ɛ"),  # closed syllable: merci, reste
+    (r"o(?=nn|mm|n[aeiouyéèêh]|r|l[aeiouyéè])", "ɔ"),  # bonne, bonheur
     (r"a", "a"), (r"e", "ə"), (r"i", "i"), (r"o", "o"), (r"y", "i"),
     (r"b", "b"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"), (r"k", "k"),
     (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"), (r"r", "ʁ"),
@@ -89,13 +150,22 @@ _FR_RULES = [
     (r"z", "z"),
 ]
 
+# Italian: near-phonemic; ci/gi/sci absorb the i before another vowel
+# (giorno → dʒorno), unstressed i/u glide before vowels, intervocalic s
+# voices, zz reads /tts/ (broad — a few words are /ddz/).
 _IT_RULES = [
-    (r"sc(?=[ei])", "ʃ"), (r"sch", "sk"), (r"gli", "ʎ"), (r"gn", "ɲ"),
+    (r"sch", "sk"), (r"sci(?=[aeou])", "ʃ"), (r"sc(?=[ei])", "ʃ"),
+    (r"gli(?=[aeou])", "ʎ"), (r"gli", "ʎi"), (r"gn", "ɲ"),
     (r"ch", "k"), (r"gh", "ɡ"),
+    (r"ggi(?=[aeou])", "ddʒ"), (r"cci(?=[aeou])", "ttʃ"),
+    (r"gg(?=[ei])", "ddʒ"), (r"cc(?=[ei])", "ttʃ"),
+    (r"ci(?=[aeou])", "tʃ"), (r"gi(?=[aeou])", "dʒ"),
     (r"c(?=[ei])", "tʃ"), (r"c", "k"), (r"g(?=[ei])", "dʒ"), (r"g", "ɡ"),
-    (r"z", "ts"), (r"h", ""),
+    (r"zz", "tts"), (r"z", "ts"), (r"h", ""),
     (r"à", "ˈa"), (r"è", "ˈɛ"), (r"é", "ˈe"), (r"ì", "ˈi"), (r"ò", "ˈɔ"),
     (r"ù", "ˈu"),
+    (r"(?<=[aeiou])s(?=[aeiou])", "z"),
+    (r"i(?=[aeouàèéòù])", "j"), (r"u(?=[aeioàèéìò])", "w"),
     (r"a", "a"), (r"e", "e"), (r"i", "i"), (r"o", "o"), (r"u", "u"),
     (r"b", "b"), (r"d", "d"), (r"f", "f"), (r"k", "k"), (r"l", "l"),
     (r"m", "m"), (r"n", "n"), (r"p", "p"), (r"q", "k"), (r"r", "r"),
@@ -103,18 +173,38 @@ _IT_RULES = [
     (r"y", "j"),
 ]
 
+# Portuguese (Brazilian — the common piper/kokoro pt voices are pt_BR):
+# nasal vowels, ti/di palatalize to tʃi/dʒi, unstressed final e/o raise
+# to i/u, rr and initial r → ʁ with single r a tap.
 _PT_RULES = [
     (r"lh", "ʎ"), (r"nh", "ɲ"), (r"ch", "ʃ"), (r"ç", "s"),
-    (r"qu(?=[ei])", "k"), (r"gu(?=[ei])", "ɡ"),
-    (r"ão", "ɐ̃w"), (r"õe", "õj"), (r"ã", "ɐ̃"), (r"õ", "õ"),
+    (r"qu(?=[eié])", "k"), (r"gu(?=[eié])", "ɡ"),
+    (r"qu(?=[ao])", "kw"), (r"gu(?=[ao])", "ɡw"),
+    (r"l(?=[bcdfgjkmnpqstvxz]|\b)", "w"),  # BP coda l vocalizes
+    (r"ão", "ɐ̃w"), (r"ãe", "ɐ̃j"), (r"õe", "õj"), (r"ã", "ɐ̃"),
+    (r"õ", "õ"),
+    (r"am\b", "ɐ̃w"), (r"em\b", "ẽj"), (r"ens\b", "ẽjs"),
+    (r"om\b", "õ"), (r"im\b", "ĩ"), (r"um\b", "ũ"), (r"ém\b", "ˈẽj"),
+    (r"an(?=[^aeiouãõh]|\b)", "ɐ̃"), (r"en(?=[^aeiouãõh]|\b)", "ẽ"),
+    (r"in(?=[^aeiouãõh]|\b)", "ĩ"), (r"on(?=[^aeiouãõh]|\b)", "õ"),
+    (r"un(?=[^aeiouãõh]|\b)", "ũ"),
+    (r"am(?=[bp])", "ɐ̃"), (r"em(?=[bp])", "ẽ"), (r"im(?=[bp])", "ĩ"),
+    (r"om(?=[bp])", "õ"), (r"um(?=[bp])", "ũ"),
     (r"á", "ˈa"), (r"â", "ˈɐ"), (r"é", "ˈɛ"), (r"ê", "ˈe"), (r"í", "ˈi"),
     (r"ó", "ˈɔ"), (r"ô", "ˈo"), (r"ú", "ˈu"),
-    (r"c(?=[ei])", "s"), (r"c", "k"), (r"g(?=[ei])", "ʒ"), (r"j", "ʒ"),
+    (r"c(?=[eiéêíì])", "s"), (r"c", "k"), (r"g(?=[eiéêí])", "ʒ"), (r"j", "ʒ"),
     (r"x", "ʃ"), (r"h", ""), (r"ou", "o"),
-    (r"(?<=[aeiou])s(?=[aeiou])", "z"),
+    (r"ai", "aj"), (r"ei", "ej"), (r"oi", "oj"), (r"ui", "uj"),
+    (r"au", "aw"), (r"eu", "ew"), (r"iu", "iw"),
+    (r"ss", "s"),
+    (r"(?<=[aeiouáéêíóôúâã])s(?=[aeiouáéêíóôúâã])", "z"),
+    (r"rr", "ʁ"), (r"^r", "ʁ"),
+    # BP palatalization + final-vowel raising
+    (r"te\b", "tʃi"), (r"de\b", "dʒi"), (r"t(?=i)", "tʃ"), (r"d(?=i)", "dʒ"),
+    (r"e\b", "i"), (r"es\b", "is"), (r"o\b", "u"), (r"os\b", "us"),
     (r"a", "a"), (r"e", "e"), (r"i", "i"), (r"o", "o"), (r"u", "u"),
     (r"b", "b"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"), (r"k", "k"),
-    (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"), (r"r", "ʁ"),
+    (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"), (r"r", "ɾ"),
     (r"s", "s"), (r"t", "t"), (r"v", "v"), (r"w", "w"), (r"z", "z"),
 ]
 
@@ -126,10 +216,40 @@ LANG_RULES: dict[str, list[tuple[str, str]]] = {
     "pt": _PT_RULES,
 }
 
+# Irregular words the letter rules cannot reach (mostly high-frequency
+# function words whose vowels defy the length/nasal heuristics). Checked
+# before the rule tables, like the English _LEXICON in text/g2p.py.
+LANG_LEXICON: dict[str, dict[str, str]] = {
+    "de": {
+        "der": "deːɐ", "er": "eːɐ", "wir": "viːɐ", "mir": "miːɐ",
+        "dir": "diːɐ", "den": "deːn", "dem": "deːm", "wen": "veːn",
+        "vier": "fiːɐ", "nur": "nuːɐ", "für": "fyːɐ", "ihr": "iːɐ",
+        "mit": "mɪt", "das": "das", "was": "vas", "es": "ɛs",
+        "an": "an", "in": "ɪn", "im": "ɪm", "am": "am", "um": "ʊm",
+        "man": "man", "bin": "bɪn", "bis": "bɪs", "ob": "ɔp",
+        "hat": "hat", "ab": "ap", "weg": "vɛk", "von": "fɔn",
+        "zum": "tsʊm", "des": "dɛs", "uns": "ʊns", "und": "ʊnt",
+        "herr": "hɛʁ", "buch": "buːx", "auch": "aʊx",
+    },
+    "fr": {
+        "femme": "fam", "monsieur": "məsjø", "est": "ɛ", "et": "e",
+        "les": "le", "des": "de", "mes": "me", "tes": "te", "ses": "se",
+        "ville": "vil", "mille": "mil", "tranquille": "tʁɑ̃kil",
+        "fils": "fis", "plus": "ply", "tous": "tus", "sens": "sɑ̃s",
+        "hier": "jɛʁ", "eau": "o", "août": "ut", "oeil": "œj",
+        "œil": "œj", "pays": "pei", "ils": "il", "elles": "ɛl",
+    },
+    "es": {},
+    "it": {},
+    "pt": {"muito": "mũjtu", "não": "nɐ̃w", "e": "i", "o": "u"},
+}
+
 # ── Japanese: kana → IPA ──────────────────────────────────────────────
-# Fully regular (the reference's misaki[ja] adds a kanji lexicon via
-# pyopenjtalk; kanji here is reported via the drop counter instead of
-# silently misread). Digraphs (palatalized kya/sho/...) listed first.
+# Fully regular once kanji are resolved: the vendored reading lexicon
+# (text/ja_lexicon.py via cjk_lexicon.ja_apply) plays the role of the
+# reference's misaki[ja]/pyopenjtalk dictionary; kanji it can't read are
+# reported via the drop counter instead of silently misread. Digraphs
+# (palatalized kya/sho/...) listed first.
 
 _KANA_BASE = {
     "あ": "a", "い": "i", "う": "ɯ", "え": "e", "お": "o",
@@ -178,7 +298,15 @@ def _hira(ch: str) -> str:
 
 
 def _ja_to_ipa(word: str) -> tuple[str, int]:
-    """Kana word → (IPA string, count of untransducible chars)."""
+    """Kana/kanji word → (IPA string, count of untransducible chars).
+
+    Kanji spans are first rewritten to phonetic kana by the vendored
+    reading lexicon (text/cjk_lexicon.ja_apply); anything it can't read
+    stays in place and lands in the drop counter below.
+    """
+    from open_speech_tpu.text.cjk_lexicon import ja_apply
+
+    word = ja_apply(word)
     out: list[str] = []
     dropped = 0
     i = 0
@@ -222,9 +350,10 @@ def _ja_to_ipa(word: str) -> tuple[str, int]:
 
 # ── Mandarin: pinyin → IPA ────────────────────────────────────────────
 # Tones map to the kokoro arrow symbols (misaki[zh] convention: the
-# checkpoint vocab carries →/↗/↓/↘ for tones 1-4). Raw hanzi needs a
-# reading lexicon (reference: misaki[zh] via jieba/pypinyin) and is
-# counted as dropped.
+# checkpoint vocab carries →/↗/↓/↘ for tones 1-4). Raw hanzi are
+# resolved by the vendored reading lexicon (text/zh_lexicon.py via
+# cjk_lexicon.zh_apply — the reference uses misaki[zh]'s jieba/pypinyin);
+# hanzi it can't read are counted as dropped.
 
 _PINYIN_INITIALS = [
     ("zh", "ʈʂ"), ("ch", "ʈʂʰ"), ("sh", "ʂ"),
@@ -304,7 +433,12 @@ def _zh_syllable_to_ipa(syl: str) -> str | None:
 def _zh_to_ipa(word: str) -> tuple[str, int]:
     """Pinyin text (syllables with tone digits/marks) → (IPA, dropped).
 
-    Hanzi characters are counted as dropped (no reading lexicon)."""
+    Hanzi spans are first rewritten to toned pinyin by the vendored
+    reading lexicon (text/cjk_lexicon.zh_apply); hanzi it can't read
+    stay in place and are counted as dropped."""
+    from open_speech_tpu.text.cjk_lexicon import zh_apply
+
+    word = zh_apply(word)
     # already-split syllable? try whole word first, then greedy split
     out: list[str] = []
     dropped = 0
@@ -452,6 +586,11 @@ def supported_language(voice_or_lang: str) -> bool:
 
 
 def _word_to_ipa(word: str, lang: str) -> str:
+    lex = LANG_LEXICON.get(lang)
+    if lex is not None:
+        hit = lex.get(word)
+        if hit is not None:
+            return hit
     rules = _rules_for(lang)
     out: list[str] = []
     i = 0

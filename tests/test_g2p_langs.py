@@ -172,11 +172,13 @@ def test_kokoro_drop_rate_raises():
     from open_speech_tpu.tts.backends.kokoro_backend import KokoroBackend
 
     b = KokoroBackend()
-    # kanji-only text: the kana transducer drops every char
+    # rare kanji outside the vendored reading lexicon: every char drops
     with pytest.raises(ValueError, match="g2p_vocab_mismatch"):
-        b._encode_text("東京都庁", "ja")
-    # mostly-kana text passes and records the (small) drop rate
+        b._encode_text("鬱齟齬躊躇", "ja")
+    # everyday text (incl. kanji the lexicon reads) passes with 0 drops
     ids = b._encode_text("こんにちは", "ja")
+    assert ids and b.last_drop_rate == 0.0
+    ids = b._encode_text("東京は晴れです", "ja")
     assert ids and b.last_drop_rate == 0.0
 
 
