@@ -539,6 +539,30 @@ class JaxWhisperBackend:
             f"model {model_id!r} kept being evicted during load"
         )
 
+    def detect_language_pcm(self, model_id: str, pcm: np.ndarray) -> str:
+        """Detect the spoken language of (up to) the first 30 s window.
+
+        Used by the streaming session to pin auto-detect sessions after
+        ~1 s of speech so they can ride the shared continuous batcher
+        (the batcher keys prompts by (model, language) and must never
+        coerce an unknown language to English). Runs the same warmed
+        detect program as REST auto-detection (see _warm_model)."""
+        from open_speech_tpu.models.whisper.decode import detect_language
+        from open_speech_tpu.models.whisper.model import encode
+
+        entry = self._ensure_model(model_id)
+        cfg = entry["cfg"]
+        window_samples = cfg.n_audio_ctx * 2 * 160
+        mel = log_mel_spectrogram(
+            pad_or_trim(jnp.asarray(pcm, jnp.float32), window_samples),
+            n_mels=cfg.n_mels,
+        )
+        enc_out = encode(entry["params"], mel[None], cfg)
+        codes, _probs = detect_language(
+            entry["params"], cfg, entry["tok"].special, enc_out
+        )
+        return str(codes[0])
+
     def _run_inference(
         self,
         audio: bytes,

@@ -106,6 +106,9 @@ class RealtimeSession:
         self._cancelled_responses: set[str] = set()
         self._current_response_id: str | None = None
         self._last_commit_at = time.monotonic()
+        # auto-detect pinning (mirrors streaming._maybe_pin_language)
+        self._detected_language: str | None = None
+        self._lang_probe_failed = False
 
     async def initialize(self) -> None:
         await self._make_input_buffer()
@@ -267,7 +270,37 @@ class RealtimeSession:
         # the language. The batcher's slot pool shares one prompt per
         # (model, language), so only language-pinned sessions ride it —
         # unpinned commits keep the executor path's per-commit auto-detect.
-        lang = (self.config.input_audio_transcription or {}).get("language")
+        lang = (
+            (self.config.input_audio_transcription or {}).get("language")
+            or self._detected_language
+        )
+        if (
+            settings.os_batcher_enabled
+            and not lang
+            and not self._lang_probe_failed
+            and len(audio_data) >= 2 * 16000  # >=1 s: stable detection
+        ):
+            # detect once, then pin: later commits of this session ride
+            # the shared batcher like explicitly-pinned ones (mirrors
+            # streaming._maybe_pin_language; backends without detect
+            # support fail the probe once and stay on the executor path)
+            def _probe() -> str:
+                from open_speech_tpu.ops.audio import pcm16_to_float
+
+                backend = stt_router.get_backend(model)
+                code = backend.detect_language_pcm(
+                    model, pcm16_to_float(audio_data)
+                )
+                if not isinstance(code, str) or not code:
+                    raise TypeError("backend returned no language code")
+                return code
+
+            try:
+                lang = await loop.run_in_executor(_executor, _probe)
+                self._detected_language = lang
+                logger.info("Pinned detected language %r for session", lang)
+            except Exception:  # noqa: BLE001 — per-commit auto-detect
+                self._lang_probe_failed = True
         try:
             if settings.os_batcher_enabled and lang:
                 # realtime commits share the continuous batcher's slot pool

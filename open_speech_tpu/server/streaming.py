@@ -192,6 +192,22 @@ class StreamingSession:
         self._inc_broken = False  # backend unsupported: stop probing
         self._inc_failures = 0  # consecutive runtime failures
 
+        # auto-detect pinning: detected once after ~1 s of speech, then the
+        # session rides the shared batcher like a language-pinned one
+        self._detected_language: str | None = None
+        self._lang_probe_failed = False
+
+        # coalescing interim scheduler: at most ONE interim transcription
+        # in flight; chunks landing while busy only mark it dirty
+        self._interim_task: asyncio.Task | None = None
+        self._interim_dirty = False
+        self._interims_coalesced = 0
+
+    @property
+    def effective_language(self) -> str | None:
+        """Client-pinned language, or the session's detected-and-pinned one."""
+        return self.language or self._detected_language
+
     async def run(self):
         self._running = True
         loop = asyncio.get_running_loop()
@@ -352,7 +368,7 @@ class StreamingSession:
             if len(self.utterance_audio) >= MAX_UTTERANCE_BYTES:
                 await self._finalize_utterance()
             else:
-                await self._transcribe_utterance()
+                self._schedule_interim()
             return
 
         samples = (
@@ -378,7 +394,7 @@ class StreamingSession:
             if len(self.utterance_audio) >= MAX_UTTERANCE_BYTES:
                 await self._finalize_utterance()
             else:
-                await self._transcribe_utterance()
+                self._schedule_interim()
         else:
             if self.speech_active:
                 self.silence_samples += len(chunk_16k) // 2
@@ -386,10 +402,51 @@ class StreamingSession:
                 if self.silence_samples >= self.endpointing_samples:
                     await self._finalize_utterance()
                 else:
-                    await self._transcribe_utterance()
+                    self._schedule_interim()
+
+    def _schedule_interim(self) -> None:
+        """Coalescing interim scheduler: at most one interim transcription
+        runs at a time; a chunk landing while one is in flight only marks
+        it dirty and the worker re-runs ONCE over all audio that arrived
+        meanwhile. Interims are previews — dropping intermediate ones
+        loses nothing, while queueing one decode per chunk would push
+        interim latency unboundedly behind real time whenever a decode
+        overruns the 100 ms cadence (round-3 weak #3: 147.6 ms/chunk at
+        1 session). Finals are exact and always run (_finalize_utterance
+        awaits the in-flight interim first)."""
+        if len(self.utterance_audio) < 3200:  # <100 ms: nothing to preview
+            return
+        if self._interim_task is not None and not self._interim_task.done():
+            self._interim_dirty = True
+            self._interims_coalesced += 1
+            return
+        self._interim_dirty = False
+        self._interim_task = asyncio.create_task(self._interim_worker())
+
+    async def _interim_worker(self) -> None:
+        while True:
+            self._interim_dirty = False
+            await self._transcribe_utterance()
+            # catch-up pass over audio that landed mid-decode; stop when
+            # clean, or when the utterance ended (final supersedes)
+            if not self._interim_dirty or not self.speech_active:
+                return
+
+    async def _await_interim(self) -> None:
+        """Wait out any in-flight interim (finals and teardown must not
+        race it on the incremental encoder or the agreement state)."""
+        task = self._interim_task
+        if task is not None:
+            self._interim_dirty = False  # the final supersedes catch-ups
+            try:
+                await task
+            except Exception:  # noqa: BLE001 — worker logs its own errors
+                pass
+            self._interim_task = None
 
     async def _run_transcription(self, final: bool = False) -> dict | None:
         try:
+            await self._maybe_pin_language()
             result = None
             if (
                 not final
@@ -399,10 +456,11 @@ class StreamingSession:
                 result = await self._transcribe_incremental()
             if result is None:
                 # the shared batcher builds one prompt per (model, lang)
-                # and would coerce None to forced-English; only
-                # language-pinned sessions ride it (same guard as the
-                # realtime commit path), auto-detect stays per-request
-                if settings.os_batcher_enabled and self.language:
+                # and would coerce None to forced-English; sessions ride
+                # it once a language is known — client-pinned from the
+                # start, auto-detect after _maybe_pin_language resolves
+                # (~1 s into the first utterance)
+                if settings.os_batcher_enabled and self.effective_language:
                     result = await self._transcribe_batched()
                 else:
                     result = await self._transcribe_executor()
@@ -418,6 +476,50 @@ class StreamingSession:
                 {"type": "error", "message": f"Transcription failed: {e}"}
             )
             return None
+
+    async def _maybe_pin_language(self) -> None:
+        """Detect-once-then-pin for auto-detect sessions.
+
+        Runs the warmed language-detect program over the first ~1 s of
+        speech and pins the session to the result, so auto-detect sessions
+        amortize through the shared batcher exactly like language-pinned
+        ones (and per-request paths stop re-detecting on every window).
+        A backend without detect support (mocks, plugins) fails the probe
+        once and the session stays on the per-request path."""
+        if (
+            self.language
+            or self._detected_language
+            or self._lang_probe_failed
+        ):
+            return
+        if len(self.utterance_audio) < 2 * INTERNAL_SAMPLE_RATE:  # <1 s
+            return
+        pcm_bytes = bytes(self.utterance_audio)
+
+        def probe() -> str:
+            from open_speech_tpu.ops.audio import pcm16_to_float
+
+            backend = backend_router.get_backend(self.model)
+            code = backend.detect_language_pcm(
+                self.model, pcm16_to_float(pcm_bytes)
+            )
+            if not isinstance(code, str) or not code:
+                raise TypeError("backend returned no language code")
+            return code
+
+        try:
+            self._detected_language = await asyncio.get_running_loop(
+            ).run_in_executor(_streaming_executor, probe)
+            logger.info(
+                "[%s] Pinned detected language %r",
+                self.session_id[:8], self._detected_language,
+            )
+        except Exception as e:  # noqa: BLE001 — stay on per-request path
+            self._lang_probe_failed = True
+            logger.debug(
+                "[%s] Language probe unsupported (%s); staying on "
+                "per-request path", self.session_id[:8], e,
+            )
 
     def _reset_incremental(self) -> None:
         if self._inc_encoder is not None:
@@ -465,7 +567,7 @@ class StreamingSession:
         new_len = len(self.utterance_audio)
         new_bytes = bytes(self.utterance_audio[self._inc_fed : new_len])
         encoder = self._inc_encoder
-        language = self.language or "en"
+        language = self.effective_language or "en"
 
         # confirmed-prefix conditioning: LocalAgreement2's stable prefix is
         # forced into the prompt (parallel prefill = one device pass), so
@@ -548,7 +650,7 @@ class StreamingSession:
             lambda: backend_router.transcribe(
                 audio=wav_data,
                 model=self.model,
-                language=self.language,
+                language=self.effective_language,
                 response_format="json",
                 temperature=0.0,
                 # latency path: greedy, no temperature-fallback sweep
@@ -569,7 +671,7 @@ class StreamingSession:
         backend = backend_router.get_backend(self.model)
         pcm = pcm16_to_float(bytes(self.utterance_audio))
         return await transcribe_pcm_batched(
-            backend, self.model, self.language, pcm
+            backend, self.model, self.effective_language, pcm
         )
 
     async def _transcribe_utterance(self):
@@ -609,6 +711,7 @@ class StreamingSession:
             )
 
     async def _finalize_utterance(self):
+        await self._await_interim()  # finals never race a preview
         if len(self.utterance_audio) < 3200:
             was_active = self.speech_active
             self.speech_active = False
@@ -648,6 +751,7 @@ class StreamingSession:
         self._reset_incremental()
 
     async def _flush(self):
+        await self._await_interim()  # never leak a task past the session
         remaining = bytes(self.audio_buffer)
         self.audio_buffer.clear()
         if self.speech_active and len(self.utterance_audio) > 0:

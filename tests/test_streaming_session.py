@@ -356,3 +356,162 @@ def test_mulaw_encoding_decoded_at_ingress(monkeypatch):
     assert router.transcribe.called
     # decoded stream is PCM16: one second of 8 kHz audio was accounted
     assert session.total_samples == 8000
+
+
+# ── coalescing interim scheduler + auto-detect pinning (round-4) ──────
+
+
+def test_interim_coalescing_bounds_decode_count(monkeypatch):
+    """Chunks arriving while an interim decode is in flight must coalesce
+    into ONE catch-up pass instead of queueing one decode per chunk —
+    otherwise a decode slower than the 100 ms cadence pushes interim
+    latency unboundedly behind real time (round-3 weak #3)."""
+    from open_speech_tpu.server import streaming as S
+
+    calls = []
+
+    async def fake_run(self, final=False):
+        calls.append((final, len(self.utterance_audio)))
+        await asyncio.sleep(0.05)  # decode slower than chunk arrival
+        return {"text": "hello world"}
+
+    _patch_router(monkeypatch)
+    monkeypatch.setattr(S.StreamingSession, "_run_transcription", fake_run)
+
+    ws = DummyWS(
+        [FakeMsg(WSMsgType.BINARY, _pcm(100)) for _ in range(8)]
+        + [FakeMsg(WSMsgType.TEXT, json.dumps({"type": "stop"}))]
+    )
+    session = StreamingSession(
+        ws, model="m", language="en", sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(session.run())
+    interims = [c for c in calls if not c[0]]
+    finals = [c for c in calls if c[0]]
+    # 8 chunks while every decode takes 50 ms: far fewer interim decodes
+    # than chunks, but at least one ran and chunks were counted coalesced
+    assert len(interims) < 8
+    assert len(interims) >= 1
+    assert session._interims_coalesced >= 1
+    # the flush final ran, exactly once, and saw ALL the audio
+    assert len(finals) == 1
+    assert finals[0][1] == len(_pcm(100)) * 8
+
+
+def test_interim_catchup_sees_latest_audio(monkeypatch):
+    """The coalesced catch-up pass must cover audio that arrived while the
+    previous interim was decoding (newest-wins, no stale hypotheses)."""
+    from open_speech_tpu.server import streaming as S
+
+    seen = []
+
+    async def fake_run(self, final=False):
+        seen.append(len(self.utterance_audio))
+        await asyncio.sleep(0.02)
+        return {"text": "hi"}
+
+    _patch_router(monkeypatch)
+    monkeypatch.setattr(S.StreamingSession, "_run_transcription", fake_run)
+
+    ws = DummyWS(
+        [FakeMsg(WSMsgType.BINARY, _pcm(100)) for _ in range(6)]
+        + [FakeMsg(WSMsgType.TEXT, json.dumps({"type": "stop"}))]
+    )
+    session = StreamingSession(
+        ws, model="m", language="en", sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(session.run())
+    # the last pass (the flush final) saw the full utterance
+    assert seen[-1] == len(_pcm(100)) * 6
+    # passes are monotonically non-decreasing in coverage
+    assert seen == sorted(seen)
+
+
+def test_final_waits_for_inflight_interim(monkeypatch):
+    """_finalize_utterance must not race an in-flight interim on the
+    incremental-encoder/agreement state: the final's transcript event
+    comes after the interim's."""
+    from open_speech_tpu.server import streaming as S
+
+    order = []
+
+    async def fake_run(self, final=False):
+        order.append(("start", final))
+        await asyncio.sleep(0.03 if not final else 0)
+        order.append(("end", final))
+        return {"text": "hello"}
+
+    _patch_router(monkeypatch)
+    monkeypatch.setattr(S.StreamingSession, "_run_transcription", fake_run)
+
+    ws = DummyWS(
+        [FakeMsg(WSMsgType.BINARY, _pcm(100)) for _ in range(3)]
+        + [FakeMsg(WSMsgType.TEXT, json.dumps({"type": "stop"}))]
+    )
+    session = StreamingSession(
+        ws, model="m", language="en", sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(session.run())
+    # no interleaving: every start is followed by its own end before the
+    # next start (concurrency capped at 1 across interims AND the final)
+    for i in range(0, len(order) - 1, 2):
+        assert order[i][0] == "start" and order[i + 1][0] == "end"
+    assert order[-1] == ("end", True)
+
+
+def test_autodetect_session_pins_language(monkeypatch):
+    """language=None sessions probe detect_language_pcm once after >=1 s of
+    speech, pin the result, and pass it to every later transcription
+    (round-3 weak #3: auto-detect sessions never reached the batcher)."""
+    from open_speech_tpu.server import streaming as S
+
+    mock = _patch_router(monkeypatch)
+    backend = MagicMock()
+    backend.detect_language_pcm.return_value = "de"
+    mock.get_backend.return_value = backend
+    monkeypatch.setattr(S.settings, "os_stream_incremental", False)
+
+    ws = DummyWS(
+        # 2.35 s of audio -> pin fires once past the 1 s threshold
+        [FakeMsg(WSMsgType.BINARY, _pcm(100)) for _ in range(23)]
+        + [FakeMsg(WSMsgType.BINARY, _pcm(50))]
+        + [FakeMsg(WSMsgType.TEXT, json.dumps({"type": "stop"}))]
+    )
+    session = StreamingSession(
+        ws, model="m", language=None, sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(session.run())
+    assert session.effective_language == "de"
+    assert backend.detect_language_pcm.call_count == 1
+    # the final transcription carried the pinned language
+    final_kwargs = mock.transcribe.call_args.kwargs
+    assert final_kwargs["language"] == "de"
+
+
+def test_autodetect_probe_failure_stays_on_executor(monkeypatch):
+    """Backends without detect support (mocks, plugins) fail the probe
+    once; the session keeps transcribing with language=None."""
+    from open_speech_tpu.server import streaming as S
+
+    mock = _patch_router(monkeypatch)
+    mock.get_backend.side_effect = RuntimeError("no such backend")
+    monkeypatch.setattr(S.settings, "os_stream_incremental", False)
+
+    ws = DummyWS(
+        [FakeMsg(WSMsgType.BINARY, _pcm(100)) for _ in range(23)]
+        + [FakeMsg(WSMsgType.BINARY, _pcm(50))]
+        + [FakeMsg(WSMsgType.TEXT, json.dumps({"type": "stop"}))]
+    )
+    session = StreamingSession(
+        ws, model="m", language=None, sample_rate=16000,
+        interim_results=True, endpointing_ms=300, vad_enabled=False,
+    )
+    _run(session.run())
+    assert session._lang_probe_failed
+    assert session.effective_language is None
+    assert mock.transcribe.called
+    assert mock.transcribe.call_args.kwargs["language"] is None
