@@ -66,13 +66,25 @@ def forced_room(cfg, sot_len: int) -> int:
     return max(0, cfg.n_text_ctx - sot_len - 33)
 
 
+# Hard cap on tokens GENERATED per interim decode. Real speech exits at
+# EOT long before any cap (the decode is a while_loop); the cap only binds
+# in the no-EOT pathology (noise/hallucination, where the tail is garbage
+# anyway) and bounds the interim's device time so one decode can never
+# blow the 100 ms chunk cadence by itself: 48 tokens ≈ 75 ms on a v5e vs
+# 96-token worst cases measured at 147.6 ms (BENCH_r03). The confirmed
+# prefix is FORCED (prefill, one pass), so steady-state hypotheses lose
+# nothing; a long unconfirmed tail is simply confirmed over the next few
+# interims instead of being re-generated whole in one.
+INTERIM_TAIL_CAP = 48
+
+
 def interim_budget(bucket: int, n_forced: int) -> int:
     """max_new_tokens for an interim decode at this (enc bucket, forced
     prefix) pair — the SINGLE source of the shape math, shared by the
     serving path and the load-time warmup so they cannot drift."""
     budget = min(224, max(32, (bucket * 12 * 2) // 100 + 16))
     budget = -(-budget // 16) * 16
-    return max(32, budget - n_forced)
+    return max(32, min(INTERIM_TAIL_CAP, budget - n_forced))
 
 
 def _encode_block_body(params, mel_seg, pos_start, kcache, vcache, enc_buf,
