@@ -677,16 +677,45 @@ def _unwire(arr: np.ndarray) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("cfg", "nb", "h", "wire_i16"))
-def _vocode_prelude(params, cfg: KokoroConfig, g, n_frames, rng, *,
-                    nb: int, h: int, wire_i16: bool = False):
-    """One fused device program for everything TTFA-critical: istftnet
-    decode, harmonic source + STFT features, the first generator block,
-    and the halo-padded arrays the interior blocks slice. A single
-    dispatch instead of dozens of eager ops — through a remote device
+def _vocode_first(params, cfg: KokoroConfig, g, n_frames, rng, *,
+                  nb: int, h: int, wire_i16: bool = False):
+    """The TTFA-critical program, and ONLY it: istftnet decode, the
+    harmonic source truncated to the first block's sample span, and the
+    first generator block — one fused dispatch (through a remote device
     relay the dispatch round-trips, not the FLOPs, dominate first-audio
-    latency at batch 1."""
+    latency at batch 1).
+
+    The truncation is bit-exact: threefry draws of a (S, H) normal are a
+    prefix of the (S_total, H) draws for the same key (flat row-major
+    counter order), the phase cumsum is a prefix scan, and the linear
+    down/up resample and reflect-STFT are local — one x-frame of slack
+    keeps their edge effects past the last frame the block reads. The
+    full-utterance features the interior blocks need are built by
+    ``_vocode_rest``, dispatched off the critical path."""
     asr, f0, n, s_dec = g
     x, _ = decode_audio(params, cfg, asr, f0, n, s_dec, n_frames)
+    b = asr.shape[0]
+    nh = cfg.harmonics + 1
+    spf2 = cfg.samples_per_frame // 2
+    length = min(nb + h + 1, 2 * cfg.max_frames)  # +1 x-frame of slack
+    rand_phase, sine_noise = _source_noise(rng, b, nh, length * spf2)
+    har = har_features(
+        params, cfg, f0[:, :length], rand_phase, sine_noise
+    )
+    first = _vocode_block_first(params, cfg, x, har, s_dec, n_frames, nb=nb, h=h)
+    return _wire(first, wire_i16), x
+
+
+@partial(jax.jit, static_argnames=("cfg", "nb", "h"))
+def _vocode_rest(params, cfg: KokoroConfig, g, n_frames, rng, x, *,
+                 nb: int, h: int):
+    """Full-utterance harmonic features + the halo-padded arrays interior
+    blocks slice. Dispatched right after ``_vocode_first`` but BEFORE the
+    host blocks on the first audio, so its device time hides behind the
+    first block's transfer and playback slack instead of adding to TTFA.
+    Same rng as ``_vocode_first`` — the shared noise prefix keeps block
+    outputs bit-identical to the fused single-program path."""
+    asr, f0, n, s_dec = g
     b = asr.shape[0]
     nh = cfg.harmonics + 1
     s_total = cfg.max_frames * cfg.samples_per_frame
@@ -694,10 +723,9 @@ def _vocode_prelude(params, cfg: KokoroConfig, g, n_frames, rng, *,
     har = har_features(params, cfg, f0, rand_phase, sine_noise)
     spf2 = cfg.samples_per_frame // 2
     hpx = spf2 // cfg.gen_hop
-    first = _vocode_block_first(params, cfg, x, har, s_dec, n_frames, nb=nb, h=h)
     x_pad = jnp.pad(x, ((0, 0), (h, nb + h), (0, 0)))
     har_pad = jnp.pad(har, ((0, 0), (h * hpx, (nb + h) * hpx + 1), (0, 0)))
-    return _wire(first, wire_i16), x_pad, har_pad
+    return x_pad, har_pad
 
 
 def vocode_streaming(params, cfg: KokoroConfig, g, n_frames, rng=None,
@@ -739,19 +767,17 @@ def vocode_streaming(params, cfg: KokoroConfig, g, n_frames, rng=None,
         return
 
     first_len = min(nb1, total_x)
-    audio, x_pad, har_pad = _vocode_prelude(
+    audio, x = _vocode_first(
         params, cfg, g, n_frames, rng, nb=nb1, h=h, wire_i16=i16
     )
     yield _unwire(np.asarray(audio[:, : first_len * spf2]))
     if total_x <= nb1:
         return
-
-    # interior x_pad/har_pad were sized for nb1; re-pad when interior
-    # blocks are larger (one cheap device op per utterance)
-    if nb > nb1:
-        hpx = spf2 // cfg.gen_hop
-        x_pad = jnp.pad(x_pad, ((0, 0), (0, nb - nb1), (0, 0)))
-        har_pad = jnp.pad(har_pad, ((0, 0), (0, (nb - nb1) * hpx), (0, 0)))
+    # the full-utterance features dispatch only AFTER the first audio is
+    # on the host (queueing them earlier puts them ahead of the first
+    # block's device->host transfer and re-inflates TTFA); from here they
+    # hide behind the first block's playback slack
+    x_pad, har_pad = _vocode_rest(params, cfg, g, n_frames, rng, x, nb=nb, h=h)
     a = nb1
     while a < total_x:
         blk = _vocode_block_interior(
