@@ -356,10 +356,21 @@ class JaxWhisperBackend:
                 maxw = max(1, min(
                     int(settings.os_stt_batch_windows), BATCH_BUCKETS[-1]
                 ))
-                prompt = np.asarray(
-                    [sp.sot_sequence("en", "transcribe", timestamps=True)],
-                    np.int32,
+                from open_speech_tpu.models.whisper.batched import (
+                    BATCHED_PREV_LEN,
                 )
+
+                sot = sp.sot_sequence("en", "transcribe", timestamps=True)
+                fb = min(BATCHED_PREV_LEN, cfg.n_text_ctx // 2 - 1)
+                prompts = [np.asarray([sot], np.int32)]
+                if fb > 0:
+                    # prompted uploads prefix a canonical-length
+                    # [startofprev]+prev block (batched.BATCHED_PREV_LEN):
+                    # exactly one extra shape per rung to warm
+                    prompts.append(np.asarray(
+                        [[sp.startofprev] + [sp.eot - 1] * fb + list(sot)],
+                        np.int32,
+                    ))
                 for rung in (b for b in BATCH_BUCKETS if b <= maxw):
                     m = log_mel_spectrogram(
                         jnp.zeros((rung, window_samples), jnp.float32),
@@ -371,18 +382,19 @@ class JaxWhisperBackend:
                     # the static arg, not the temperature value)
                     for beam, temp in ((5, 0.0), (1, 0.0), (1, 0.2)):
                         for budget in sorted(budgets):
-                            _decode_rows_with_fallback(
-                                entry["params"], cfg, entry["tok"], enc_b,
-                                prompt,
-                                TranscribeOptions(
-                                    language="en", beam_size=beam,
-                                    temperature=(temp,),
-                                    max_new_tokens=budget,
-                                    compression_ratio_threshold=None,
-                                    logprob_threshold=None,
-                                    no_speech_threshold=None,
-                                ),
-                            )
+                            for prompt in prompts:
+                                _decode_rows_with_fallback(
+                                    entry["params"], cfg, entry["tok"],
+                                    enc_b, prompt,
+                                    TranscribeOptions(
+                                        language="en", beam_size=beam,
+                                        temperature=(temp,),
+                                        max_new_tokens=budget,
+                                        compression_ratio_threshold=None,
+                                        logprob_threshold=None,
+                                        no_speech_threshold=None,
+                                    ),
+                                )
             except Exception:  # noqa: BLE001
                 logger.exception("STT warmup (batched long-form) failed")
         if settings.os_stream_incremental:
@@ -650,13 +662,9 @@ class JaxWhisperBackend:
             bool(settings.os_stt_batched_longform)
             and duration_s > 2 * window_s
             and temps[0] == 0.0
-            # initial_prompt prefixes build [startofprev]+bucketed-prev
-            # prompt shapes that only the SEQUENTIAL warmup precompiles
-            # (batched rungs warm bare sot prompts); routing prompted
-            # uploads sequentially keeps the "first long upload never
-            # compiles" invariant — and conditioning semantically belongs
-            # to the sequential path anyway (it flows through prev-text)
-            and not prompt
+            # prompted uploads ride the batched path too: the prefix is
+            # padded/trimmed to batched.BATCHED_PREV_LEN, whose one shape
+            # per rung the load-time warmup covers
         ):
             from open_speech_tpu.models.whisper.batched import transcribe_batched
 

@@ -50,6 +50,12 @@ TIME_PER_FRAME = HOP_LENGTH / SAMPLE_RATE  # 0.01 s
 # batch-size ladder: one compiled (encode, decode) program pair per rung
 BATCH_BUCKETS = (1, 2, 4, 8, 16)
 
+# Canonical conditioning-prefix length for prompted batched uploads: the
+# initial_prompt is padded (leading space tokens) or trimmed (oldest
+# dropped) to exactly this many tokens, so prompted uploads add ONE
+# warmed prompt shape per rung instead of a prev-bucket ladder.
+BATCHED_PREV_LEN = 32
+
 _CURVE_HOP = 512  # quietness-curve resolution (32 ms at 16 kHz)
 
 
@@ -303,14 +309,16 @@ def transcribe_batched(
         if opts.initial_prompt:
             # chunks are independent, so the style/vocab hint conditions
             # every chunk (sequentially it reaches later windows through
-            # prev-text conditioning); bucketed to bound prompt shapes
-            from open_speech_tpu.models.whisper.transcribe import _bucket_prev
-
-            prev = _bucket_prev(
-                tokenizer.encode(" " + opts.initial_prompt.strip()),
-                cfg.n_text_ctx // 2 - 1,
-            )
-            if prev:
+            # prev-text conditioning). The prefix is padded/trimmed to ONE
+            # canonical length so the warmed program set stays (rungs x
+            # beams x budgets) — a prev-bucket ladder here would multiply
+            # it (and un-warmed shapes compile mid-request; round-3 advice)
+            fb = min(BATCHED_PREV_LEN, cfg.n_text_ctx // 2 - 1)
+            prev = tokenizer.encode(" " + opts.initial_prompt.strip())[-fb:]
+            if prev and fb > 0:
+                pad = tokenizer.encode(" ")
+                filler = pad if len(pad) == 1 else [prev[0]]
+                prev = filler * (fb - len(prev)) + prev
                 prefix = [sp.startofprev] + prev
         prompt = np.asarray(
             [

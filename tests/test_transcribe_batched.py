@@ -236,13 +236,14 @@ def test_backend_routes_longform_to_batched(monkeypatch):
         long_wav, "test-tiny", language="en", beam_size=1, fallback=False,
         prompt="style hint",
     )
-    # prompted upload: sequential path (its [startofprev]+prev prompt
-    # shapes are warmed only there — no mid-request compile allowed)
-    assert calls == [4]
+    # prompted upload rides the batched path too: its prefix is padded to
+    # the ONE canonical BATCHED_PREV_LEN shape the warmup covers
+    assert calls == [4, 4]
 
 
 def test_initial_prompt_conditions_chunks(setup):
-    """initial_prompt must reach the batched prompt rows (bucketed)."""
+    """initial_prompt must reach the batched prompt rows, padded/trimmed
+    to the single canonical BATCHED_PREV_LEN shape."""
     params, tok = setup
     rng = np.random.default_rng(4)
     audio = rng.uniform(-0.1, 0.1, int(3.0 * SAMPLE_RATE)).astype(np.float32)
@@ -251,6 +252,38 @@ def test_initial_prompt_conditions_chunks(setup):
     opts = replace(OPTS, initial_prompt="hello context")
     segs, info = transcribe_batched(params, CFG, tok, audio, opts)
     assert info.duration == pytest.approx(3.0, abs=0.01)  # ran end-to-end
+
+
+def test_initial_prompt_prefix_is_canonical_shape(setup, monkeypatch):
+    """Every prompted batched decode sees exactly [startofprev] +
+    BATCHED_PREV_LEN tokens + sot, regardless of the prompt's length —
+    short hints pad with space tokens, long ones keep the newest tail."""
+    from open_speech_tpu.models.whisper import batched as B
+
+    params, tok = setup
+    sp = tok.special
+    seen = []
+    real = B._decode_rows_with_fallback
+
+    def spy(p, cfg, t, enc, prompt, opts, **kw):
+        seen.append(np.asarray(prompt)[0].tolist())
+        return real(p, cfg, t, enc, prompt, opts, **kw)
+
+    monkeypatch.setattr(B, "_decode_rows_with_fallback", spy)
+    rng = np.random.default_rng(5)
+    audio = rng.uniform(-0.1, 0.1, int(3.0 * SAMPLE_RATE)).astype(np.float32)
+    from dataclasses import replace
+
+    fb = min(B.BATCHED_PREV_LEN, CFG.n_text_ctx // 2 - 1)
+    for hint in ("hi", "a much longer style hint " * 20):
+        seen.clear()
+        opts = replace(OPTS, initial_prompt=hint)
+        transcribe_batched(params, CFG, tok, audio, opts)
+        sot = list(sp.sot_sequence("en", OPTS.task, timestamps=OPTS.timestamps))
+        for row in seen:
+            assert row[0] == sp.startofprev
+            assert len(row) == 1 + fb + len(sot)
+            assert row[1 + fb:] == sot
 
 
 def test_fallback_temperature_recorded(setup):

@@ -124,6 +124,13 @@ def test_batched_longform_shapes_warm(monkeypatch):
                 wav, "test-tiny", language="en", beam_size=beam,
                 fallback=False,
             )
+        # prompted upload: the [startofprev]+BATCHED_PREV_LEN prefix is the
+        # one extra warmed shape per rung (round-3 advice: an un-warmed
+        # prompt shape compiled mid-request on the first prompted upload)
+        backend.transcribe(
+            wav, "test-tiny", language="en", beam_size=5, fallback=False,
+            prompt="style hint",
+        )
     # STRICT on purpose: zero programs of any kind may compile on the
     # first batched request — even sub-second helper programs (gathers,
     # slices) violate the "first long upload never compiles" invariant
