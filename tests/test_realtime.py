@@ -350,3 +350,71 @@ def test_response_cancel_preempts_streaming(monkeypatch):
     # response.done with status "cancelled" (clients block on it)
     dones = [e for e in ws.sent if e["type"] == "response.done"]
     assert dones and dones[-1]["response"]["status"] == "cancelled"
+
+
+def test_realtime_autodetect_pins_language(monkeypatch):
+    """A session without a pinned language probes detect_language_pcm once
+    on a >=1 s commit and pins the result for later commits (mirrors the
+    streaming session's detect-once policy)."""
+    from open_speech_tpu.server.realtime import server as rt
+
+    session, ws, stt, _ = _mk_session(monkeypatch)
+    monkeypatch.setattr(rt.settings, "os_batcher_enabled", True)
+    backend = MagicMock()
+    backend.detect_language_pcm.return_value = "fr"
+    stt.get_backend.return_value = backend
+
+    async def fake_batched(self, audio, model, language):
+        fake_batched.calls.append(language)
+        return {"text": "bonjour"}
+
+    fake_batched.calls = []
+    monkeypatch.setattr(
+        rt.RealtimeSession, "_transcribe_batched", fake_batched
+    )
+    _run(session.initialize())
+    pcm24 = (np.ones(36000, dtype=np.int16) * 1000).tobytes()  # 1.5s @24k
+    audio_b64 = base64.b64encode(pcm24).decode()
+    _run(
+        session.handle_event(
+            {"type": "input_audio_buffer.append", "audio": audio_b64}
+        )
+    )
+    _run(session.handle_event({"type": "input_audio_buffer.commit"}))
+    assert session._detected_language == "fr"
+    assert backend.detect_language_pcm.call_count == 1
+    assert fake_batched.calls == ["fr"]
+    # second commit reuses the pin without re-probing
+    _run(
+        session.handle_event(
+            {"type": "input_audio_buffer.append", "audio": audio_b64}
+        )
+    )
+    _run(session.handle_event({"type": "input_audio_buffer.commit"}))
+    assert backend.detect_language_pcm.call_count == 1
+    assert fake_batched.calls == ["fr", "fr"]
+
+
+def test_realtime_probe_failure_keeps_executor_path(monkeypatch):
+    """Backends without detect support fail the probe once; commits keep
+    the per-request executor path (no crash, no batcher)."""
+    from open_speech_tpu.server.realtime import server as rt
+
+    session, ws, stt, _ = _mk_session(monkeypatch)
+    monkeypatch.setattr(rt.settings, "os_batcher_enabled", True)
+    stt.get_backend.side_effect = RuntimeError("no backend")
+    _run(session.initialize())
+    pcm24 = (np.ones(36000, dtype=np.int16) * 1000).tobytes()
+    audio_b64 = base64.b64encode(pcm24).decode()
+    _run(
+        session.handle_event(
+            {"type": "input_audio_buffer.append", "audio": audio_b64}
+        )
+    )
+    _run(session.handle_event({"type": "input_audio_buffer.commit"}))
+    assert session._lang_probe_failed
+    done = [
+        e for e in ws.sent
+        if e["type"] == "conversation.item.input_audio_transcription.completed"
+    ]
+    assert done and done[0]["transcript"] == "hi there"

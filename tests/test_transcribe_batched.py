@@ -303,3 +303,21 @@ def test_fallback_temperature_recorded(setup):
     segs, _ = transcribe_batched(params, CFG, tok, audio, opts)
     assert segs
     assert all(s.temperature == 1.0 for s in segs)
+
+
+def test_detect_language_pcm_returns_code(monkeypatch):
+    """Backend helper used by streaming/realtime language pinning: runs
+    the warmed detect program over (up to) one window of raw PCM and
+    returns a language code string."""
+    from open_speech_tpu.backends.jax_whisper import JaxWhisperBackend
+    from open_speech_tpu.config import settings
+
+    monkeypatch.setattr(settings, "os_precompile_on_load", False)
+    backend = JaxWhisperBackend()
+    backend.load_model("test-tiny")
+    rng = np.random.default_rng(0)
+    pcm = rng.uniform(-0.2, 0.2, int(1.5 * SAMPLE_RATE)).astype(np.float32)
+    code = backend.detect_language_pcm("test-tiny", pcm)
+    assert isinstance(code, str) and code
+    tok = backend._models["test-tiny"]["tok"]
+    assert tok.special.lang_token(code) is not None
