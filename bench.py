@@ -317,6 +317,13 @@ def bench_asr(run_asr: bool = True) -> None:
             "encoder, bucketed greedy decode, mid-utterance)",
             per * 1000, "ms", CHUNK_INTERVAL / per,
         )
+        note(
+            "interim > chunk cadence is absorbed at serving: the "
+            "newest-wins coalescing scheduler runs at most one interim "
+            "per session and one catch-up pass "
+            "(server/streaming.py:_schedule_interim); this row is the "
+            "raw single-session device cost, no-EOT worst case"
+        )
 
 
 # ── TTS ───────────────────────────────────────────────────────────────
