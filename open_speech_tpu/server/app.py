@@ -626,6 +626,18 @@ async def stats_route(request: web.Request) -> web.Response:
 
     snap = metrics.snapshot()
     snap["gauges"]["streaming_sessions_active"] = len(_active_sessions)
+    snap["streaming_sessions"] = [
+        {
+            "id": s.session_id[:8],
+            "model": s.model,
+            "language": s.language,
+            "detected_language": s._detected_language,
+            "transcriptions": s._transcription_count,
+            "interims_coalesced": s._interims_coalesced,
+            "errors": s._error_count,
+        }
+        for s in list(_active_sessions.values())
+    ]
     snap["batchers"] = pool_stats()
     snap["tts_batchers"] = tts_batcher_stats()
     from open_speech_tpu.parallel.distributed import replica_info
