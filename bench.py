@@ -383,6 +383,41 @@ def bench_tts_ttfa() -> None:
         )
 
 
+def bench_pocket_ttfa() -> None:
+    """Pocket-TTS time-to-first-audio at the real kyutai geometry
+    (16-layer/1024 temporal LM + depth transformer + Mimi decoder),
+    random weights. The reference's design target is a <1.5 s first
+    chunk (docs/TEST-PLAN.md:123); the per-step compute is
+    weight-independent, so this is the honest latency proxy."""
+    from open_speech_tpu.models.pocket.lm import PocketLMConfig
+    from open_speech_tpu.models.pocket.mimi import MimiConfig
+    from open_speech_tpu.models.pocket.model import PocketTTS
+
+    tts = PocketTTS.random_init(
+        jax.random.PRNGKey(0), PocketLMConfig(), MimiConfig(),
+        dtype=jnp.bfloat16,
+    )
+    text = "The quick brown fox jumps over the lazy dog."
+
+    def first_block():
+        return next(iter(tts.generate_stream(text, block_frames=2)))
+
+    t0 = time.time()
+    first_block()
+    note(f"pocket ttfa compile={time.time() - t0:.0f}s")
+    laps = []
+    for _ in range(5):
+        t0 = time.time()
+        first_block()
+        laps.append(time.time() - t0)
+    p50 = float(np.median(laps))
+    emit(
+        "TTS TTFA p50 pocket-tts (real 16x1024 geometry, 2-frame first "
+        "block = 160ms audio)",
+        p50 * 1000, "ms", 1.5 / p50,
+    )
+
+
 def bench_tts_throughput() -> None:
     from open_speech_tpu.models.kokoro.model import vocode
 
@@ -873,6 +908,10 @@ def main() -> None:
             note(f"longform bench failed: {e!r}")
     if _want("ttfa"):
         bench_tts_ttfa()
+        try:
+            bench_pocket_ttfa()
+        except Exception as e:  # noqa: BLE001 — optional row
+            note(f"pocket ttfa bench failed: {e!r}")
     if _want("tts"):
         bench_tts_throughput()
     if _want("spec"):
