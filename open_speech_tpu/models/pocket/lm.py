@@ -215,12 +215,13 @@ def _rope(q, k, positions, head_dim):
     else:  # [B, T, half] -> [B, 1, T, half] (broadcast over heads)
         cos, sin = cos[:, None], sin[:, None]
 
-    def rot(x):  # [B, H, T, D]
+    def rot(x):  # [B, H, T, D] — rotate in f32, return in x's dtype (a
+        # bf16 model must not silently promote K against its bf16 cache)
         xr = x.reshape(*x.shape[:-1], half, 2)
         x0, x1 = xr[..., 0], xr[..., 1]
         return jnp.stack(
             [x0 * cos - x1 * sin, x0 * sin + x1 * cos], -1
-        ).reshape(x.shape)
+        ).reshape(x.shape).astype(x.dtype)
 
     return rot(q), rot(k)
 

@@ -321,10 +321,11 @@ def mimi_transformer(params, cfg: MimiConfig, x):
         probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         att = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         att = att.transpose(0, 2, 1, 3).reshape(b, t, d)
-        h = h + p["ls1"] * (att @ p["out"]["w"])
+        dt = h.dtype  # f32 layer-scales must not promote the carry
+        h = h + (p["ls1"] * (att @ p["out"]["w"])).astype(dt)
         hn = _ln(h, p["ln2"])
         mlp = jax.nn.gelu(hn @ p["mlp_in"]["w"], approximate=False) @ p["mlp_out"]["w"]
-        h = h + p["ls2"] * mlp
+        h = h + (p["ls2"] * mlp).astype(dt)
         return h, None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])
@@ -464,10 +465,11 @@ def _stream_transformer(params, cfg: MimiConfig, x, tstate):
         probs = jax.nn.softmax(logits, axis=-1).astype(vc.dtype)
         att = jnp.einsum("bhqk,bhkd->bhqd", probs, vc)
         att = att.transpose(0, 2, 1, 3).reshape(b, t, d)
-        h = h + p["ls1"] * (att @ p["out"]["w"])
+        dt = h.dtype  # f32 layer-scales must not promote the carry
+        h = h + (p["ls1"] * (att @ p["out"]["w"])).astype(dt)
         hn = _ln(h, p["ln2"])
         mlp = jax.nn.gelu(hn @ p["mlp_in"]["w"], approximate=False) @ p["mlp_out"]["w"]
-        h = h + p["ls2"] * mlp
+        h = h + (p["ls2"] * mlp).astype(dt)
         return h, (kc[:, :, -w_h:] if w_h else kh, vc[:, :, -w_h:] if w_h else vh)
 
     x, (k_new, v_new) = jax.lax.scan(
@@ -588,5 +590,7 @@ class MimiStreamingDecoder:
             pcm, self._state = mimi_decode_step(
                 self.params, self.cfg, chunk, self._state
             )
-            outs.append(np.asarray(pcm))
+            # wire contract is f32 PCM regardless of the model's compute
+            # dtype (a bf16 model must not leak bf16 samples downstream)
+            outs.append(np.asarray(pcm, np.float32))
         return outs[0] if len(outs) == 1 else np.concatenate(outs, axis=1)

@@ -157,3 +157,20 @@ def test_voice_design_endpoint_e2e():
             assert (await resp.read())[:4] == b"RIFF"
 
     asyncio.get_event_loop_policy().new_event_loop().run_until_complete(body())
+
+
+def test_pocket_bf16_generates_f32_pcm():
+    """A bf16 pocket model must run end-to-end (RoPE and layer-scale
+    residuals must not promote K/carries to f32 against bf16 caches) and
+    the stream must still yield float32 PCM (wire contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_speech_tpu.models.pocket.model import PocketTTS
+
+    tts = PocketTTS.random_init(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    blocks = list(tts.generate_stream("hello", block_frames=2, max_frames=4))
+    assert blocks
+    for b in blocks:
+        assert b.dtype == np.float32
+        assert np.isfinite(b).all()
