@@ -163,8 +163,26 @@ class PocketTTSBackend:
                 "No pocket-tts checkpoint found (OS_POCKET_CKPT_PATH unset); "
                 "running with random weights — audio is not speech"
             )
+        self._warmup()
         self._loaded_at = self._last_used = time.time()
         logger.info("pocket-tts ready in %.1fs", time.time() - t0)
+
+    def _warmup(self) -> None:
+        """Compile the serving programs at load (same policy as the whisper
+        and kokoro backends): one short unconditioned generation drives the
+        bucketed text prefill, the fused LM step, and the Mimi block
+        decoder — without it the FIRST /v1/audio/speech on pocket-tts pays
+        every compile mid-request (minutes at the real 16x1024 geometry
+        through a device relay)."""
+        from open_speech_tpu.config import settings
+
+        if not bool(settings.os_precompile_on_load):
+            return
+        try:
+            for _ in self._model.generate_stream("hi", max_frames=4):
+                pass
+        except Exception:  # noqa: BLE001 — warmup must never block load
+            logger.exception("pocket-tts warmup failed")
 
     def unload_model(self, model_id: str = "pocket-tts") -> None:
         self._model = None
