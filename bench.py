@@ -108,6 +108,7 @@ def emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
     }
     direction = _GATED_UNITS.get(unit)
     prev = _PREV.get(metric)
+    exact = prev is not None
     if prev is None:
         # metric labels carry parenthetical run details that legitimately
         # evolve (acceptance counts, batch notes); fall back to the stable
@@ -120,7 +121,10 @@ def emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
     if direction and prev and prev[1] == unit and prev[0] > 0 and value > 0:
         ratio = value / prev[0] if direction == "higher" else prev[0] / value
         row["vs_prev"] = round(ratio, 3)  # >1 improved, <1 regressed
-        if ratio < _REGRESSION_TOLERANCE:
+        # only an exact metric-name match can raise the regression flag:
+        # a stem-fallback pairs renamed variants whose run conditions may
+        # legitimately differ (e.g. a new bench mode under the same stem)
+        if exact and ratio < _REGRESSION_TOLERANCE:
             row["regression"] = True
     print(json.dumps(row), flush=True)
 
