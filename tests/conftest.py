@@ -35,7 +35,23 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent XLA compile cache: the kokoro/whisper graphs dominate suite
 # wall-time; repeated runs hit the disk cache instead of recompiling.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache_cpu_tests")
+# The dir is keyed by the host CPU's feature set: XLA:CPU stores AOT
+# machine code, and loading artifacts compiled on a different machine
+# type SIGILLs/segfaults mid-suite ("Target machine feature ... is not
+# supported on the host machine" — observed when /root migrates between
+# heterogeneous hosts).
+import hashlib  # noqa: E402
+import platform  # noqa: E402
+
+try:
+    with open("/proc/cpuinfo") as _f:
+        _flags = next((ln for ln in _f if ln.startswith("flags")), "")
+except OSError:  # pragma: no cover - non-procfs hosts
+    _flags = ""
+_fp = hashlib.sha1((platform.machine() + _flags).encode()).hexdigest()[:12]
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", f"/root/.jax_cache_cpu_tests_{_fp}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Serving-path tests run the full kokoro topology at reduced geometry
