@@ -255,13 +255,16 @@ def greedy_decode(
         max_init_tok=max_init_tok,
         blank=blank,
     )
-    lengths = np.asarray(lengths)
-    avg_lp = np.asarray(sum_lp) / np.maximum(lengths + 1, 1)  # +1 counts eot
+    # ONE device->host transfer for all four outputs: separate np.asarray
+    # calls each pay a full device round trip (~27 ms through a relay —
+    # measured as the dominant cost of a whole interim decode)
+    tokens, lengths, sum_lp, nsp = jax.device_get((tokens, lengths, sum_lp, nsp))
+    avg_lp = sum_lp / np.maximum(lengths + 1, 1)  # +1 counts eot
     return DecodeResult(
-        tokens=np.asarray(tokens),
+        tokens=tokens,
         lengths=lengths,
         avg_logprob=avg_lp,
-        no_speech_prob=np.asarray(nsp),
+        no_speech_prob=nsp,
         temperature=opts.temperature,
     )
 
@@ -435,12 +438,13 @@ def beam_decode(
         blank=blank,
         length_penalty=float(opts.length_penalty),
     )
-    lengths = np.asarray(lengths)
+    # one transfer for all outputs (see greedy_decode)
+    tokens, lengths, scores, nsp = jax.device_get((tokens, lengths, scores, nsp))
     return DecodeResult(
-        tokens=np.asarray(tokens),
+        tokens=tokens,
         lengths=lengths,
-        avg_logprob=np.asarray(scores) / np.maximum(lengths + 1, 1),
-        no_speech_prob=np.asarray(nsp),
+        avg_logprob=scores / np.maximum(lengths + 1, 1),
+        no_speech_prob=nsp,
         temperature=0.0,
     )
 

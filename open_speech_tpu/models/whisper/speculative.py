@@ -359,13 +359,17 @@ def speculative_greedy_decode(
         max_init_tok=max_init_tok,
         blank=_blank_tokens(special, opts),
     )
-    lengths = np.asarray(lengths)
-    avg_lp = np.asarray(sum_lp) / np.maximum(lengths + 1, 1)
+    # one device->host transfer for every output (separate np.asarray
+    # calls each pay a relay round trip; see decode.greedy_decode)
+    buf, lengths, sum_lp, nsp, rounds, accepted = jax.device_get(
+        (buf, lengths, sum_lp, nsp, rounds, accepted)
+    )
+    avg_lp = sum_lp / np.maximum(lengths + 1, 1)
     result = DecodeResult(
-        tokens=np.asarray(buf),
+        tokens=buf,
         lengths=lengths,
         avg_logprob=avg_lp,
-        no_speech_prob=np.asarray(nsp),
+        no_speech_prob=nsp,
         temperature=0.0,
     )
     result.spec_rounds = int(rounds)  # type: ignore[attr-defined]

@@ -23,9 +23,15 @@ threading.stack_size(64 << 20)
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's LLVM codegen intermittently segfaults inside
+# backend_compile_and_load on the suite's largest fused programs (beam
+# fallback at the wider batched rungs) — deep recursion in expensive LLVM
+# passes. Tests don't need LLVM -O3 output; disable those passes for the
+# CPU test backend only (TPU serving is unaffected).
+if "xla_llvm_disable_expensive_passes" not in flags:
+    flags = (flags + " --xla_llvm_disable_expensive_passes=true").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # The axon sitecustomize registers a TPU plugin and pins jax_platforms to
 # "axon,cpu" in every interpreter; override it back to CPU for tests.
