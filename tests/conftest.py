@@ -31,6 +31,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # CPU test backend only (TPU serving is unaffected).
 if "xla_llvm_disable_expensive_passes" not in flags:
     flags = (flags + " --xla_llvm_disable_expensive_passes=true").strip()
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # parallel codegen splits the module across LLVM threads; the crash
+    # signature above disappears with single-threaded codegen
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
 os.environ["XLA_FLAGS"] = flags
 
 # The axon sitecustomize registers a TPU plugin and pins jax_platforms to
