@@ -168,13 +168,7 @@ def _conv1d(x, p, stride: int = 1):
     )
 
 
-@jax.jit
-def vad_step(params, audio: jax.Array, state: jax.Array):
-    """One VAD step over a batch of windows.
-
-    audio: [B, 512] float32; state: [2, B, 128] (h, c).
-    Returns (probs [B], new_state [2, B, 128]).
-    """
+def _vad_step_impl(params, audio: jax.Array, state: jax.Array):
     # magnitude STFT: reflect pad 64, 256-sample frames, hop 128 → 4 frames
     x = jnp.pad(audio, ((0, 0), (_PAD, _PAD)), mode="reflect")
     n_frames = (x.shape[1] - _N_FFT) // _HOP + 1
@@ -204,6 +198,41 @@ def vad_step(params, audio: jax.Array, state: jax.Array):
     out = jax.nn.relu(h_new)
     prob = jax.nn.sigmoid(out @ params["head"]["w"] + params["head"]["b"])[:, 0]
     return prob, jnp.stack([h_new, c_new])
+
+
+@jax.jit
+def vad_step(params, audio: jax.Array, state: jax.Array):
+    """One VAD step over a batch of windows.
+
+    audio: [B, 512] float32; state: [2, B, 128] (h, c).
+    Returns (probs [B], new_state [2, B, 128]).
+    """
+    return _vad_step_impl(params, audio, state)
+
+
+@jax.jit
+def vad_scan(params, windows: jax.Array, state: jax.Array, n: jax.Array):
+    """Sequential windows of ONE stream in a single device call.
+
+    windows: [N, 512] float32 (bucket-padded); state: [2, 1, 128]; n:
+    scalar int32 — the real window count. The recurrent state threads
+    across windows inside one program, replacing the per-window python
+    loop (one dispatch + one host sync per 512-sample window — ~3 device
+    round trips for every 100 ms chunk of every streaming session, and
+    ~100 for a single realtime segmentation pass). Padded rows still run
+    but the returned state is the one after window n-1, so padding never
+    corrupts the stream's recurrence.
+    """
+
+    def step(st, w):
+        prob, st2 = _vad_step_impl(params, w[None], st)
+        return st2, (prob[0], st2)
+
+    _, (probs, states) = jax.lax.scan(step, state, windows)
+    final = jax.lax.dynamic_index_in_dim(
+        states, jnp.maximum(n - 1, 0), axis=0, keepdims=False
+    )
+    return probs, final
 
 
 def segments_from_probs(
@@ -282,12 +311,36 @@ class SileroVAD:
         return float(probs[0])
 
     def _prob_track(self, audio: np.ndarray) -> np.ndarray:
-        """Per-window probabilities over consecutive 512-sample windows."""
-        probs = [
-            self._step(audio[s : s + WINDOW].astype(np.float32))
-            for s in range(0, len(audio) - WINDOW + 1, WINDOW)
-        ]
-        return np.asarray(probs, dtype=np.float32)
+        """Per-window probabilities over consecutive 512-sample windows.
+
+        All of a chunk's windows run in ONE device call (vad_scan) with
+        one host sync; window counts snap to a power-of-two bucket so the
+        compiled program set stays a handful of shapes."""
+        n = (len(audio) - WINDOW) // WINDOW + 1 if len(audio) >= WINDOW else 0
+        if n <= 0:
+            return np.zeros((0,), np.float32)
+        if self._step_fn is not None:  # scripted test fakes stay stepwise
+            probs = [
+                self._step(audio[s : s + WINDOW].astype(np.float32))
+                for s in range(0, len(audio) - WINDOW + 1, WINDOW)
+            ]
+            return np.asarray(probs, dtype=np.float32)
+        windows = np.ascontiguousarray(
+            audio[: n * WINDOW], dtype=np.float32
+        ).reshape(n, WINDOW)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        if bucket > n:
+            windows = np.pad(windows, ((0, bucket - n), (0, 0)))
+        probs, state = jax.device_get(
+            vad_scan(
+                self.session, jnp.asarray(windows),
+                jnp.asarray(self._state), jnp.int32(n),
+            )
+        )
+        self._state = state
+        return np.asarray(probs[:n], np.float32)
 
     def __call__(self, audio: np.ndarray) -> float:
         """Max speech probability over consecutive 512-sample windows."""
@@ -363,8 +416,23 @@ async def get_vad_model() -> SileroVAD:
                 "VAD running with random weights — speech probabilities "
                 "are not meaningful"
             )
+        # VAD is control-path work gating the real device programs: run it
+        # on the host CPU backend by default (a 128-wide LSTM costs
+        # microseconds there) instead of queueing a round trip to the
+        # accelerator for every 100 ms chunk of every session. Committed
+        # params pin every vad_step/vad_scan call to that device.
+        want = os.environ.get("OS_VAD_DEVICE", "cpu")
+        if want != "default":
+            try:
+                params = jax.device_put(params, jax.devices(want)[0])
+            except RuntimeError:
+                logger.warning("OS_VAD_DEVICE=%s unavailable; using default", want)
         # jit warmup so the first streaming chunk isn't a compile stall
         vad_step(params, jnp.zeros((1, WINDOW)), jnp.zeros((2, 1, _HIDDEN)))
+        vad_scan(
+            params, jnp.zeros((4, WINDOW)), jnp.zeros((2, 1, _HIDDEN)),
+            jnp.int32(4),
+        )
         _vad_model = SileroVAD(params)
         return _vad_model
 

@@ -125,3 +125,41 @@ def test_get_vad_model_singleton():
 
     a, b = asyncio.get_event_loop_policy().new_event_loop().run_until_complete(go())
     assert a is b
+
+
+def test_vad_scan_matches_stepwise():
+    """vad_scan (one device call per chunk, bucket-padded) must produce
+    exactly the stepwise probabilities and the same recurrent state after
+    the real window count — padding must never leak into the recurrence."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_speech_tpu.models.vad.silero import (
+        _HIDDEN,
+        WINDOW,
+        init_vad_params,
+        vad_scan,
+        vad_step,
+    )
+
+    params = init_vad_params(jax.random.PRNGKey(3))
+    rng = np.random.default_rng(0)
+    n = 7  # pads to bucket 8
+    windows = rng.uniform(-0.5, 0.5, (n, WINDOW)).astype(np.float32)
+
+    state = jnp.zeros((2, 1, _HIDDEN))
+    seq_probs = []
+    for i in range(n):
+        p, state = vad_step(params, jnp.asarray(windows[i][None]), state)
+        seq_probs.append(float(p[0]))
+
+    padded = np.pad(windows, ((0, 1), (0, 0)))
+    probs, final = vad_scan(
+        params, jnp.asarray(padded), jnp.zeros((2, 1, _HIDDEN)), jnp.int32(n)
+    )
+    np.testing.assert_allclose(
+        np.asarray(probs[:n]), np.asarray(seq_probs), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(final), np.asarray(state), rtol=0, atol=1e-6
+    )
