@@ -101,48 +101,35 @@ def test_streaming_encoder_warm(warm_backend):
     assert counter.compiles == [], counter.compiles[:5]
 
 
-def test_batched_longform_shapes_warm(monkeypatch):
+def test_batched_longform_shapes_warm():
     """With OS_STT_BATCHED_LONGFORM on, the load-time warmup must cover the
-    batched encode/decode rungs so the first long upload never compiles."""
-    from open_speech_tpu.backends.jax_whisper import JaxWhisperBackend
+    batched encode/decode rungs (bare AND prompted prompt shapes) so the
+    first long upload never compiles.
 
-    monkeypatch.setattr(settings, "os_precompile_on_load", True)
-    monkeypatch.setattr(settings, "os_stt_precompile_budgets", "48")
-    monkeypatch.setattr(settings, "os_stt_batched_longform", True)
-    # 2 rungs, not 4: the rung-4 beam-fallback program is the largest
-    # XLA:CPU compile in the suite and LLVM codegen intermittently
-    # segfaults on it late in long single-process runs; two rungs prove
-    # the same invariant (every rung <= max_batch warmed, zero compiles
-    # on the first request) with half the program size
-    monkeypatch.setattr(settings, "os_stt_batch_windows", 2)
-    backend = JaxWhisperBackend()
-    backend.load_model("test-tiny")
-    wav = codec.write_wav(
-        np.random.default_rng(0)
-        .uniform(-0.2, 0.2, 4 * 16000)
-        .astype(np.float32),
-        16000,
+    Runs in a fresh subprocess (tests/warmup_batched_worker.py): XLA:CPU's
+    LLVM codegen segfaults intermittently when these — the suite's largest
+    CPU compiles — run after hundreds of prior in-process compiles; a
+    clean interpreter removes that state. STRICT zero-compile assertion on
+    the worker's output: even sub-second helper programs (gathers, slices)
+    violate the "first long upload never compiles" invariant and would
+    mask a real warmup gap appearing next to them.
+    """
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    worker = Path(__file__).parent / "warmup_batched_worker.py"
+    proc = subprocess.run(
+        [sys.executable, str(worker)],
+        capture_output=True, text=True, timeout=900,
+        cwd=str(Path(__file__).parent.parent),
     )
-    with _count_compiles() as counter:
-        for beam in (1, 5):
-            backend.transcribe(
-                wav, "test-tiny", language="en", beam_size=beam,
-                fallback=False,
-            )
-        # prompted upload: the [startofprev]+BATCHED_PREV_LEN prefix is the
-        # one extra warmed shape per rung (round-3 advice: an un-warmed
-        # prompt shape compiled mid-request on the first prompted upload)
-        backend.transcribe(
-            wav, "test-tiny", language="en", beam_size=5, fallback=False,
-            prompt="style hint",
-        )
-    # STRICT on purpose: zero programs of any kind may compile on the
-    # first batched request — even sub-second helper programs (gathers,
-    # slices) violate the "first long upload never compiles" invariant
-    # and would mask a real warmup gap appearing next to them
-    assert counter.compiles == [], (
-        f"{len(counter.compiles)} programs compiled on first batched "
-        f"request: {counter.compiles[:5]}"
+    assert proc.returncode == 0, (
+        f"worker failed rc={proc.returncode}\nstdout: {proc.stdout[-2000:]}"
+        f"\nstderr: {proc.stderr[-2000:]}"
+    )
+    assert "WARMUP_OK compiles=0" in proc.stdout, (
+        f"programs compiled on first batched request:\n{proc.stdout[-2000:]}"
     )
 
 
