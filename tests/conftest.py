@@ -43,26 +43,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent XLA compile cache: the kokoro/whisper graphs dominate suite
-# wall-time; repeated runs hit the disk cache instead of recompiling.
-# The dir is keyed by the host CPU's feature set: XLA:CPU stores AOT
-# machine code, and loading artifacts compiled on a different machine
-# type SIGILLs/segfaults mid-suite ("Target machine feature ... is not
-# supported on the host machine" — observed when /root migrates between
-# heterogeneous hosts).
-import hashlib  # noqa: E402
-import platform  # noqa: E402
-
-try:
-    with open("/proc/cpuinfo") as _f:
-        _flags = next((ln for ln in _f if ln.startswith("flags")), "")
-except OSError:  # pragma: no cover - non-procfs hosts
-    _flags = ""
-_fp = hashlib.sha1((platform.machine() + _flags).encode()).hexdigest()[:12]
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", f"/root/.jax_cache_cpu_tests_{_fp}"
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent XLA compile cache: DISABLED for the suite. Five segfaults
+# across four mitigation attempts all crashed inside
+# _compile_and_write_cache / backend_compile_and_load late in long
+# single-process runs — XLA:CPU's AOT executable serialization is the
+# common factor (and loading artifacts compiled on a different machine
+# type SIGILLs outright: "Target machine feature ... is not supported on
+# the host machine"). Compiles are redone per run; correctness over
+# cache warmth. Set OS_TEST_JAX_CACHE_DIR to opt back in locally.
+_cache_dir = os.environ.get("OS_TEST_JAX_CACHE_DIR", "")
+if _cache_dir:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+else:
+    os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 # Serving-path tests run the full kokoro topology at reduced geometry
 # (same graph, ~100x fewer FLOPs); numerical-parity tests construct their
