@@ -387,6 +387,42 @@ def bench_tts_ttfa() -> None:
         )
 
 
+def bench_vad() -> None:
+    """Per-chunk VAD cost on the host CPU (where serving pins it).
+
+    Reference claim: Silero VAD costs <5% CPU (README.md:151). One 100 ms
+    chunk = 3 windows = one fused vad_scan call; vs_baseline is the
+    fraction of the 100 ms budget at 1 core (0.05 = the reference's 5%)."""
+    from open_speech_tpu.models.vad.silero import (
+        _HIDDEN,
+        WINDOW,
+        init_vad_params,
+        vad_scan,
+    )
+
+    cpu = jax.devices("cpu")[0]
+    params = jax.device_put(init_vad_params(), cpu)
+    rng = np.random.default_rng(0)
+    windows = jax.device_put(
+        jnp.asarray(rng.uniform(-0.5, 0.5, (4, WINDOW)).astype(np.float32)),
+        cpu,
+    )
+    state = jax.device_put(jnp.zeros((2, 1, _HIDDEN)), cpu)
+    n = jnp.int32(3)
+    jax.block_until_ready(vad_scan(params, windows, state, n))
+    laps = []
+    for _ in range(50):
+        t0 = time.time()
+        jax.block_until_ready(vad_scan(params, windows, state, n))
+        laps.append(time.time() - t0)
+    per = float(np.median(laps))
+    emit(
+        "VAD per-chunk cost (100ms chunk = 3 windows, one fused scan, "
+        "host CPU)",
+        per * 1000, "ms", (0.05 * CHUNK_INTERVAL) / per,
+    )
+
+
 def bench_pocket_ttfa() -> None:
     """Pocket-TTS time-to-first-audio at the real kyutai geometry
     (16-layer/1024 temporal LM + depth transformer + Mimi decoder),
@@ -910,6 +946,11 @@ def main() -> None:
             bench_longform()
         except Exception as e:  # noqa: BLE001 — optional row
             note(f"longform bench failed: {e!r}")
+    if _want("vad"):
+        try:
+            bench_vad()
+        except Exception as e:  # noqa: BLE001 — optional row
+            note(f"vad bench failed: {e!r}")
     if _want("ttfa"):
         bench_tts_ttfa()
         try:
