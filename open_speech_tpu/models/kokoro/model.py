@@ -757,19 +757,25 @@ def vocode_streaming(params, cfg: KokoroConfig, g, n_frames, rng=None,
     # only need to keep ahead of real-time playback
     nb1 = 2 * (first_block_frames if first_block_frames else block_frames)
     h = min(2 * halo_frames, min(nb, nb1))
-    total_x = int(np.max(np.asarray(n_frames))) * 2
     n2 = 2 * cfg.max_frames
     if n2 < max(nb, nb1) + h:  # tiny frame bucket: single full-window render
         # rng passes through as-is: per-row keys keep the batched==solo
         # determinism invariant on this path too (vocode handles both forms)
         audio = vocode(params, cfg, g, n_frames, rng)
+        total_x = int(np.max(np.asarray(n_frames))) * 2
         yield np.asarray(audio[:, : total_x * spf2], np.float32)
         return
 
-    first_len = min(nb1, total_x)
+    # Dispatch the first block BEFORE reading n_frames back: the program
+    # consumes g/n_frames as device arrays, so the host sync (a full relay
+    # round-trip after an encode_utterance that usually hasn't finished)
+    # would serialize in front of the TTFA-critical dispatch. Reordered,
+    # the readback overlaps the first block's device time.
     audio, x = _vocode_first(
         params, cfg, g, n_frames, rng, nb=nb1, h=h, wire_i16=i16
     )
+    total_x = int(np.max(np.asarray(n_frames))) * 2
+    first_len = min(nb1, total_x)
     yield _unwire(np.asarray(audio[:, : first_len * spf2]))
     if total_x <= nb1:
         return

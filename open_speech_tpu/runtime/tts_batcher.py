@@ -192,7 +192,7 @@ class TTSBatcher:
             jnp.asarray(phonemes), jnp.asarray(lengths),
             jnp.asarray(styles), jnp.asarray(speeds),
         )
-        totals = np.asarray(n_frames) * cfg.samples_per_frame
+        totals = None  # n_frames readback deferred past the first dispatch
         emitted = np.zeros((b,), np.int64)
         queues = [out for *_r, out in jobs]
         # per-row keys: a row's noise draws don't depend on who it is
@@ -202,6 +202,12 @@ class TTSBatcher:
             self.params, cfg, g, n_frames, rng=row_rngs,
             block_frames=32, first_block_frames=16, wire="i16",
         ):
+            if totals is None:
+                # n_frames is already host-resident here (vocode_streaming
+                # read it while the first block computed); syncing it before
+                # the generator started would serialize a relay round-trip
+                # in front of the TTFA-critical first-block dispatch
+                totals = np.asarray(n_frames) * cfg.samples_per_frame
             width = block.shape[1]
             for i, out in enumerate(queues):
                 take = int(min(width, totals[i] - emitted[i]))
