@@ -183,9 +183,17 @@ _DEFAULTS: dict[str, object] = {
     # Continuous batcher: route streaming/realtime transcription through the
     # shared slot-pool scheduler instead of per-request invocations.
     "os_batcher_enabled": False,
-    # TTS request batching: concurrent kokoro synthesis jobs share one
-    # batched encode + blockwise-vocode device program.
+    # TTS request batching: concurrent kokoro/piper synthesis jobs share
+    # one batched encode + blockwise-vocode device program, and pocket-tts
+    # sessions share a fused slot-pool LM step (runtime/pocket_batcher).
     "os_tts_batcher_enabled": False,
+    # Pocket-TTS slot-pool size: concurrent sessions advanced per fused
+    # LM step. Static per process (sizes the compiled pool programs and
+    # the device KV pool: ~2*L*H*max_ctx*Dh*slots cache entries).
+    "os_pocket_batch_slots": 16,
+    # Frames per pool group (one host sync advances every live session
+    # this many 80 ms frames and decodes one Mimi block).
+    "os_pocket_block_frames": 2,
     # Max concurrent sessions per continuous-batch decode step.
     "os_batch_max_sessions": 8,
     # Decode positions generated per host sync (fused on-device sub-steps).

@@ -255,23 +255,35 @@ def temporal_prefill(params, cfg: PocketLMConfig, x, caches, start, length=None)
     """Causal forward over a segment, appending to existing KV caches.
 
     x [B, T, D]; caches (k, v) each [L, B, H, max_ctx, Dh]; start: scalar
-    int32 — the segment occupies global positions [start, start+T). Queries
-    attend to everything already in the cache plus the causal prefix of the
-    segment. Returns (hidden [B, T, D], updated caches).
+    or per-row [B] int32 — row b's segment occupies global positions
+    [start_b, start_b+T). Queries attend to everything already in the
+    cache plus the causal prefix of the segment. Returns
+    (hidden [B, T, D], updated caches).
 
-    ``length`` (scalar int32, default T) marks the segment's *valid* prefix
-    so callers can pad T to a shape bucket: keys past start+length are
-    masked out and the cache is restored there afterwards, making padded
-    and exact prefills produce identical caches (recompile-free serving).
+    ``length`` (scalar or [B] int32, default T) marks the segment's
+    *valid* prefix so callers can pad T to a shape bucket: keys past
+    start+length are masked out and the cache is restored there
+    afterwards, making padded and exact prefills produce identical caches
+    (recompile-free serving). A row with length 0 keeps its cache
+    entirely untouched — the pool batcher prefills only joining rows of
+    a live slot pool this way.
     """
     b, t, d = x.shape
     nh, hd = cfg.n_heads, cfg.head_dim
-    positions = start + jnp.arange(t)
-    gi = positions[:, None]  # global query positions
-    gj = jnp.arange(cfg.max_ctx)[None, :]  # global key positions
+    start_v = jnp.broadcast_to(jnp.asarray(start, jnp.int32), (b,))
+    positions = start_v[:, None] + jnp.arange(t)  # [B, T]
+    gi = positions[:, :, None]  # global query positions [B, T, 1]
+    gj = jnp.arange(cfg.max_ctx)[None, None, :]  # global key positions
     mask = gj <= gi  # positions >= start+t are zero-filled but masked out
     if length is not None:
-        mask = mask & (gj < start + length)
+        length_v = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (b,))
+        mask = mask & (gj < (start_v + length_v)[:, None, None])
+
+    insert = jax.vmap(
+        lambda cache, new, s: jax.lax.dynamic_update_slice(
+            cache, new.astype(cache.dtype), (0, s, 0)
+        )
+    )
 
     def layer(h, inp):
         p, kc, vc = inp
@@ -281,12 +293,12 @@ def temporal_prefill(params, cfg: PocketLMConfig, x, caches, start, length=None)
         k = k.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
         q, k = _rope(q, k, positions, hd)
-        kc = jax.lax.dynamic_update_slice(kc, k, (0, 0, start, 0))
-        vc = jax.lax.dynamic_update_slice(vc, v, (0, 0, start, 0))
+        kc = insert(kc, k, start_v)
+        vc = insert(vc, v, start_v)
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, kc, preferred_element_type=jnp.float32
         ) * (hd**-0.5)
-        logits = jnp.where(mask[None, None], logits, -1e30)
+        logits = jnp.where(mask[:, None], logits, -1e30)
         probs = jax.nn.softmax(logits, -1).astype(v.dtype)
         att = jnp.einsum("bhqk,bhkd->bhqd", probs, vc)
         att = att.transpose(0, 2, 1, 3).reshape(b, t, d)
@@ -299,8 +311,11 @@ def temporal_prefill(params, cfg: PocketLMConfig, x, caches, start, length=None)
     )
     if length is not None:
         # restore cache beyond the valid prefix so padded-bucket prefills
-        # leave exactly the same state as exact-shape ones
-        keep = (jnp.arange(cfg.max_ctx) < start + length)[None, None, None, :, None]
+        # leave exactly the same state as exact-shape ones (and length-0
+        # rows keep their cache verbatim)
+        keep = (
+            jnp.arange(cfg.max_ctx)[None, :] < (start_v + length_v)[:, None]
+        )[None, :, None, :, None]
         k_new = jnp.where(keep, k_new, caches[0])
         v_new = jnp.where(keep, v_new, caches[1])
     return h, (k_new, v_new)

@@ -434,19 +434,21 @@ def _sconvtr(x, p, stride: int, carry):
 def _stream_transformer(params, cfg: MimiConfig, x, tstate):
     """Windowed-causal transformer over new positions with a K/V window.
 
-    x [B, t, D]; tstate {"k"/"v": [L, B, H, W_h, hd], "pos": scalar}. Keys
-    are stored rotated (RoPE is absolute-position on both sides, exactly as
-    the full pass computes it), and the mask re-derives absolute positions
-    from the counter so pre-start zero slots never attend.
+    x [B, t, D]; tstate {"k"/"v": [L, B, H, W_h, hd], "pos": scalar or
+    [B]}. Keys are stored rotated (RoPE is absolute-position on both
+    sides, exactly as the full pass computes it), and the mask re-derives
+    absolute positions from the counter so pre-start zero slots never
+    attend. Per-row ``pos`` lets a slot pool stream rows at different
+    phases (fresh rows join mid-batch with pos 0) through one program.
     """
     b, t, d = x.shape
     nh, hd = cfg.t_heads, cfg.head_dim
     w_h = cfg.t_context - 1
-    pos0 = tstate["pos"]
-    q_pos = pos0 + jnp.arange(t)
-    k_pos = pos0 - w_h + jnp.arange(w_h + t)
-    rel = q_pos[:, None] - k_pos[None, :]
-    mask = (rel >= 0) & (rel < cfg.t_context) & (k_pos[None, :] >= 0)
+    pos0 = jnp.broadcast_to(jnp.asarray(tstate["pos"], jnp.int32), (b,))
+    q_pos = pos0[:, None] + jnp.arange(t)  # [B, t]
+    k_pos = pos0[:, None] - w_h + jnp.arange(w_h + t)  # [B, W_h+t]
+    rel = q_pos[:, :, None] - k_pos[:, None, :]
+    mask = (rel >= 0) & (rel < cfg.t_context) & (k_pos[:, None, :] >= 0)
 
     def layer(h, inp):
         p, kh, vh = inp
@@ -461,7 +463,7 @@ def _stream_transformer(params, cfg: MimiConfig, x, tstate):
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q, kc, preferred_element_type=jnp.float32
         ) * (hd**-0.5)
-        logits = jnp.where(mask[None, None], logits, -1e30)
+        logits = jnp.where(mask[:, None], logits, -1e30)
         probs = jax.nn.softmax(logits, axis=-1).astype(vc.dtype)
         att = jnp.einsum("bhqk,bhkd->bhqd", probs, vc)
         att = att.transpose(0, 2, 1, 3).reshape(b, t, d)
@@ -476,6 +478,56 @@ def _stream_transformer(params, cfg: MimiConfig, x, tstate):
         layer, x, (params["layers"], tstate["k"], tstate["v"])
     )
     return x, {"k": k_new, "v": v_new, "pos": pos0 + t}
+
+def select_mimi_stream_rows(mask, on_true, on_false):
+    """Per-row where() over two decode-stream states. mask: [B] bool.
+
+    The state pytree carries its batch dimension at axis 0 everywhere
+    except the stacked transformer K/V windows (axis 1), so a plain
+    tree_map(where) can't do this — this walks the known structure.
+    """
+    def w0(a, b):  # batch at axis 0
+        m = mask.reshape((-1,) + (1,) * (a.ndim - 1))
+        return jnp.where(m, a, b)
+
+    def w1(a, b):  # batch at axis 1 (stacked transformer K/V windows)
+        m = mask.reshape((1, -1) + (1,) * (a.ndim - 2))
+        return jnp.where(m, a, b)
+
+    ta, tb = on_true["t"], on_false["t"]
+    batch = on_true["conv_in"].shape[0]
+
+    def pos_vec(t):
+        return jnp.broadcast_to(jnp.asarray(t["pos"], jnp.int32), (batch,))
+
+    return {
+        "up_carry": w0(on_true["up_carry"], on_false["up_carry"]),
+        "t": {
+            "k": w1(ta["k"], tb["k"]),
+            "v": w1(ta["v"], tb["v"]),
+            "pos": jnp.where(mask, pos_vec(ta), pos_vec(tb)),
+        },
+        "conv_in": w0(on_true["conv_in"], on_false["conv_in"]),
+        "stages": [
+            {"up": w0(sa["up"], sb["up"]), "c1": w0(sa["c1"], sb["c1"])}
+            for sa, sb in zip(on_true["stages"], on_false["stages"])
+        ],
+        "conv_out": w0(on_true["conv_out"], on_false["conv_out"]),
+    }
+
+
+def zero_mimi_stream_rows(state, mask):
+    """Reset the rows where ``mask`` is True to a fresh stream.
+
+    A zeroed row is exactly a fresh stream (zero state ≡ the full
+    decode's zero left-padding), so a slot pool can recycle one row of a
+    batched stream without touching its neighbours. mask: [B] bool.
+    """
+    zeros = jax.tree.map(jnp.zeros_like, state)
+    zeros["t"]["pos"] = jnp.zeros(
+        (state["conv_in"].shape[0],), jnp.int32
+    )
+    return select_mimi_stream_rows(mask, zeros, state)
 
 
 def init_mimi_stream_state(params, cfg: MimiConfig, batch: int = 1):
@@ -502,12 +554,15 @@ def init_mimi_stream_state(params, cfg: MimiConfig, batch: int = 1):
         for stage, r in zip(dp["stages"], cfg.ratios)
     ]
     w_h = cfg.t_context - 1
-    kv = jnp.zeros(
-        (cfg.t_layers, batch, cfg.t_heads, w_h, cfg.head_dim), dt
-    )
+    kv_shape = (cfg.t_layers, batch, cfg.t_heads, w_h, cfg.head_dim)
     return {
         "up_carry": tr_carry(params["upsample"], cfg.down_stride),
-        "t": {"k": kv, "v": kv, "pos": jnp.int32(0)},
+        # distinct buffers: callers may donate the whole state to a step
+        "t": {
+            "k": jnp.zeros(kv_shape, dt),
+            "v": jnp.zeros(kv_shape, dt),
+            "pos": jnp.zeros((batch,), jnp.int32),
+        },
         "conv_in": conv_state(dp["conv_in"]),
         "stages": stages,
         "conv_out": conv_state(dp["conv_out"]),

@@ -181,10 +181,19 @@ class PocketTTSBackend:
         try:
             for _ in self._model.generate_stream("hi", max_frames=4):
                 pass
+            if settings.os_tts_batcher_enabled:
+                from open_speech_tpu.runtime.pocket_batcher import (
+                    get_pocket_batcher,
+                )
+
+                get_pocket_batcher(self).precompile()
         except Exception:  # noqa: BLE001 — warmup must never block load
             logger.exception("pocket-tts warmup failed")
 
     def unload_model(self, model_id: str = "pocket-tts") -> None:
+        from open_speech_tpu.runtime.pocket_batcher import release_pocket_batcher
+
+        release_pocket_batcher(self)  # free the slot-pool KV HBM
         self._model = None
         self._loaded_at = None
         self._prompt_cache.clear()
@@ -300,6 +309,19 @@ class PocketTTSBackend:
         # audio prompt already carries the voice, so it is accepted and unused
         # (reference accepts it the same way: pocket_tts_backend.py:157-166).
         # no speed control (reference parity): generation is at model rate
+        from open_speech_tpu.config import settings
+
+        if settings.os_tts_batcher_enabled:
+            # concurrent sessions share the fused slot-pool LM step +
+            # batched Mimi decode instead of one AR loop per thread
+            from open_speech_tpu.runtime.pocket_batcher import (
+                get_pocket_batcher,
+            )
+
+            for chunk in get_pocket_batcher(self).synthesize(text, state):
+                if chunk.size:
+                    yield chunk
+            return
         for block in self._model.generate_stream(text, state):
             chunk = np.asarray(block, np.float32)
             if chunk.size:
