@@ -26,7 +26,6 @@ import jax.numpy as jnp
 from open_speech_tpu.models.piper import (
     PiperConfig,
     init_piper_params,
-    synthesize_vits,
 )
 from open_speech_tpu.models.piper.convert import convert_piper_onnx
 from open_speech_tpu.models.piper.model import SAMPLE_RATE
@@ -179,6 +178,12 @@ class PiperBackend:
 
     def unload_model(self, model_id: str) -> None:
         mid = self._canonical(model_id)
+        if mid in self._models:
+            from open_speech_tpu.runtime.tts_batcher import (
+                release_piper_batcher,
+            )
+
+            release_piper_batcher(self, mid)  # free the voice's params
         self._models.pop(mid, None)
         self._loaded_at.pop(mid, None)
         self._last_used.pop(mid, None)
@@ -275,6 +280,13 @@ class PiperBackend:
         # durations by length_scale, we divide by speed — fold it in so a
         # voice shipped with e.g. 1.1 speaks at its intended rate
         speed_eff = speed / float(meta.get("length_scale") or 1.0)
+        from open_speech_tpu.config import settings as _settings
+        from open_speech_tpu.runtime.tts_batcher import (
+            _piper_rows,
+            get_piper_batcher,
+        )
+
+        use_batcher = _settings.os_tts_batcher_enabled
         for si, sentence in enumerate(split_sentences(text) or [text]):
             ids = self._g2p.to_ids(
                 sentence, id_map=meta.get("phoneme_id_map"), voice=lang
@@ -284,16 +296,27 @@ class PiperBackend:
             for pi in range(0, max(len(ids), 1), cfg.max_phonemes):
                 piece = ids[pi : pi + cfg.max_phonemes]
                 n = len(piece)
+                seed = si * 9973 + pi
+                if use_batcher:
+                    # concurrent requests share one batched VITS program;
+                    # per-row seeded noise keeps output independent of
+                    # who the request is batched with
+                    for chunk in get_piper_batcher(self, mid).synthesize(
+                        piece, speaker_id, speed_eff, seed
+                    ):
+                        if chunk.size:
+                            yield chunk
+                    continue
                 phonemes = np.zeros((1, cfg.max_phonemes), np.int32)
                 phonemes[0, :n] = piece
-                audio, n_frames = synthesize_vits(
+                audio, n_frames = _piper_rows(
                     params,
                     cfg,
                     jnp.asarray(phonemes),
                     jnp.asarray([n], jnp.int32),
                     jnp.asarray([speaker_id], jnp.int32),
                     jnp.asarray([speed_eff], jnp.float32),
-                    jax.random.PRNGKey(si * 9973 + pi),
+                    jnp.asarray([seed], jnp.uint32),
                 )
                 samples = int(n_frames[0]) * cfg.samples_per_frame
                 chunk = np.asarray(audio[0, :samples], np.float32)
