@@ -48,18 +48,31 @@ CHUNK_INTERVAL = 0.100  # streaming chunk cadence
 
 
 def _prev_bench() -> dict[str, tuple[float, str]]:
-    """Metric → (value, unit) from the newest BENCH_r*.json on disk.
+    """Metric → (value, unit) from the last committed bench run.
 
-    The driver snapshots each round's stdout into BENCH_r{N}.json with the
-    emitted JSON lines embedded in its "tail" field; parsing that back
-    gives the previous round's numbers so every row below can carry a
-    vs-previous delta (round-3 verdict: two silent regressions in a row —
-    drift must be visible the moment it happens, not when a target fails).
+    Primary source: ``bench_results.json`` — the durable full row list
+    this script writes at the end of every run (the driver's
+    BENCH_r{N}.json keeps only the last ~2 kB of stdout, which silently
+    drops the early ASR rows). Fallback: the newest BENCH_r*.json tail.
+    Round-3 verdict: two silent regressions in a row — drift must be
+    visible the moment it happens, not when a target fails.
     """
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_results.json")) as f:
+            rows = json.load(f).get("rows", [])
+        out = {
+            r["metric"]: (float(r["value"]), str(r.get("unit", "")))
+            for r in rows
+            if "metric" in r and "value" in r
+        }
+        if out:
+            return out
+    except Exception:  # noqa: BLE001 — first run has no results file
+        pass
     files = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
@@ -90,6 +103,7 @@ def _prev_bench() -> dict[str, tuple[float, str]]:
 
 
 _PREV: dict[str, tuple[float, str]] | None = None
+_ROWS: list[dict] = []  # every emitted row, written to bench_results.json
 
 # units where a delta is meaningful, mapped to their good direction
 _GATED_UNITS = {"ms": "lower", "x_realtime_per_chip": "higher"}
@@ -126,7 +140,54 @@ def emit(metric: str, value: float, unit: str, vs_baseline: float) -> None:
         # legitimately differ (e.g. a new bench mode under the same stem)
         if exact and ratio < _REGRESSION_TOLERANCE:
             row["regression"] = True
+    _ROWS.append(row)
     print(json.dumps(row), flush=True)
+
+
+def _load_ack() -> dict[str, str]:
+    """BENCH_ACK.json: metric-stem → root-cause note.
+
+    A ``regression: true`` row whose stem is NOT listed here fails the
+    whole bench run (exit 1). The round-4 lesson: a regression gate that
+    flags and is then ignored in the same round normalizes red — the
+    allowlist forces every accepted regression to carry a written
+    root-cause."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_ACK.json")) as f:
+            return {str(k): str(v) for k, v in json.load(f).items()}
+    except Exception:  # noqa: BLE001 — no ack file = nothing acknowledged
+        return {}
+
+
+def finalize() -> int:
+    """Write the durable full-row artifact and enforce the regression
+    gate. Returns the process exit code."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_results.json"), "w") as f:
+        json.dump(
+            {"rows": _ROWS, "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())},
+            f, indent=1,
+        )
+        f.write("\n")
+    ack = _load_ack()
+    unexplained = []
+    for row in _ROWS:
+        if not row.get("regression"):
+            continue
+        stem = row["metric"].split("(")[0].strip()
+        if row["metric"] in ack or stem in ack:
+            note(f"acknowledged regression: {row['metric']} — "
+                 f"{ack.get(row['metric'], ack.get(stem))}")
+        else:
+            unexplained.append(row["metric"])
+    if unexplained:
+        note(
+            "UNEXPLAINED REGRESSIONS (add a root-cause note to "
+            f"BENCH_ACK.json or fix): {unexplained}"
+        )
+        return 1
+    return 0
 
 
 def note(msg: str) -> None:
@@ -456,6 +517,131 @@ def bench_pocket_ttfa() -> None:
         "block = 160ms audio)",
         p50 * 1000, "ms", 1.5 / p50,
     )
+
+
+def bench_pocket_ttfa64() -> None:
+    """Pocket-TTS TTFA p50 at 64 concurrent sessions through the
+    slot-pool batcher (runtime/pocket_batcher.py) — the north-star
+    concurrency shape. The reference synthesizes pocket one request per
+    thread (src/main.py:781-828), which on one chip serializes 64
+    autoregressive loops; here all 64 share fused pool steps. Real
+    16x1024 LM geometry, bf16, serving max_ctx 768 (the KV pool is
+    2*L*H*ctx*Dh*slots ≈ 3.2 GB)."""
+    import threading
+    from dataclasses import replace
+
+    from open_speech_tpu.models.pocket.lm import PocketLMConfig
+    from open_speech_tpu.models.pocket.mimi import MimiConfig
+    from open_speech_tpu.models.pocket.model import PocketTTS
+    from open_speech_tpu.runtime.pocket_batcher import PocketBatcher
+
+    n_streams = 64
+    tts = PocketTTS.random_init(
+        jax.random.PRNGKey(0),
+        replace(PocketLMConfig(), max_ctx=768),
+        MimiConfig(),
+        dtype=jnp.bfloat16,
+    )
+    batcher = PocketBatcher(tts, slots=n_streams, block_frames=2)
+    text = "The quick brown fox jumps over the lazy dog."
+
+    def burst(n: int) -> list[float]:
+        ttfa = [0.0] * n
+
+        def run(i: int) -> None:
+            t0 = time.time()
+            it = batcher.synthesize(text, None)
+            next(it)
+            ttfa[i] = time.time() - t0
+            for _ in it:  # drain the rest of the utterance
+                pass
+
+        threads = [
+            threading.Thread(target=run, args=(i,)) for i in range(n)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        return ttfa
+
+    try:
+        t0 = time.time()
+        burst(2)  # compile install/prefill/group/mimi programs
+        note(f"pocket ttfa@64 compile={time.time() - t0:.0f}s")
+        p50s = []
+        for _ in range(3):
+            t = burst(n_streams)
+            p50s.append(float(np.median(t)))
+        p50 = float(np.median(p50s))
+        emit(
+            "TTS TTFA p50 pocket-tts (64 concurrent sessions, slot-pool "
+            "batcher, 2-frame first block = 160ms audio)",
+            p50 * 1000, "ms", 1.5 / p50,
+        )
+    finally:
+        batcher.stop()
+
+
+def bench_piper_ttfa64() -> None:
+    """Piper TTFA p50 at 64 concurrent requests through PiperBatcher.
+
+    VITS renders the full utterance in one masked feed-forward program,
+    so TTFA = wait-for-bucket + one batched synthesize_vits; the
+    comparison is the reference's one-onnxruntime-call-per-thread model
+    (src/tts/backends/piper_backend.py:296) on the same chip, where 64
+    threads would serialize 64 full programs."""
+    import threading
+
+    from open_speech_tpu.models.piper.model import (
+        PiperConfig,
+        init_piper_params,
+    )
+    from open_speech_tpu.runtime.tts_batcher import PiperBatcher
+
+    n_streams = 64
+    cfg = PiperConfig(max_phonemes=128, max_frames=384)
+    params = init_piper_params(jax.random.PRNGKey(0), cfg)
+    batcher = PiperBatcher(params, cfg)
+    rng = np.random.default_rng(1)
+    ids = [int(x) for x in rng.integers(1, 120, 60)]
+
+    def burst(n: int) -> list[float]:
+        ttfa = [0.0] * n
+
+        def run(i: int) -> None:
+            t0 = time.time()
+            it = batcher.synthesize(ids, 0, 1.0, i)
+            next(it)
+            ttfa[i] = time.time() - t0
+            for _ in it:
+                pass
+
+        threads = [
+            threading.Thread(target=run, args=(i,)) for i in range(n)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        return ttfa
+
+    try:
+        t0 = time.time()
+        burst(2)
+        burst(n_streams)  # compile the 4- and 64-wide buckets
+        note(f"piper ttfa@64 compile={time.time() - t0:.0f}s")
+        p50s = []
+        for _ in range(3):
+            p50s.append(float(np.median(burst(n_streams))))
+        p50 = float(np.median(p50s))
+        emit(
+            "TTS TTFA p50 piper VITS-medium (64 concurrent requests, "
+            "batched full-utterance render)",
+            p50 * 1000, "ms", 1.5 / p50,
+        )
+    finally:
+        batcher.stop()
 
 
 def bench_tts_throughput() -> None:
@@ -957,6 +1143,14 @@ def main() -> None:
             bench_pocket_ttfa()
         except Exception as e:  # noqa: BLE001 — optional row
             note(f"pocket ttfa bench failed: {e!r}")
+        try:
+            bench_pocket_ttfa64()
+        except Exception as e:  # noqa: BLE001 — optional row
+            note(f"pocket ttfa@64 bench failed: {e!r}")
+        try:
+            bench_piper_ttfa64()
+        except Exception as e:  # noqa: BLE001 — optional row
+            note(f"piper ttfa@64 bench failed: {e!r}")
     if _want("tts"):
         bench_tts_throughput()
     if _want("spec"):
@@ -971,3 +1165,4 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    sys.exit(finalize())
