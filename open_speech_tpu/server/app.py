@@ -640,6 +640,9 @@ async def stats_route(request: web.Request) -> web.Response:
     ]
     snap["batchers"] = pool_stats()
     snap["tts_batchers"] = tts_batcher_stats()
+    from open_speech_tpu.runtime.pocket_batcher import pocket_batcher_stats
+
+    snap["pocket_batchers"] = pocket_batcher_stats()
     from open_speech_tpu.parallel.distributed import replica_info
 
     snap["replica"] = replica_info()

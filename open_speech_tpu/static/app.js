@@ -27,7 +27,10 @@ document.querySelectorAll("#tabs button").forEach((btn) => {
     $(`#tab-${btn.dataset.tab}`).classList.add("active");
     if (btn.dataset.tab === "models") loadModels();
     if (btn.dataset.tab === "history") loadHistory();
-    if (btn.dataset.tab === "studio") { loadProfiles(); loadConversations(); }
+    if (btn.dataset.tab === "studio") {
+      loadProfiles(); loadConversations();
+      loadComposerRenders(); loadComposerSources();
+    }
   });
 });
 
@@ -499,6 +502,126 @@ $("#conv-create").addEventListener("click", async () => {
   });
   $("#conv-name").value = "";
   loadConversations();
+});
+
+/* ── studio: composer ─────────────────────────────────────────────── */
+
+const composerTracks = [];
+
+function renderComposerTracks() {
+  const tbody = $("#composer-tracks tbody");
+  tbody.innerHTML = "";
+  composerTracks.forEach((t, i) => {
+    const tr = document.createElement("tr");
+    const mk = (tag, attrs) => {
+      const el = document.createElement(tag);
+      Object.assign(el, attrs);
+      return el;
+    };
+    const src = mk("input", { value: t.source_path, placeholder: "data/…/render.wav" });
+    src.setAttribute("list", "composer-sources");
+    src.addEventListener("change", () => { t.source_path = src.value; });
+    const vol = mk("input", { type: "number", value: t.volume, step: 0.1, min: 0, max: 4 });
+    vol.addEventListener("change", () => { t.volume = Number(vol.value) || 1.0; });
+    const off = mk("input", { type: "number", value: t.offset_s, step: 0.1, min: 0 });
+    off.addEventListener("change", () => { t.offset_s = Number(off.value) || 0; });
+    const mute = mk("input", { type: "checkbox", checked: t.muted });
+    mute.addEventListener("change", () => { t.muted = mute.checked; });
+    const solo = mk("input", { type: "checkbox", checked: t.solo });
+    solo.addEventListener("change", () => { t.solo = solo.checked; });
+    const fx = mk("input", { value: t.effects, placeholder: "normalize,reverb" });
+    fx.addEventListener("change", () => { t.effects = fx.value; });
+    [src, vol, off, mute, solo, fx].forEach((el) => {
+      const td = document.createElement("td");
+      td.appendChild(el);
+      tr.appendChild(td);
+    });
+    const actions = document.createElement("td");
+    actions.appendChild(btn("Remove", "danger", () => {
+      composerTracks.splice(i, 1);
+      renderComposerTracks();
+    }));
+    tr.appendChild(actions);
+    tbody.appendChild(tr);
+  });
+}
+
+async function loadComposerSources() {
+  // suggest previous mixes as track sources (conversation renders and
+  // voice-library WAVs can be typed/pasted — their paths are shown in
+  // their own panels)
+  try {
+    const data = await (await api("/api/composer/renders")).json();
+    const dl = $("#composer-sources");
+    dl.innerHTML = "";
+    (data.items || []).forEach((r) => {
+      const p = r.render_output_path;
+      if (p && p.endsWith(".wav")) {
+        const opt = document.createElement("option");
+        opt.value = p;
+        dl.appendChild(opt);
+      }
+    });
+  } catch (_e) { /* panel stays usable without suggestions */ }
+}
+
+async function loadComposerRenders() {
+  const data = await (await api("/api/composer/renders")).json();
+  const list = $("#composer-renders");
+  list.innerHTML = "";
+  (data.items || []).forEach((r) => {
+    const div = document.createElement("div");
+    div.className = "conv";
+    const when = (r.created_at || "").replace("T", " ").slice(0, 19);
+    div.innerHTML = `<strong>${r.name || r.id}</strong> ` +
+      `<span class="hint">${when} · ${r.meta && r.meta.duration_ms ? (r.meta.duration_ms / 1000).toFixed(1) + "s" : ""}</span> `;
+    const audio = document.createElement("audio");
+    audio.controls = true;
+    audio.src = `/api/composer/render/${r.id}/audio`;
+    div.appendChild(audio);
+    div.appendChild(btn("Delete", "danger", async () => {
+      await api(`/api/composer/render/${r.id}`, { method: "DELETE" });
+      loadComposerRenders();
+      loadComposerSources();
+    }));
+    list.appendChild(div);
+  });
+}
+
+$("#composer-add").addEventListener("click", () => {
+  composerTracks.push({
+    source_path: "", volume: 1.0, offset_s: 0, muted: false, solo: false,
+    effects: "",
+  });
+  renderComposerTracks();
+});
+
+$("#composer-render").addEventListener("click", async () => {
+  const tracks = composerTracks
+    .filter((t) => t.source_path)
+    .map((t) => ({
+      source_path: t.source_path,
+      volume: t.volume,
+      offset_s: t.offset_s,
+      muted: t.muted,
+      solo: t.solo,
+      effects: String(t.effects || "").split(",").map((s) => s.trim())
+        .filter(Boolean).map((type) => ({ type })),
+    }));
+  if (!tracks.length) { alert("Add at least one track with a source path"); return; }
+  try {
+    await api("/api/composer/render", {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({
+        tracks,
+        format: $("#composer-format").value,
+        name: $("#composer-name").value || undefined,
+      }),
+    });
+    loadComposerRenders();
+    loadComposerSources();
+  } catch (e) { alert(e.message); }
 });
 
 /* ── init ─────────────────────────────────────────────────────────── */
