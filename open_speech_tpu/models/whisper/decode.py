@@ -501,10 +501,11 @@ def _beam_impl(
     prefill_logits, self_kv_b = _prefill(
         params, prompt, cross_kv_b, self_kv_b, cfg, enc_len
     )
-    cross_kv = _repeat_kv(cross_kv_b, k)
+    # cross-KV and enc_len stay at B rows: beams fold into the cross-attn
+    # query axis inside decode_step (see model.cross_attend) — replicating
+    # the L×2×B×H×1500×Dh memory K× was the dominant per-step HBM stream
+    cross_kv = cross_kv_b
     self_kv = _repeat_kv(self_kv_b, k)
-    if enc_len is not None:
-        enc_len = jnp.repeat(enc_len, k)  # beams ride the batch axis
     sot_pos = jnp.argmax((prompt == special.sot).astype(jnp.int32), axis=1)
     sot_logits = jnp.take_along_axis(
         prefill_logits.transpose(1, 0, 2), sot_pos[:, None, None], axis=1
@@ -561,7 +562,8 @@ def _beam_impl(
         max_ts = jnp.where(is_ts & ~finished, jnp.maximum(max_ts, tok), max_ts)
         new_finished = finished | (tok == special.eot)
         next_logits, kv = decode_step(
-            params, tok[:, None], p_len + step_idx, kv, cross_kv, cfg, enc_len
+            params, tok[:, None], p_len + step_idx, kv, cross_kv, cfg,
+            enc_len, beam=k,
         )
         return (
             step_idx + 1,

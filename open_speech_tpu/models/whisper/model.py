@@ -384,7 +384,7 @@ def precompute_cross_kv(params, enc_out, cfg: WhisperConfig):
     return _precompute_cross_kv_impl(params, enc_out, cfg.n_text_head)
 
 
-def cross_attend(qc, ckv, batch: int, enc_len=None):
+def cross_attend(qc, ckv, batch: int, enc_len=None, beam: int = 1):
     """Cross-attention against a per-layer cross-KV slice (either form).
 
     ``enc_len`` ([B] int32) masks encoder positions past the real audio —
@@ -392,7 +392,22 @@ def cross_attend(qc, ckv, batch: int, enc_len=None):
     the rest instead of re-encoding silence to the bucket edge each chunk.
     Clamped to >=1: an all-masked row would softmax over -inf to NaN;
     attending one silent frame is the harmless degenerate case.
+
+    ``beam > 1``: qc carries B*K rows but ckv stays [.., B, ..] — every
+    beam of a batch row attends the SAME encoder memory, so replicating
+    the cross-KV K× (the naive layout) multiplies the dominant per-step
+    HBM stream (L×2×B×H×1500×Dh, re-read every decode step) by the beam
+    width for zero information. Instead the K beams fold into the query
+    position axis: [B*K, H, 1, D] → [B, H, K, D], one attention over the
+    un-replicated memory, fold back. Bit-identical math, 1/K the traffic.
     """
+    if beam > 1:
+        bk, h, q_len, d = qc.shape  # decode path: q_len == 1
+        b = bk // beam
+        q_fold = qc.reshape(b, beam, h, q_len, d)[:, :, :, 0, :]
+        q_fold = q_fold.transpose(0, 2, 1, 3)  # [B, H, K, D]
+        out = cross_attend(q_fold, ckv, b, enc_len)
+        return out.transpose(0, 2, 1, 3).reshape(bk, h, q_len, d)
     if enc_len is not None:
         enc_len = jnp.maximum(enc_len, 1)
     if isinstance(ckv, dict):
@@ -407,8 +422,10 @@ def cross_attend(qc, ckv, batch: int, enc_len=None):
     return decode_attention(qc, ckv[0], ckv[1], enc_len)
 
 
-@partial(jax.jit, static_argnames=("n_head",), donate_argnums=(3,))
-def _decode_step_impl(params, tokens, pos, self_kv, cross_kv, n_head, enc_len=None):
+@partial(jax.jit, static_argnames=("n_head", "beam"), donate_argnums=(3,))
+def _decode_step_impl(
+    params, tokens, pos, self_kv, cross_kv, n_head, enc_len=None, beam=1
+):
     dec = params["decoder"]
     b = tokens.shape[0]
     x = embed_tokens(dec, tokens) + jax.lax.dynamic_slice_in_dim(
@@ -434,7 +451,7 @@ def _decode_step_impl(params, tokens, pos, self_kv, cross_kv, n_head, enc_len=No
         # cross-attn against precomputed enc K/V (bf16 or int8 packed)
         hc = layer_norm(h, bp["ln_cross"])
         qc = _split_heads(linear(hc, bp["cross"]["q"]), n_head)
-        attn_c = cross_attend(qc, ckv, b, enc_len)
+        attn_c = cross_attend(qc, ckv, b, enc_len, beam=beam)
         h = h + linear(_merge_heads(attn_c), bp["cross"]["o"])
         h = h + mlp(layer_norm(h, bp["ln_mlp"]), bp)
         return h, jnp.stack([k_cache, v_cache])
@@ -448,15 +465,18 @@ def _decode_step_impl(params, tokens, pos, self_kv, cross_kv, n_head, enc_len=No
 
 
 def decode_step(
-    params, tokens, pos, self_kv, cross_kv, cfg: WhisperConfig, enc_len=None
+    params, tokens, pos, self_kv, cross_kv, cfg: WhisperConfig, enc_len=None,
+    beam: int = 1,
 ):
     """One incremental decode position.
 
     tokens: [B, 1] int32 (current input token); pos: scalar int32 position;
     self_kv: [L, 2, B, H, T_max, Dh] (donated; returned updated);
     cross_kv: from precompute_cross_kv.
+    ``beam > 1``: tokens/self_kv carry B*K rows while cross_kv (and
+    enc_len) stay at B rows — see cross_attend.
     Returns (logits [B, vocab] float32, new self_kv).
     """
     return _decode_step_impl(
-        params, tokens, pos, self_kv, cross_kv, cfg.n_text_head, enc_len
+        params, tokens, pos, self_kv, cross_kv, cfg.n_text_head, enc_len, beam
     )

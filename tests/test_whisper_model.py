@@ -118,6 +118,42 @@ def test_beam_decode_runs_and_not_worse(params, enc_out, tok):
     assert np.all(b.avg_logprob >= g.avg_logprob - 1e-3)
 
 
+def test_beam_batch_row_independence(params, enc_out, tok):
+    """Beam rows must not leak across the batch axis.
+
+    The beam step folds the K beams of every batch row into the
+    cross-attention query axis over an UN-replicated cross-KV
+    (model.cross_attend beam>1 path); a wrong fold order would mix
+    row 0's beams with row 1's memory. Decoding each row alone must
+    reproduce the batched result exactly."""
+    sp = tok.special
+    prompt = np.array([sp.sot_sequence("en")] * 2, np.int32)
+    opts = DecodeOptions(max_new_tokens=6, beam_size=3, timestamps=False)
+    batched = beam_decode(params, CFG, sp, enc_out, prompt, opts)
+    for row in range(2):
+        solo = beam_decode(
+            params, CFG, sp, enc_out[row : row + 1], prompt[:1], opts
+        )
+        assert np.array_equal(solo.tokens[0], batched.tokens[row])
+        np.testing.assert_allclose(
+            solo.avg_logprob[0], batched.avg_logprob[row], atol=1e-4
+        )
+
+
+def test_beam_int8_cross_kv_path(params, enc_out, tok):
+    """Beam over an int8-quantized model (dict-form cross-KV pack) —
+    exercises the beam>1 fold through the int8 decode_attention path."""
+    from open_speech_tpu.models.whisper.quantize import quantize_whisper_params
+
+    sp = tok.special
+    qparams = quantize_whisper_params(params)
+    prompt = np.array([sp.sot_sequence("en")] * 2, np.int32)
+    opts = DecodeOptions(max_new_tokens=5, beam_size=2, timestamps=False)
+    res = beam_decode(qparams, CFG, sp, enc_out.astype(jnp.bfloat16), prompt, opts)
+    assert res.tokens.shape == (2, 5)
+    assert np.isfinite(res.avg_logprob).all()
+
+
 def test_timestamp_rules_first_token_is_timestamp(params, enc_out, tok):
     sp = tok.special
     prompt = np.array([sp.sot_sequence("en")] * 2, np.int32)
