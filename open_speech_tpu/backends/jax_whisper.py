@@ -68,6 +68,10 @@ ALIASES: dict[str, str] = {
     "distil-whisper/distil-large-v3": "distil-large-v3",
     "openai/whisper-large-v3-turbo": "large-v3-turbo",
     "openai/whisper-large-v3": "large-v3",
+    # committed EOT-trained fixture (tools/finetune_tiny_eot.py): same
+    # test-tiny geometry, weights that actually emit <|endoftext|> /
+    # <|nospeech|> so bench/tests can exercise the stop and gate paths
+    "test-tiny-eot": "test-tiny",
 }
 
 
