@@ -61,16 +61,15 @@ def _prev_bench() -> dict[str, tuple[float, str]]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    from_file: dict[str, tuple[float, str]] = {}
     try:
         with open(os.path.join(here, "bench_results.json")) as f:
             rows = json.load(f).get("rows", [])
-        out = {
+        from_file = {
             r["metric"]: (float(r["value"]), str(r.get("unit", "")))
             for r in rows
             if "metric" in r and "value" in r
         }
-        if out:
-            return out
     except Exception:  # noqa: BLE001 — first run has no results file
         pass
     files = sorted(
@@ -98,8 +97,11 @@ def _prev_bench() -> dict[str, tuple[float, str]]:
                     str(row.get("unit", "")),
                 )
         if out:
+            # the results file wins per metric; the stdout tail fills in
+            # metrics a partial (BENCH_ONLY) artifact doesn't carry
+            out.update(from_file)
             return out
-    return {}
+    return from_file
 
 
 _PREV: dict[str, tuple[float, str]] | None = None
@@ -162,11 +164,29 @@ def _load_ack() -> dict[str, str]:
 
 def finalize() -> int:
     """Write the durable full-row artifact and enforce the regression
-    gate. Returns the process exit code."""
+    gate. Returns the process exit code.
+
+    A BENCH_ONLY partial run MERGES its rows into the existing artifact
+    by metric name instead of overwriting it — otherwise one targeted
+    re-run would erase every other metric's prev value and silently
+    disarm the regression gate for them on the next full run."""
     here = os.path.dirname(os.path.abspath(__file__))
+    if os.environ.get("BENCH_NO_PERSIST"):
+        # smoke/debug runs (e.g. CPU-backend shakeouts of new rows) must
+        # not become the vs_prev reference for real chip runs
+        return 0
+    rows = list(_ROWS)
+    if ONLY:
+        try:
+            with open(os.path.join(here, "bench_results.json")) as f:
+                old = json.load(f).get("rows", [])
+        except Exception:  # noqa: BLE001 — no prior artifact to merge
+            old = []
+        new_metrics = {r["metric"] for r in rows}
+        rows = [r for r in old if r.get("metric") not in new_metrics] + rows
     with open(os.path.join(here, "bench_results.json"), "w") as f:
         json.dump(
-            {"rows": _ROWS, "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())},
+            {"rows": rows, "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())},
             f, indent=1,
         )
         f.write("\n")
@@ -389,6 +409,185 @@ def bench_asr(run_asr: bool = True) -> None:
             "(server/streaming.py:_schedule_interim); this row is the "
             "raw single-session device cost, no-EOT worst case"
         )
+
+
+def bench_streaming_ws() -> None:
+    """Server-level streaming concurrency: N real WS sessions end-to-end.
+
+    The stream/stream_inc rows measure device programs only; this row
+    runs the WHOLE serving path — aiohttp server process, VAD step
+    (threshold 0 so noise counts as speech and the VAD compute stays on
+    the hot path), coalescing interim scheduler, LocalAgreement2, shared
+    continuous batcher — with N clients feeding real-time-paced 100 ms
+    PCM16 chunks over ws://.../v1/audio/stream.
+
+    Metrics per N in (8, 16):
+      - p95 gap between consecutive interim transcripts per session
+        (steady-state cadence; keeping up ⇒ ~chunk interval)
+      - p50 final turnaround: stop-sent → speech_final received (full
+        decode + scheduler drain on the close path)
+    """
+    import asyncio
+    import socket
+    import subprocess
+
+    import aiohttp
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.update(
+        OS_SSL_ENABLED="false",
+        OS_PORT=str(port),
+        OS_HOST="127.0.0.1",
+        OS_STT_MODEL=MODEL,
+        OS_STT_COMPUTE_TYPE=COMPUTE,
+        OS_PRECOMPILE_ON_LOAD="1",
+        OS_STREAM_VAD_THRESHOLD="0.0",
+        OS_STT_VAD_THRESHOLD="0.0",
+        OS_STREAM_MAX_CONNECTIONS="64",
+        JAX_COMPILATION_CACHE_DIR="/root/.jax_cache",
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "open_speech_tpu.server"],
+        env=env, cwd=here,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
+    stream_seconds = 8.0
+    chunk_ms = int(CHUNK_INTERVAL * 1000)
+    chunk_bytes = int(16000 * CHUNK_INTERVAL) * 2
+    rng = np.random.default_rng(3)
+    pcm = rng.integers(-8000, 8000, int(16000 * stream_seconds)).astype(
+        np.int16
+    ).tobytes()
+
+    async def one_session(
+        http: "aiohttp.ClientSession", results: list, final_wait: float
+    ):
+        url = (
+            f"ws://127.0.0.1:{port}/v1/audio/stream?model={MODEL}"
+            "&language=en&interim_results=true"
+        )
+        interim_at: list[float] = []
+        final_turnaround = None
+        async with http.ws_connect(url, max_msg_size=0) as ws:
+            loop = asyncio.get_running_loop()
+            t0 = loop.time()
+            n_chunks = len(pcm) // chunk_bytes
+            sent = 0
+            stop_at = None
+
+            async def reader():
+                nonlocal final_turnaround
+                async for msg in ws:
+                    if msg.type != aiohttp.WSMsgType.TEXT:
+                        continue
+                    evt = json.loads(msg.data)
+                    if evt.get("type") == "session.end":
+                        return
+                    if evt.get("type") != "transcript":
+                        continue
+                    if evt.get("speech_final"):
+                        if stop_at is not None:
+                            final_turnaround = loop.time() - stop_at
+                        return
+                    interim_at.append(loop.time())
+
+            rtask = asyncio.create_task(reader())
+            try:
+                for i in range(n_chunks):
+                    target = t0 + i * CHUNK_INTERVAL
+                    delay = target - loop.time()
+                    if delay > 0:
+                        await asyncio.sleep(delay)
+                    await ws.send_bytes(pcm[sent : sent + chunk_bytes])
+                    sent += chunk_bytes
+                stop_at = loop.time()
+                await ws.send_str(json.dumps({"type": "stop"}))
+            except Exception as e:  # noqa: BLE001 — a dropped session
+                # must not kill the whole gather; it just contributes no
+                # final-turnaround sample
+                note(f"ws session send failed: {e!r}")
+            try:
+                # first-ever session rides every streaming-program compile
+                # (minutes through the relay) — give it room; measured runs
+                # hit warm programs and finish in well under 30 s
+                await asyncio.wait_for(rtask, timeout=final_wait)
+            except asyncio.TimeoutError:
+                rtask.cancel()
+        gaps = [
+            (b - a) for a, b in zip(interim_at, interim_at[1:])
+        ]
+        results.append((gaps, final_turnaround, len(interim_at)))
+
+    async def run_n(n: int, final_wait: float = 30.0):
+        results: list = []
+        async with aiohttp.ClientSession() as http:
+            await asyncio.gather(
+                *(one_session(http, results, final_wait) for _ in range(n))
+            )
+        return results
+
+    async def wait_health():
+        deadline = time.time() + 600
+        async with aiohttp.ClientSession() as http:
+            while time.time() < deadline:
+                try:
+                    async with http.get(
+                        f"http://127.0.0.1:{port}/health",
+                        timeout=aiohttp.ClientTimeout(total=5),
+                    ) as r:
+                        if r.status == 200:
+                            return
+                except Exception:  # noqa: BLE001 — still booting
+                    pass
+                await asyncio.sleep(2.0)
+        raise RuntimeError("server did not become healthy")
+
+    try:
+        asyncio.run(wait_health())
+        t0 = time.time()
+        # warm the streaming buckets end-to-end: two passes, since the
+        # first session's interims mostly coalesce behind compiles and
+        # later buckets only get hit once earlier ones are warm
+        asyncio.run(run_n(1, final_wait=900.0))
+        asyncio.run(run_n(2, final_wait=300.0))
+        note(f"ws warmup took {time.time() - t0:.0f}s")
+        for n in (8, 16):
+            res = asyncio.run(run_n(n, final_wait=120.0))
+            gaps = [g for r in res for g in r[0]]
+            finals = [r[1] for r in res if r[1] is not None]
+            interims = sum(r[2] for r in res)
+            if not gaps or not finals:
+                note(f"ws bench @N={n}: interims={interims}, "
+                     f"finals={len(finals)} — incomplete, skipping rows")
+                continue
+            p95_gap = float(np.percentile(gaps, 95))
+            p50_final = float(np.median(finals))
+            emit(
+                f"streaming WS e2e p95 interim gap (N={n} real-time "
+                "sessions, full server path)",
+                p95_gap * 1000, "ms",
+                (2 * CHUNK_INTERVAL) / p95_gap,
+            )
+            emit(
+                f"streaming WS e2e p50 final turnaround (N={n} real-time "
+                "sessions, stop -> speech_final)",
+                p50_final * 1000, "ms", 1.0 / p50_final,
+            )
+            note(
+                f"ws @N={n}: {interims} interims across {n} sessions "
+                f"({interims / n / stream_seconds:.1f}/s/session)"
+            )
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            proc.kill()
 
 
 # ── TTS ───────────────────────────────────────────────────────────────
@@ -645,13 +844,19 @@ def bench_piper_ttfa64() -> None:
 
 
 def bench_tts_throughput() -> None:
-    from open_speech_tpu.models.kokoro.model import vocode
+    from open_speech_tpu.models.kokoro.model import _unwire, vocode
 
     params, cfg, encode_utterance, args = _kokoro_setup(16)
 
     def synth():
+        # int16 wire (the serving wire format): through the relayed chip
+        # the device->host transfer dominates this row, and serving never
+        # ships f32 — see vocode()'s wire_i16 note
         g, n_frames = encode_utterance(params, cfg, *args)
-        return np.asarray(vocode(params, cfg, g, n_frames, jax.random.PRNGKey(0))), np.asarray(n_frames)
+        audio = vocode(
+            params, cfg, g, n_frames, jax.random.PRNGKey(0), wire_i16=True
+        )
+        return _unwire(np.asarray(audio)), np.asarray(n_frames)
 
     synth()
     laps = []
@@ -777,6 +982,91 @@ def _want(key: str) -> bool:
 
 
 # ── real / converted weights ──────────────────────────────────────────
+
+
+def bench_asr_eot() -> None:
+    """RTFx with EOT-determined decode lengths through the full
+    transcribe path — the first bench row NOT bound by the fixed
+    96-token budget.
+
+    Random weights never emit <|endoftext|>, so every RTFx row before
+    round 5 decoded exactly TOKENS_PER_WINDOW tokens and the EOT stop,
+    no-speech gate, and temperature-fallback machinery had never run
+    under bench (round-4 verdict weak #2). tests/fixtures/test-tiny-eot
+    (trained in-container by tools/finetune_tiny_eot.py) emits EOT after
+    content-dependent token counts and <|nospeech|> on silence, matching
+    the reference gate semantics (faster_whisper no_speech_threshold /
+    log_prob_threshold, src/backends/faster_whisper.py:235-245).
+
+    60 s file alternating beep and silence windows -> the seek loop runs
+    ~50 windows; beep windows stop at EOT (6-16 tokens, not 96) and
+    silence windows exit via the no-speech gate. Wall time therefore
+    reflects real decode-length behavior, not the pessimal budget.
+    """
+    from open_speech_tpu.backends.jax_whisper import JaxWhisperBackend
+    from open_speech_tpu.config import settings
+    from open_speech_tpu.ops import audio as codec
+
+    fixtures = os.path.join(os.path.dirname(__file__), "tests", "fixtures")
+    old = settings.stt_model_dir, settings.os_precompile_on_load
+    settings.stt_model_dir = fixtures
+    settings.os_precompile_on_load = False
+    try:
+        backend = JaxWhisperBackend()
+        assert backend._find_checkpoint("test-tiny-eot") is not None
+        rng = np.random.default_rng(5)
+        sr = 16000
+        window = int(1.2 * sr)  # test-tiny geometry: 1.2 s windows
+        pieces = []
+        for w in range(50):
+            if w % 3 == 2:
+                pieces.append(rng.normal(0, 0.002, window))
+            else:
+                clip = rng.normal(0, 0.003, window)
+                k = 1 + w % 3
+                span = window // k
+                for i in range(k):
+                    start = i * span
+                    dur = int(0.15 * sr)
+                    t = np.arange(dur) / sr
+                    clip[start : start + dur] += (
+                        0.5 * np.sin(2 * np.pi * 440.0 * t) * np.hanning(dur)
+                    )
+                pieces.append(clip)
+        audio = np.concatenate(pieces).astype(np.float32)
+        wav = codec.write_wav(audio, sr)
+        run = lambda: backend.transcribe(  # noqa: E731
+            wav, "test-tiny-eot", language="en", beam_size=1,
+            response_format="verbose_json",
+        )
+        t0 = time.time()
+        resp = run()
+        note(f"eot bench compile+first={time.time() - t0:.0f}s")
+        laps = []
+        for _ in range(ITERS):
+            t0 = time.time()
+            resp = run()
+            laps.append(time.time() - t0)
+        wall = min(laps)
+        audio_s = len(audio) / sr
+        segs = resp.get("segments", [])
+        tok_counts = [len(s.get("tokens", [])) for s in segs]
+        note(
+            f"eot decode: {len(segs)} segments, token counts "
+            f"p50={float(np.median(tok_counts)) if tok_counts else 0:.0f} "
+            f"max={max(tok_counts) if tok_counts else 0} "
+            f"(budget would be 96); wall={wall:.2f}s"
+        )
+        rtfx = audio_s / wall
+        emit(
+            "ASR RTFx test-tiny-eot EOT-driven decode (full transcribe "
+            "path: seek loop, EOT stop, no-speech gate, fallback armed)",
+            rtfx, "x_realtime_per_chip", rtfx / TARGET_RTFX,
+        )
+    except Exception as e:  # noqa: BLE001 — optional row
+        note(f"eot bench failed: {e!r}")
+    finally:
+        settings.stt_model_dir, settings.os_precompile_on_load = old
 
 
 def bench_converted_ckpt() -> None:
@@ -1137,6 +1427,11 @@ def main() -> None:
             bench_vad()
         except Exception as e:  # noqa: BLE001 — optional row
             note(f"vad bench failed: {e!r}")
+    if _want("ws"):
+        try:
+            bench_streaming_ws()
+        except Exception as e:  # noqa: BLE001 — optional row
+            note(f"ws streaming bench failed: {e!r}")
     if _want("ttfa"):
         bench_tts_ttfa()
         try:
@@ -1158,6 +1453,8 @@ def main() -> None:
             bench_speculative()
         except Exception as e:  # noqa: BLE001 — optional row
             note(f"spec bench failed: {e!r}")
+    if _want("eot"):
+        bench_asr_eot()
     if _want("ckpt"):
         bench_converted_ckpt()
         bench_real_weights()

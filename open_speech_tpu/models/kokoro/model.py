@@ -588,21 +588,26 @@ def _source_noise(rng, b: int, nh: int, s_total: int):
     return rand_phase, jax.random.normal(k2, (b, s_total, nh))
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def vocode(params, cfg: KokoroConfig, g, n_frames, rng):
+@partial(jax.jit, static_argnames=("cfg", "wire_i16"))
+def vocode(params, cfg: KokoroConfig, g, n_frames, rng, *, wire_i16=False):
     """Back half: istftnet decode + harmonic-source generation.
 
     ``rng`` may be a single key or per-row keys [B, 2] (same contract as
-    ``vocode_streaming``)."""
+    ``vocode_streaming``). ``wire_i16=True`` returns int16 PCM — the same
+    wire format the streaming paths use (audio leaves the server as
+    16-bit PCM anyway), halving the device→host bytes; through a relayed
+    chip the transfer, not the FLOPs, dominates batch synthesis wall
+    time (measured: 0.14 s device vs 0.26-0.54 s f32 transfer at B=16)."""
     asr, f0, n, s_dec = g
     x, _ = decode_audio(params, cfg, asr, f0, n, s_dec, n_frames)
     b = asr.shape[0]
     nh = cfg.harmonics + 1
     s_total = cfg.max_frames * cfg.samples_per_frame
     rand_phase, sine_noise = _source_noise(rng, b, nh, s_total)
-    return generate_waveform(
+    audio = generate_waveform(
         params, cfg, x, s_dec, f0, n_frames, rand_phase, sine_noise
     )
+    return _wire(audio, wire_i16)
 
 
 def synthesize_frames(params, cfg: KokoroConfig, phonemes, ph_len, style, speed,
