@@ -407,13 +407,15 @@ def beam_decode(
     prompt: np.ndarray,  # [B, P]
     opts: DecodeOptions = DecodeOptions(),
     enc_len: np.ndarray | None = None,  # [B] real encoder positions (mask)
+    ancestry: bool = True,
 ) -> DecodeResult:
     """Beam search (default beam 5, matching the reference backend's CT2 call).
 
     Beams ride the batch axis: decode_step sees [B*K] rows; per-step the
-    [B, K*V] score table is top-k'd and the KV cache rows are gathered to the
-    surviving beams (one take per step — HBM shuffle of the cache, overlapped
-    by XLA with the next step's matmuls).
+    [B, K*V] score table is top-k'd. The self-KV cache is NEVER gathered:
+    beam lineage lives in a row_map that attention resolves at read time
+    (``ancestry=True``; see _beam_impl), and the cross-KV is never
+    replicated (beams fold into the cross-attention query axis).
     """
     b, p_len = prompt.shape
     k = opts.beam_size
@@ -437,6 +439,7 @@ def beam_decode(
         max_init_tok=max_init_tok,
         blank=blank,
         length_penalty=float(opts.length_penalty),
+        ancestry=ancestry,
     )
     # one transfer for all outputs (see greedy_decode)
     tokens, lengths, scores, nsp = jax.device_get((tokens, lengths, scores, nsp))
@@ -471,6 +474,7 @@ def _repeat_kv(kv, k: int):
         "max_init_tok",
         "blank",
         "length_penalty",
+        "ancestry",
     ),
 )
 def _beam_impl(
@@ -488,16 +492,23 @@ def _beam_impl(
     max_init_tok: int,
     blank: tuple[int, ...],
     length_penalty: float,
+    ancestry: bool = True,
 ):
+    """Beam step. ``ancestry=True`` (default, TPU-fast) keeps the self-KV
+    cache physically un-permuted and tracks beam lineage in a [B*K, T]
+    row_map that attention resolves at read time
+    (ops.attention.beam_select_attention) — the per-step full-cache
+    gather (measured 39% of beam-decode wall on v5e) disappears.
+    ``ancestry=False`` is the classic materialized-gather formulation,
+    kept as the oracle for the equivalence test."""
     b, p_len = prompt.shape
     k = beam
     v = cfg.n_vocab
     # prefill once per batch row (all k beams share the prompt), then fan
     # the caches out across beams — k× cheaper than prefill at [B*K]
     cross_kv_b = precompute_cross_kv(params, enc_out, cfg)
-    self_kv_b = init_self_kv(
-        cfg, b, _cache_len(cfg, prompt.shape[1], max_new), enc_out.dtype
-    )
+    t_cache = _cache_len(cfg, prompt.shape[1], max_new)
+    self_kv_b = init_self_kv(cfg, b, t_cache, enc_out.dtype)
     prefill_logits, self_kv_b = _prefill(
         params, prompt, cross_kv_b, self_kv_b, cfg, enc_len
     )
@@ -506,6 +517,11 @@ def _beam_impl(
     # the L×2×B×H×1500×Dh memory K× was the dominant per-step HBM stream
     cross_kv = cross_kv_b
     self_kv = _repeat_kv(self_kv_b, k)
+    # ancestry init: every beam's history (the shared prompt) lives in its
+    # own physical row
+    row_map = jnp.tile(
+        jnp.arange(b * k, dtype=jnp.int32)[:, None], (1, t_cache)
+    )
     sot_pos = jnp.argmax((prompt == special.sot).astype(jnp.int32), axis=1)
     sot_logits = jnp.take_along_axis(
         prefill_logits.transpose(1, 0, 2), sot_pos[:, None, None], axis=1
@@ -522,8 +538,8 @@ def _beam_impl(
         return (state[0] < max_new) & ~jnp.all(state[-1])
 
     def body(state):
-        (step_idx, cur_logits, kv, buf, last, penult, max_ts, beam_lp, lengths,
-         finished) = state
+        (step_idx, cur_logits, kv, row_map, buf, last, penult, max_ts,
+         beam_lp, lengths, finished) = state
         logits = _apply_rules(
             cur_logits,
             step_idx=step_idx,
@@ -554,7 +570,18 @@ def _beam_impl(
         max_ts = gather(max_ts)
         lengths = gather(lengths)
         finished = gather(finished)
-        kv = jnp.take(kv, flat_src, axis=2)  # [L, 2, B*K, H, T, Dh]
+        if ancestry:
+            # inherit the chosen ancestor's lineage, then claim this
+            # step's position: decode_step writes beam j's new K/V into
+            # physical row j
+            row_map = gather(row_map)
+            row_map = jax.lax.dynamic_update_slice(
+                row_map,
+                jnp.arange(b * k, dtype=jnp.int32)[:, None],
+                (0, p_len + step_idx),
+            )
+        else:
+            kv = jnp.take(kv, flat_src, axis=2)  # [L, 2, B*K, H, T, Dh]
         buf = jax.lax.dynamic_update_slice(buf, tok[:, None], (0, step_idx))
         now_eot = (tok == special.eot) & ~finished
         lengths = lengths + jnp.where(finished | (tok == special.eot), 0, 1)
@@ -563,12 +590,13 @@ def _beam_impl(
         new_finished = finished | (tok == special.eot)
         next_logits, kv = decode_step(
             params, tok[:, None], p_len + step_idx, kv, cross_kv, cfg,
-            enc_len, beam=k,
+            enc_len, beam=k, row_map=row_map if ancestry else None,
         )
         return (
             step_idx + 1,
             next_logits,
             kv,
+            row_map,
             buf,
             tok,
             last_g,
@@ -582,6 +610,7 @@ def _beam_impl(
         jnp.int32(0),
         jnp.repeat(prefill_logits[-1], k, axis=0),
         self_kv,
+        row_map,
         out_buf,
         jnp.repeat(prompt[:, -1], k, axis=0),
         jnp.repeat(prompt[:, -2] if p_len > 1 else prompt[:, -1], k, axis=0),
@@ -591,7 +620,7 @@ def _beam_impl(
         jnp.zeros((b * k,), bool),
     )
     state = jax.lax.while_loop(cond, body, init)
-    (_, _, _, buf, _, _, _, beam_lp, lengths, _finished) = state
+    (_, _, _, _, buf, _, _, _, beam_lp, lengths, _finished) = state
     # pick best beam per batch row by length-normalized score
     norm = beam_lp.reshape(b, k) / jnp.maximum(
         lengths.reshape(b, k).astype(jnp.float32) + 1, 1.0

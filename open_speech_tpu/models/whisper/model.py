@@ -424,8 +424,11 @@ def cross_attend(qc, ckv, batch: int, enc_len=None, beam: int = 1):
 
 @partial(jax.jit, static_argnames=("n_head", "beam"), donate_argnums=(3,))
 def _decode_step_impl(
-    params, tokens, pos, self_kv, cross_kv, n_head, enc_len=None, beam=1
+    params, tokens, pos, self_kv, cross_kv, n_head, enc_len=None, beam=1,
+    row_map=None,
 ):
+    from open_speech_tpu.ops.attention import beam_select_attention
+
     dec = params["decoder"]
     b = tokens.shape[0]
     x = embed_tokens(dec, tokens) + jax.lax.dynamic_slice_in_dim(
@@ -446,7 +449,15 @@ def _decode_step_impl(
             kv[1], v_new.astype(kv.dtype), (0, 0, pos, 0)
         )
         length = jnp.full((b,), pos + 1, jnp.int32)
-        attn = decode_attention(q, k_cache, v_cache, length)
+        if row_map is not None:
+            # beam ancestry: caches are physically un-permuted; the
+            # row_map selects each beam's lineage at read time instead
+            # of the per-step full-cache gather (see beam_select_attention)
+            attn = beam_select_attention(
+                q, k_cache, v_cache, row_map, length, beam
+            )
+        else:
+            attn = decode_attention(q, k_cache, v_cache, length)
         h = h + linear(_merge_heads(attn), bp["attn"]["o"])
         # cross-attn against precomputed enc K/V (bf16 or int8 packed)
         hc = layer_norm(h, bp["ln_cross"])
@@ -466,7 +477,7 @@ def _decode_step_impl(
 
 def decode_step(
     params, tokens, pos, self_kv, cross_kv, cfg: WhisperConfig, enc_len=None,
-    beam: int = 1,
+    beam: int = 1, row_map=None,
 ):
     """One incremental decode position.
 
@@ -474,9 +485,12 @@ def decode_step(
     self_kv: [L, 2, B, H, T_max, Dh] (donated; returned updated);
     cross_kv: from precompute_cross_kv.
     ``beam > 1``: tokens/self_kv carry B*K rows while cross_kv (and
-    enc_len) stay at B rows — see cross_attend.
+    enc_len) stay at B rows — see cross_attend. ``row_map`` [B*K, T]:
+    beam-ancestry physical-row table; when given, self-attention reads
+    lineage rows in place instead of the caller gathering the cache.
     Returns (logits [B, vocab] float32, new self_kv).
     """
     return _decode_step_impl(
-        params, tokens, pos, self_kv, cross_kv, cfg.n_text_head, enc_len, beam
+        params, tokens, pos, self_kv, cross_kv, cfg.n_text_head, enc_len,
+        beam, row_map,
     )

@@ -391,3 +391,74 @@ def decode_attention(
             preferred_element_type=jnp.float32,
         )
     return out.astype(q.dtype)
+
+
+def beam_select_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    row_map: jax.Array,
+    length: jax.Array,
+    beam: int,
+    *,
+    scale: float | None = None,
+) -> jax.Array:
+    """Beam-search decode attention over UN-permuted caches.
+
+    The classic beam step physically gathers the whole self-KV cache to
+    the surviving beams every step (``jnp.take`` on the batch axis) —
+    measured at 39% of beam-decode wall time on a v5e (1.7 ms/step for a
+    105 MB cache: gathers run far below streaming HBM bandwidth).
+    Instead the cache rows stay where they were written and ``row_map``
+    [B*K, T] names, per (beam, position), the physical row holding that
+    beam's K/V — the beam ancestry. Attention reads every row of the
+    batch row's K-beam group ONCE in a dense batched dot (an MXU tile,
+    not K matvecs), then selects the lineage entry per position:
+
+      logits[b,k,h,t] = q[b,k,h,:] · K[b, row_map%K, h, t, :]
+
+    computed as a [K(query) × K(source)] score table + a tiny gather of
+    the f32 scores (≤ a few MB), never of the caches. The value side
+    folds the same one-hot selection into the probabilities, so V is
+    also read once. Extra dot FLOPs are K× on the attention dots only —
+    hundreds of MFLOPs per step against the matmul-bound step, nothing —
+    while the 2× cache-sized gather traffic disappears.
+
+    q: [B*K, H, 1, D]; caches: [B*K, H, T, D]; row_map: [B*K, T] int32
+    flat physical rows (always within the same batch row's K-slot
+    group); length: scalar or [B*K] valid prefix. Returns [B*K, H, 1, D].
+    """
+    bk, h, _, d = q.shape
+    b = bk // beam
+    t = k_cache.shape[2]
+    scale = (d**-0.5) if scale is None else scale
+    qf = q[:, :, 0, :].reshape(b, beam, h, d)
+    kf = k_cache.reshape(b, beam, h, t, d)
+    vf = v_cache.reshape(b, beam, h, t, d)
+    # scores of every query beam against every source beam's cache
+    logits_all = jnp.einsum(
+        "bkhd,bmhtd->bkhmt", qf, kf, preferred_element_type=jnp.float32
+    ) * scale
+    sel = (row_map % beam).reshape(b, beam, t)  # local slot per position
+    logits = jnp.take_along_axis(
+        logits_all, sel[:, :, None, None, :], axis=3
+    )[:, :, :, 0, :]  # [B, K, H, T]
+    if length.ndim == 0:
+        mask = (jnp.arange(t) < length)[None, None, None, :]
+    else:
+        mask = (
+            jnp.arange(t)[None, :] < length.reshape(b, beam)[..., None]
+        )[:, :, None, :]
+    logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)  # [B, K, H, T]
+    onehot = (
+        sel[:, :, None, :] == jnp.arange(beam)[None, None, :, None]
+    )  # [B, K(q), K(m), T]
+    probs_m = probs[:, :, :, None, :] * onehot[:, :, None, :, :].astype(
+        probs.dtype
+    )  # [B, K, H, M, T]
+    out = jnp.einsum(
+        "bkhmt,bmhtd->bkhd", probs_m.astype(vf.dtype), vf,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(bk, h, 1, d).astype(q.dtype)

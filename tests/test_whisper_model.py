@@ -140,6 +140,25 @@ def test_beam_batch_row_independence(params, enc_out, tok):
         )
 
 
+def test_beam_ancestry_matches_materialized_gather(params, enc_out, tok):
+    """The ancestry row_map formulation (default; no per-step cache
+    gather) must reproduce the classic materialized-gather beam search
+    EXACTLY — tokens, lengths, and scores."""
+    sp = tok.special
+    prompt = np.array([sp.sot_sequence("en")] * 2, np.int32)
+    for ts in (True, False):
+        opts = DecodeOptions(max_new_tokens=8, beam_size=3, timestamps=ts)
+        fast = beam_decode(params, CFG, sp, enc_out, prompt, opts)
+        oracle = beam_decode(
+            params, CFG, sp, enc_out, prompt, opts, ancestry=False
+        )
+        assert np.array_equal(fast.tokens, oracle.tokens), f"ts={ts}"
+        assert np.array_equal(fast.lengths, oracle.lengths)
+        np.testing.assert_allclose(
+            fast.avg_logprob, oracle.avg_logprob, atol=1e-4
+        )
+
+
 def test_beam_int8_cross_kv_path(params, enc_out, tok):
     """Beam over an int8-quantized model (dict-form cross-KV pack) —
     exercises the beam>1 fold through the int8 decode_attention path."""
