@@ -587,7 +587,7 @@ def bench_streaming_ws() -> None:
         # warm the streaming buckets end-to-end: two passes, since the
         # first session's interims mostly coalesce behind compiles and
         # later buckets only get hit once earlier ones are warm
-        asyncio.run(run_n(1, final_wait=900.0))
+        asyncio.run(run_n(1, final_wait=1800.0))
         asyncio.run(run_n(2, final_wait=300.0))
         note(f"ws warmup took {time.time() - t0:.0f}s")
         for n in (8, 16):
@@ -926,9 +926,15 @@ def bench_tts_throughput() -> None:
         jax.random.PRNGKey(0),
     )
 
+    to_i16 = jax.jit(
+        lambda a: (jnp.clip(a, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+    )
+
     def psynth():
+        # int16 wire, same rationale as the kokoro row: serving ships
+        # PCM16 and the relay transfer dominates this row's wall time
         audio, n_frames = synthesize_vits(pparams, pcfg, *pargs)
-        return np.asarray(audio), np.asarray(n_frames)
+        return np.asarray(to_i16(audio)), np.asarray(n_frames)
 
     psynth()
     laps = []

@@ -405,34 +405,47 @@ async def get_vad_model() -> SileroVAD:
     async with _vad_lock:
         if _vad_model is not None:
             return _vad_model
-        ckpt = _find_vad_checkpoint()
-        if ckpt is not None:
-            params = convert_silero(ckpt)
-            logger.info("JAX VAD model loaded from %s", ckpt)
-        else:
-            params = init_vad_params()
-            logger.warning(
-                "No silero checkpoint found (OS_VAD_ONNX_PATH unset); "
-                "VAD running with random weights — speech probabilities "
-                "are not meaningful"
-            )
         # VAD is control-path work gating the real device programs: run it
         # on the host CPU backend by default (a 128-wide LSTM costs
         # microseconds there) instead of queueing a round trip to the
-        # accelerator for every 100 ms chunk of every session. Committed
-        # params pin every vad_step/vad_scan call to that device.
+        # accelerator for every 100 ms chunk of every session. The target
+        # device is pinned BEFORE init: initializing on the accelerator
+        # default and device_put-ing back was measured at 130+ s through
+        # a relayed TPU (each small param leaf pays a relay round trip) —
+        # it stalled the first streaming session's session.begin behind a
+        # multi-minute transfer. Under jax.default_device the init
+        # compiles and runs on the CPU backend and nothing ever crosses
+        # the relay. Committed params pin every vad_step/vad_scan call.
+        import contextlib
+
         want = os.environ.get("OS_VAD_DEVICE", "cpu")
+        dev = None
         if want != "default":
             try:
-                params = jax.device_put(params, jax.devices(want)[0])
+                dev = jax.devices(want)[0]
             except RuntimeError:
                 logger.warning("OS_VAD_DEVICE=%s unavailable; using default", want)
-        # jit warmup so the first streaming chunk isn't a compile stall
-        vad_step(params, jnp.zeros((1, WINDOW)), jnp.zeros((2, 1, _HIDDEN)))
-        vad_scan(
-            params, jnp.zeros((4, WINDOW)), jnp.zeros((2, 1, _HIDDEN)),
-            jnp.int32(4),
-        )
+        ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+        with ctx:
+            ckpt = _find_vad_checkpoint()
+            if ckpt is not None:
+                params = convert_silero(ckpt)
+                logger.info("JAX VAD model loaded from %s", ckpt)
+            else:
+                params = init_vad_params()
+                logger.warning(
+                    "No silero checkpoint found (OS_VAD_ONNX_PATH unset); "
+                    "VAD running with random weights — speech probabilities "
+                    "are not meaningful"
+                )
+            if dev is not None:
+                params = jax.device_put(params, dev)  # no-op when born there
+            # jit warmup so the first streaming chunk isn't a compile stall
+            vad_step(params, jnp.zeros((1, WINDOW)), jnp.zeros((2, 1, _HIDDEN)))
+            vad_scan(
+                params, jnp.zeros((4, WINDOW)), jnp.zeros((2, 1, _HIDDEN)),
+                jnp.int32(4),
+            )
         _vad_model = SileroVAD(params)
         return _vad_model
 
