@@ -109,3 +109,43 @@ def test_zero_attendable_rows_return_zeros():
         )
     )
     np.testing.assert_allclose(got, out, atol=2e-6)
+
+
+def test_beam_select_attention_matches_materialized_gather():
+    """beam_select_attention over un-permuted caches + a lineage row_map
+    must equal decode_attention over caches physically gathered to the
+    beams (the classic formulation) for arbitrary ancestries."""
+    from open_speech_tpu.ops.attention import (
+        beam_select_attention,
+        decode_attention,
+    )
+
+    rng = np.random.default_rng(7)
+    b, k, h, t, d = 2, 3, 2, 16, 8
+    bk = b * k
+    q = jnp.asarray(rng.standard_normal((bk, h, 1, d)), jnp.float32)
+    kc = jnp.asarray(rng.standard_normal((bk, h, t, d)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((bk, h, t, d)), jnp.float32)
+    # random ancestry: each (beam, pos) points at some slot of its own
+    # batch row's k-group
+    local = rng.integers(0, k, (bk, t))
+    base = (np.arange(bk) // k * k)[:, None]
+    row_map = jnp.asarray(base + local, jnp.int32)
+    length = jnp.full((bk,), 11, jnp.int32)
+
+    got = np.asarray(
+        beam_select_attention(q, kc, vc, row_map, length, k)
+    )
+    # oracle: physically gather the caches per (row, position)
+    kcn, vcn = np.asarray(kc), np.asarray(vc)
+    k_g = np.empty_like(kcn)
+    v_g = np.empty_like(vcn)
+    rm = np.asarray(row_map)
+    for j in range(bk):
+        for pos in range(t):
+            k_g[j, :, pos, :] = kcn[rm[j, pos], :, pos, :]
+            v_g[j, :, pos, :] = vcn[rm[j, pos], :, pos, :]
+    want = np.asarray(
+        decode_attention(q, jnp.asarray(k_g), jnp.asarray(v_g), length)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
