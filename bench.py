@@ -482,6 +482,7 @@ def bench_streaming_ws() -> None:
         OS_STREAM_VAD_THRESHOLD="0.0",
         OS_STT_VAD_THRESHOLD="0.0",
         OS_STREAM_MAX_CONNECTIONS="64",
+        OS_MODEL_TTL="7200",
         JAX_COMPILATION_CACHE_DIR="/root/.jax_cache",
     )
     proc = subprocess.Popen(

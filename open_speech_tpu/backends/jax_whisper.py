@@ -203,6 +203,11 @@ class JaxWhisperBackend:
         logger.info("Loaded %s (%s) in %.1fs", model_id, preset, now - t0)
         if settings.os_precompile_on_load:
             self._warmup(model_id)
+            # the sweep can run many minutes on a cold compile cache; the
+            # TTL clock must start at READINESS, not at weight load —
+            # otherwise the reaper counts warmup time as idle time and can
+            # evict the model the moment it becomes servable
+            self._last_used[model_id] = time.time()
 
     def _maybe_shard(self, params):
         """Tensor-parallel placement when OS_TPU_MESH asks for a model axis.

@@ -56,6 +56,13 @@ class ModelLifecycleManager:
         ttl = settings.os_model_ttl
         if ttl <= 0:
             return []
+        load_lock = getattr(backend, "_load_lock", None)
+        if load_lock is not None and load_lock.locked():
+            # a load + precompile sweep is in flight (it holds the load
+            # lock for its whole duration, minutes on a cold cache);
+            # evicting anything now risks unloading the very model being
+            # warmed — its _last_used stamp predates the sweep
+            return []
         return [
             model_id
             for model_id in list(backend._models)
