@@ -471,13 +471,23 @@ def bench_streaming_ws() -> None:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
+    # the committed EOT-trained fixture: interim decodes produce REAL text
+    # ("beep ...") so transcript events actually flow. A random-weight
+    # large model emits EOT-or-garbage and the agreement policy correctly
+    # sends nothing — the server transcribes 80/80 chunks and the client
+    # sees zero events (observed). This row measures the SERVING path at
+    # N sessions (VAD step, coalescing scheduler, LocalAgreement2, event
+    # loop, finals); device-heavy decode economics are the asr/stream
+    # rows' job.
+    ws_model = os.environ.get("BENCH_WS_MODEL", "test-tiny-eot")
     env = dict(os.environ)
     env.update(
         OS_SSL_ENABLED="false",
         OS_PORT=str(port),
         OS_HOST="127.0.0.1",
-        OS_STT_MODEL=MODEL,
-        OS_STT_COMPUTE_TYPE=COMPUTE,
+        OS_STT_MODEL=ws_model,
+        STT_MODEL_DIR=os.path.join(here, "tests", "fixtures"),
+        OS_STT_COMPUTE_TYPE="bf16",
         OS_PRECOMPILE_ON_LOAD="1",
         OS_STREAM_VAD_THRESHOLD="0.0",
         OS_STT_VAD_THRESHOLD="0.0",
@@ -485,10 +495,11 @@ def bench_streaming_ws() -> None:
         OS_MODEL_TTL="7200",
         JAX_COMPILATION_CACHE_DIR="/root/.jax_cache",
     )
+    srv_log = open("/tmp/bench_ws_server.log", "w")
     proc = subprocess.Popen(
         [sys.executable, "-m", "open_speech_tpu.server"],
         env=env, cwd=here,
-        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        stdout=srv_log, stderr=subprocess.STDOUT,
     )
 
     stream_seconds = 8.0
@@ -503,7 +514,7 @@ def bench_streaming_ws() -> None:
         http: "aiohttp.ClientSession", results: list, final_wait: float
     ):
         url = (
-            f"ws://127.0.0.1:{port}/v1/audio/stream?model={MODEL}"
+            f"ws://127.0.0.1:{port}/v1/audio/stream?model={ws_model}"
             "&language=en&interim_results=true"
         )
         interim_at: list[float] = []
@@ -588,9 +599,13 @@ def bench_streaming_ws() -> None:
         # warm the streaming buckets end-to-end: two passes, since the
         # first session's interims mostly coalesce behind compiles and
         # later buckets only get hit once earlier ones are warm
-        asyncio.run(run_n(1, final_wait=1800.0))
-        asyncio.run(run_n(2, final_wait=300.0))
-        note(f"ws warmup took {time.time() - t0:.0f}s")
+        w1 = asyncio.run(run_n(1, final_wait=1800.0))
+        w2 = asyncio.run(run_n(2, final_wait=300.0))
+        note(
+            f"ws warmup took {time.time() - t0:.0f}s "
+            f"(events: {[r[2] for r in w1]} then {[r[2] for r in w2]}, "
+            f"finals: {[r[1] is not None for r in w1 + w2]})"
+        )
         for n in (8, 16):
             res = asyncio.run(run_n(n, final_wait=120.0))
             gaps = [g for r in res for g in r[0]]
@@ -599,18 +614,27 @@ def bench_streaming_ws() -> None:
             if not gaps or not finals:
                 note(f"ws bench @N={n}: interims={interims}, "
                      f"finals={len(finals)} — incomplete, skipping rows")
+                try:
+                    with open("/tmp/bench_ws_server.log") as f:
+                        tail = [
+                            line for line in f.readlines()[-40:]
+                            if "access" not in line
+                        ]
+                    note("ws server log tail:\n" + "".join(tail[-25:]))
+                except Exception:  # noqa: BLE001 — diagnostics only
+                    pass
                 continue
             p95_gap = float(np.percentile(gaps, 95))
             p50_final = float(np.median(finals))
             emit(
                 f"streaming WS e2e p95 interim gap (N={n} real-time "
-                "sessions, full server path)",
+                f"sessions, full server path, {ws_model})",
                 p95_gap * 1000, "ms",
                 (2 * CHUNK_INTERVAL) / p95_gap,
             )
             emit(
                 f"streaming WS e2e p50 final turnaround (N={n} real-time "
-                "sessions, stop -> speech_final)",
+                f"sessions, stop -> speech_final, {ws_model})",
                 p50_final * 1000, "ms", 1.0 / p50_final,
             )
             note(
@@ -1468,11 +1492,6 @@ def main() -> None:
             bench_vad()
         except Exception as e:  # noqa: BLE001 — optional row
             note(f"vad bench failed: {e!r}")
-    if _want("ws"):
-        try:
-            bench_streaming_ws()
-        except Exception as e:  # noqa: BLE001 — optional row
-            note(f"ws streaming bench failed: {e!r}")
     if _want("ttfa"):
         bench_tts_ttfa()
         try:
@@ -1499,6 +1518,14 @@ def main() -> None:
     if _want("ckpt"):
         bench_converted_ckpt()
         bench_real_weights()
+    # LAST: spawns its own server process and pays a full cold-start
+    # precompile sweep (~10 min through the relay) — must not starve the
+    # core rows if the driver bounds the whole run
+    if _want("ws"):
+        try:
+            bench_streaming_ws()
+        except Exception as e:  # noqa: BLE001 — optional row
+            note(f"ws streaming bench failed: {e!r}")
 
 
 if __name__ == "__main__":

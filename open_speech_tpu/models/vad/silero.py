@@ -421,10 +421,21 @@ async def get_vad_model() -> SileroVAD:
         want = os.environ.get("OS_VAD_DEVICE", "cpu")
         dev = None
         if want != "default":
-            try:
-                dev = jax.devices(want)[0]
-            except RuntimeError:
-                logger.warning("OS_VAD_DEVICE=%s unavailable; using default", want)
+            # first-time backend init can race concurrent jax work on
+            # other threads (observed under load-time precompile: a
+            # transient RuntimeError from jax.devices("cpu")) — retry
+            # briefly before degrading to the accelerator default
+            for attempt in range(3):
+                try:
+                    dev = jax.devices(want)[0]
+                    break
+                except RuntimeError:
+                    if attempt == 2:
+                        logger.warning(
+                            "OS_VAD_DEVICE=%s unavailable; using default", want
+                        )
+                    else:
+                        await asyncio.sleep(1.0)
         ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
         with ctx:
             ckpt = _find_vad_checkpoint()
