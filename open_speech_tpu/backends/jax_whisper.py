@@ -416,6 +416,7 @@ class JaxWhisperBackend:
                     DECODE_BUCKETS,
                     FORCED_BUCKETS,
                     StreamingWhisperEncoder,
+                    final_budget,
                     forced_room,
                     interim_budget,
                 )
@@ -448,6 +449,18 @@ class JaxWhisperBackend:
                             DecodeOptions(
                                 language="en", timestamps=False, beam_size=1,
                                 max_new_tokens=interim_budget(bucket, fb),
+                                suppress_blank=True,
+                            ),
+                            enc_len=np.array([bucket], np.int32),
+                        )
+                    # incremental FINAL program: fresh decode, full budget
+                    if final_budget(bucket) != interim_budget(bucket, 0):
+                        greedy_decode(
+                            entry["params"], cfg, sp, enc_states,
+                            np.array([sot], np.int32),
+                            DecodeOptions(
+                                language="en", timestamps=False, beam_size=1,
+                                max_new_tokens=final_budget(bucket),
                                 suppress_blank=True,
                             ),
                             enc_len=np.array([bucket], np.int32),

@@ -87,6 +87,17 @@ def interim_budget(bucket: int, n_forced: int) -> int:
     return max(32, min(INTERIM_TAIL_CAP, budget - n_forced))
 
 
+def final_budget(bucket: int) -> int:
+    """max_new_tokens for a FINAL decode over incremental encoder states.
+
+    Finals decode the whole utterance fresh (no forced prefix, no
+    interim tail cap — a 30 s window can carry 100+ real tokens), so the
+    budget scales with the audio bucket up to whisper's 224-token window
+    convention. Shared by the serving final path and warmup."""
+    budget = min(224, max(32, (bucket * 12 * 2) // 100 + 16))
+    return -(-budget // 16) * 16
+
+
 def _encode_block_body(params, mel_seg, pos_start, kcache, vcache, enc_buf,
                        *, n_head: int, npos: int):
     """Encode ``npos`` new positions given the cached prefix.

@@ -448,12 +448,11 @@ class StreamingSession:
         try:
             await self._maybe_pin_language()
             result = None
-            if (
-                not final
-                and settings.os_stream_incremental
-                and not self._inc_broken
-            ):
-                result = await self._transcribe_incremental()
+            if settings.os_stream_incremental and not self._inc_broken:
+                # interims AND window-sized finals ride the O(n)
+                # incremental encoder (finals re-decode fresh over the
+                # already-encoded states; see _transcribe_incremental)
+                result = await self._transcribe_incremental(final=final)
             if result is None:
                 # the shared batcher builds one prompt per (model, lang)
                 # and would coerce None to forced-English; sessions ride
@@ -526,9 +525,21 @@ class StreamingSession:
             self._inc_encoder.reset()
         self._inc_fed = 0
 
-    async def _transcribe_incremental(self) -> dict | None:
+    async def _transcribe_incremental(self, final: bool = False) -> dict | None:
         """O(n) interim path: feed only new audio into the per-session
         block-causal encoder, re-decode over the bucketed prefix.
+
+        ``final=True`` reuses the SAME encoder states for the utterance's
+        final transcript — a fresh full-budget decode with no forced
+        prefix (the reference's finalize semantics) but WITHOUT
+        re-encoding audio the incremental encoder already holds. The
+        classic finalize re-transcribes the whole utterance from raw PCM
+        (window-by-window through the seek loop); at N concurrent
+        sessions those re-encodes serialize on the streaming executor and
+        the final turnaround grows with utterance length × N. Utterances
+        longer than the model window fall back to the full path (return
+        None, probing stays enabled): the incremental encoder only holds
+        one window.
 
         Returns None (and stops probing) when the backend isn't the JAX
         whisper backend — scripted/mock backends in tests and plugins fall
@@ -555,6 +566,7 @@ class StreamingSession:
         )
         from open_speech_tpu.models.whisper.streaming import (
             StreamingWhisperEncoder,
+            final_budget,
             forced_bucket,
             forced_room,
             interim_budget,
@@ -565,6 +577,11 @@ class StreamingSession:
             self._inc_encoder = StreamingWhisperEncoder(params, cfg)
             self._inc_fed = 0
         new_len = len(self.utterance_audio)
+        if final and new_len // 640 >= cfg.n_audio_ctx:
+            # utterance overflows the model window: the incremental
+            # encoder truncates at n_audio_ctx positions, so an exact
+            # final needs the full multi-window path
+            return None
         new_bytes = bytes(self.utterance_audio[self._inc_fed : new_len])
         encoder = self._inc_encoder
         language = self.effective_language or "en"
@@ -575,7 +592,9 @@ class StreamingSession:
         # re-generating the whole utterance text — per-chunk decode cost
         # stays ~constant as the utterance grows. Forced length snaps to a
         # bucket ladder so prompt shapes stay bounded.
-        conf_words = list(self.agreement.confirmed_words)
+        # finals decode fresh (no forced prefix): exact reference finalize
+        # semantics — the agreement prefix is an interim-only speedup
+        conf_words = [] if final else list(self.agreement.confirmed_words)
 
         def work() -> dict:
             if new_bytes:
@@ -603,7 +622,9 @@ class StreamingSession:
             # compiled decode program per bucket instead of one per
             # (duration-bucket x enc-bucket) pair; the forced prefix
             # (bucketed multiple of 16) subtracts from the generation tail
-            budget = interim_budget(bucket, len(forced))
+            budget = final_budget(bucket) if final else interim_budget(
+                bucket, len(forced)
+            )
             opts = DecodeOptions(
                 language=language, timestamps=False, beam_size=1,
                 max_new_tokens=budget, suppress_blank=True,

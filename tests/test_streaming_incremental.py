@@ -2,8 +2,8 @@
 
 Uses the real JAX whisper backend at test-tiny size through the session's
 own plumbing: interim transcriptions must ride the incremental encoder
-(no per-chunk full transcribe), each mel frame encoded once; the final
-transcript must take the exact full-window path; mock/scripted backends
+(no per-chunk full transcribe), each mel frame encoded once; window-sized finals reuse the incremental
+states (fresh full-budget decode); longer finals take the exact path; mock/scripted backends
 must make the session fall back without errors.
 """
 
@@ -91,17 +91,41 @@ def test_interims_use_incremental_encoder(tiny_backend, monkeypatch):
     assert enc.block_encodes <= enc.total_positions // enc.block_pos
 
 
-def test_final_takes_exact_full_path(tiny_backend, monkeypatch):
+def test_final_within_window_reuses_incremental_states(tiny_backend, monkeypatch):
+    """A window-sized final decodes fresh over the ALREADY-encoded
+    incremental states (one dispatch) instead of re-transcribing the
+    whole utterance from raw PCM — the O(n) property extended to
+    finals."""
     monkeypatch.setattr(
         "open_speech_tpu.server.streaming.settings.os_stream_incremental",
         True,
     )
     session = _session()
-    pcm = (np.zeros(16000)).astype(np.int16)
+    pcm = (np.zeros(16000)).astype(np.int16)  # 1.0 s < 1.2 s window
+    session.utterance_audio.extend(pcm.tobytes())
+
+    result = _run(session._run_transcription(final=True))
+    assert result is not None
+    tiny_backend.transcribe.assert_not_called()
+
+
+def test_final_beyond_window_takes_exact_full_path(tiny_backend, monkeypatch):
+    """Utterances longer than the model window overflow the incremental
+    encoder; their finals must take the exact multi-window path."""
+    monkeypatch.setattr(
+        "open_speech_tpu.server.streaming.settings.os_stream_incremental",
+        True,
+    )
+    monkeypatch.setattr(
+        "open_speech_tpu.server.streaming.settings.os_batcher_enabled",
+        False,
+    )
+    session = _session()
+    pcm = (np.zeros(3 * 16000)).astype(np.int16)  # 3 s > 1.2 s window
     session.utterance_audio.extend(pcm.tobytes())
 
     _run(session._run_transcription(final=True))
-    tiny_backend.transcribe.assert_called_once()  # exact path for finals
+    tiny_backend.transcribe.assert_called_once()
 
 
 def test_incremental_resets_per_utterance(tiny_backend, monkeypatch):
