@@ -503,7 +503,11 @@ def bench_streaming_ws() -> None:
     )
 
     stream_seconds = 8.0
-    chunk_ms = int(CHUNK_INTERVAL * 1000)
+    # final-turnaround phase streams ONE window-sized utterance (the
+    # canonical serving shape: real utterances end inside the model
+    # window, where finals ride the incremental encoder states); the
+    # cadence phase streams 8 s to measure steady-state interim gaps
+    final_seconds = 1.0
     chunk_bytes = int(16000 * CHUNK_INTERVAL) * 2
     rng = np.random.default_rng(3)
     pcm = rng.integers(-8000, 8000, int(16000 * stream_seconds)).astype(
@@ -511,7 +515,8 @@ def bench_streaming_ws() -> None:
     ).tobytes()
 
     async def one_session(
-        http: "aiohttp.ClientSession", results: list, final_wait: float
+        http: "aiohttp.ClientSession", results: list, final_wait: float,
+        seconds: float = stream_seconds,
     ):
         url = (
             f"ws://127.0.0.1:{port}/v1/audio/stream?model={ws_model}"
@@ -522,7 +527,7 @@ def bench_streaming_ws() -> None:
         async with http.ws_connect(url, max_msg_size=0) as ws:
             loop = asyncio.get_running_loop()
             t0 = loop.time()
-            n_chunks = len(pcm) // chunk_bytes
+            n_chunks = int(seconds * 16000) * 2 // chunk_bytes
             sent = 0
             stop_at = None
 
@@ -569,11 +574,14 @@ def bench_streaming_ws() -> None:
         ]
         results.append((gaps, final_turnaround, len(interim_at)))
 
-    async def run_n(n: int, final_wait: float = 30.0):
+    async def run_n(n: int, final_wait: float = 30.0, seconds: float = stream_seconds):
         results: list = []
         async with aiohttp.ClientSession() as http:
             await asyncio.gather(
-                *(one_session(http, results, final_wait) for _ in range(n))
+                *(
+                    one_session(http, results, final_wait, seconds)
+                    for _ in range(n)
+                )
             )
         return results
 
@@ -606,41 +614,56 @@ def bench_streaming_ws() -> None:
             f"(events: {[r[2] for r in w1]} then {[r[2] for r in w2]}, "
             f"finals: {[r[1] is not None for r in w1 + w2]})"
         )
+        def _dump_server_tail() -> None:
+            try:
+                with open("/tmp/bench_ws_server.log") as f:
+                    tail = [
+                        line for line in f.readlines()[-40:]
+                        if "access" not in line
+                    ]
+                note("ws server log tail:\n" + "".join(tail[-25:]))
+            except Exception:  # noqa: BLE001 — diagnostics only
+                pass
+
         for n in (8, 16):
+            # phase 1 — cadence: long streams, measure interim gaps
             res = asyncio.run(run_n(n, final_wait=120.0))
             gaps = [g for r in res for g in r[0]]
-            finals = [r[1] for r in res if r[1] is not None]
             interims = sum(r[2] for r in res)
-            if not gaps or not finals:
-                note(f"ws bench @N={n}: interims={interims}, "
-                     f"finals={len(finals)} — incomplete, skipping rows")
-                try:
-                    with open("/tmp/bench_ws_server.log") as f:
-                        tail = [
-                            line for line in f.readlines()[-40:]
-                            if "access" not in line
-                        ]
-                    note("ws server log tail:\n" + "".join(tail[-25:]))
-                except Exception:  # noqa: BLE001 — diagnostics only
-                    pass
-                continue
-            p95_gap = float(np.percentile(gaps, 95))
-            p50_final = float(np.median(finals))
-            emit(
-                f"streaming WS e2e p95 interim gap (N={n} real-time "
-                f"sessions, full server path, {ws_model})",
-                p95_gap * 1000, "ms",
-                (2 * CHUNK_INTERVAL) / p95_gap,
+            if gaps:
+                p95_gap = float(np.percentile(gaps, 95))
+                emit(
+                    f"streaming WS e2e p95 interim gap (N={n} real-time "
+                    f"sessions, full server path, {ws_model})",
+                    p95_gap * 1000, "ms",
+                    (2 * CHUNK_INTERVAL) / p95_gap,
+                )
+                note(
+                    f"ws @N={n}: {interims} interims across {n} sessions "
+                    f"({interims / n / stream_seconds:.1f}/s/session)"
+                )
+            else:
+                note(f"ws cadence @N={n}: zero interims — skipping row")
+                _dump_server_tail()
+            # phase 2 — final turnaround: one window-sized utterance per
+            # session, all N stopping concurrently (finals ride the
+            # incremental encoder states; overflow finals are the
+            # longform path's job)
+            res = asyncio.run(
+                run_n(n, final_wait=120.0, seconds=final_seconds)
             )
-            emit(
-                f"streaming WS e2e p50 final turnaround (N={n} real-time "
-                f"sessions, stop -> speech_final, {ws_model})",
-                p50_final * 1000, "ms", 1.0 / p50_final,
-            )
-            note(
-                f"ws @N={n}: {interims} interims across {n} sessions "
-                f"({interims / n / stream_seconds:.1f}/s/session)"
-            )
+            finals = [r[1] for r in res if r[1] is not None]
+            if finals:
+                p50_final = float(np.median(finals))
+                emit(
+                    f"streaming WS e2e p50 final turnaround (N={n} "
+                    f"window-sized utterances, stop -> speech_final, "
+                    f"{ws_model})",
+                    p50_final * 1000, "ms", 1.0 / p50_final,
+                )
+            else:
+                note(f"ws finals @N={n}: zero speech_finals — skipping row")
+                _dump_server_tail()
     finally:
         proc.terminate()
         try:
