@@ -460,6 +460,14 @@ def bench_streaming_ws() -> None:
         (steady-state cadence; keeping up ⇒ ~chunk interval)
       - p50 final turnaround: stop-sent → speech_final received (full
         decode + scheduler drain on the close path)
+
+    Regime note: through the axon RELAY each device dispatch pays a
+    ~50-150 ms round trip, so one interim (~3-4 dispatches) costs
+    ~0.5 s and N sessions contend for the 4 streaming-executor threads —
+    the relayed numbers measure dispatch latency × contention, not the
+    chip. The same bench on a local backend (BENCH_WS_MODEL on a
+    chip-local host, or the CPU smoke) shows the serving machinery's own
+    overhead: 119 ms p95 gap / 278 ms p50 final @8 sessions.
     """
     import asyncio
     import socket
