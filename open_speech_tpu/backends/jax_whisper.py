@@ -246,11 +246,45 @@ class JaxWhisperBackend:
         transcribe() entry twice (greedy + beam-5, the REST default quality
         path) at the full-window decode budget, plus the incremental
         streaming encoder's block program when streaming is enabled.
+
+        The individual compile drives are independent (distinct program
+        shapes; XLA compilation is thread-safe), so they run on a small
+        thread pool (OS_WARMUP_PARALLEL, default 4): the sweep is ~50
+        sequential programs at 10-40 s each through a relayed chip —
+        parallelism converts a 10-20 min cold start into a few minutes.
         """
         entry = self._models[model_id]
         cfg = entry["cfg"]
         window_samples = cfg.n_audio_ctx * 2 * 160  # hop=160
         t0 = time.time()
+        tasks: list = []  # independent compile drives, run pooled at the end
+
+        def _run_tasks() -> None:
+            try:
+                workers = max(
+                    1, int(os.environ.get("OS_WARMUP_PARALLEL", "4"))
+                )
+            except ValueError:
+                workers = 4
+
+            def safe(fn):
+                try:
+                    fn()
+                except Exception:  # noqa: BLE001 — warmup never blocks load
+                    logger.exception("STT warmup task failed (%s)", model_id)
+
+            if workers <= 1:
+                for fn in tasks:
+                    safe(fn)
+                return
+            import concurrent.futures as _fut
+
+            with _fut.ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix="stt-warmup"
+            ) as pool:
+                futs = [pool.submit(safe, fn) for fn in tasks]
+                for f in futs:
+                    f.result()
         try:
             mel = log_mel_spectrogram(
                 pad_or_trim(jnp.zeros(window_samples), window_samples),
@@ -290,16 +324,15 @@ class JaxWhisperBackend:
         # program covers every temperature-fallback retry.
         for beam, temp in ((1, 0.0), (5, 0.0), (1, 0.2)):
             for budget in sorted(budgets):
-                try:
-                    self._run_inference(
-                        wav, model_id, language="en", beam_size=beam,
-                        temperature=temp, fallback=False,
-                        _budget_override=budget,
+                tasks.append(
+                    lambda beam=beam, temp=temp, budget=budget: (
+                        self._run_inference(
+                            wav, model_id, language="en", beam_size=beam,
+                            temperature=temp, fallback=False,
+                            _budget_override=budget,
+                        )
                     )
-                except Exception:  # noqa: BLE001 — warmup must never block load
-                    logger.exception(
-                        "STT warmup (beam=%d t=%.1f) failed", beam, temp
-                    )
+                )
         # prev-text conditioning buckets: from the second window of a long
         # file on, the seek loop prepends [startofprev] + prev (bucketed to
         # 4/8/16/... — transcribe._bucket_prev), each a distinct prompt
@@ -330,24 +363,30 @@ class JaxWhisperBackend:
                         + list(sp.sot_sequence("en", "transcribe"))
                     )
                     for budget in sorted(budgets):
-                        _decode_with_fallback(
-                            entry["params"], cfg, entry["tok"], enc_out,
-                            np.array([prompt], np.int32),
-                            TranscribeOptions(
-                                language="en", beam_size=beam,
-                                temperature=(temp,), max_new_tokens=budget,
-                                compression_ratio_threshold=None,
-                                logprob_threshold=None,
-                            ),
+                        tasks.append(
+                            lambda beam=beam, temp=temp, budget=budget,
+                            prompt=list(prompt): _decode_with_fallback(
+                                entry["params"], cfg, entry["tok"], enc_out,
+                                np.array([prompt], np.int32),
+                                TranscribeOptions(
+                                    language="en", beam_size=beam,
+                                    temperature=(temp,),
+                                    max_new_tokens=budget,
+                                    compression_ratio_threshold=None,
+                                    logprob_threshold=None,
+                                ),
+                            )
                         )
         except Exception:  # noqa: BLE001
             logger.exception("STT warmup (prev buckets) failed")
         try:  # language-detect program (used when language is omitted)
             from open_speech_tpu.models.whisper.decode import detect_language
 
-            detect_language(
-                entry["params"], cfg, entry["tok"].special,
-                encode(entry["params"], mel[None], cfg),
+            tasks.append(
+                lambda: detect_language(
+                    entry["params"], cfg, entry["tok"].special,
+                    encode(entry["params"], mel[None], cfg),
+                )
             )
         except Exception:  # noqa: BLE001
             logger.exception("STT warmup (detect) failed")
@@ -380,7 +419,7 @@ class JaxWhisperBackend:
                         [[sp.startofprev] + [sp.eot - 1] * fb + list(sot)],
                         np.int32,
                     ))
-                for rung in (b for b in BATCH_BUCKETS if b <= maxw):
+                def _warm_rung(rung: int) -> None:
                     m = log_mel_spectrogram(
                         jnp.zeros((rung, window_samples), jnp.float32),
                         n_mels=cfg.n_mels,
@@ -404,6 +443,9 @@ class JaxWhisperBackend:
                                         no_speech_threshold=None,
                                     ),
                                 )
+
+                for rung in (b for b in BATCH_BUCKETS if b <= maxw):
+                    tasks.append(lambda rung=rung: _warm_rung(rung))
             except Exception:  # noqa: BLE001
                 logger.exception("STT warmup (batched long-form) failed")
         if settings.os_stream_incremental:
@@ -435,41 +477,57 @@ class JaxWhisperBackend:
                 if cfg.n_audio_ctx not in buckets:
                     buckets.append(cfg.n_audio_ctx)
                 room = forced_room(cfg, len(sot))
-                for bucket in buckets:
+                def _warm_interim(bucket: int, fb: int) -> None:
                     enc_states = jnp.zeros(
                         (1, bucket, cfg.n_audio_state), self._dtype()
                     )
+                    prompt = np.array([sot + [sp.eot - 1] * fb], np.int32)
+                    greedy_decode(
+                        entry["params"], cfg, sp, enc_states, prompt,
+                        DecodeOptions(
+                            language="en", timestamps=False, beam_size=1,
+                            max_new_tokens=interim_budget(bucket, fb),
+                            suppress_blank=True,
+                        ),
+                        enc_len=np.array([bucket], np.int32),
+                    )
+
+                def _warm_final(bucket: int) -> None:
+                    enc_states = jnp.zeros(
+                        (1, bucket, cfg.n_audio_state), self._dtype()
+                    )
+                    greedy_decode(
+                        entry["params"], cfg, sp, enc_states,
+                        np.array([sot], np.int32),
+                        DecodeOptions(
+                            language="en", timestamps=False, beam_size=1,
+                            max_new_tokens=final_budget(bucket),
+                            suppress_blank=True,
+                        ),
+                        enc_len=np.array([bucket], np.int32),
+                    )
+
+                for bucket in buckets:
                     fbs = (0, 16, 32) if bucket < buckets[-1] else (
                         (0,) + FORCED_BUCKETS
                     )
                     for fb in (f for f in fbs if f <= room):
-                        prompt = np.array([sot + [sp.eot - 1] * fb], np.int32)
-                        greedy_decode(
-                            entry["params"], cfg, sp, enc_states, prompt,
-                            DecodeOptions(
-                                language="en", timestamps=False, beam_size=1,
-                                max_new_tokens=interim_budget(bucket, fb),
-                                suppress_blank=True,
-                            ),
-                            enc_len=np.array([bucket], np.int32),
+                        tasks.append(
+                            lambda bucket=bucket, fb=fb: _warm_interim(
+                                bucket, fb
+                            )
                         )
                     # incremental FINAL program: fresh decode, full budget
                     if final_budget(bucket) != interim_budget(bucket, 0):
-                        greedy_decode(
-                            entry["params"], cfg, sp, enc_states,
-                            np.array([sot], np.int32),
-                            DecodeOptions(
-                                language="en", timestamps=False, beam_size=1,
-                                max_new_tokens=final_budget(bucket),
-                                suppress_blank=True,
-                            ),
-                            enc_len=np.array([bucket], np.int32),
+                        tasks.append(
+                            lambda bucket=bucket: _warm_final(bucket)
                         )
             except Exception:  # noqa: BLE001
                 logger.exception("STT warmup (streaming) failed")
+        _run_tasks()
         logger.info(
-            "STT serving-shape warmup for %s done in %.1fs",
-            model_id, time.time() - t0,
+            "STT serving-shape warmup for %s done in %.1fs (%d programs)",
+            model_id, time.time() - t0, len(tasks),
         )
 
     def unload_model(self, model_id: str) -> None:
